@@ -31,7 +31,7 @@ object TextFns {
       array_distinct(
         transform(
           sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, n)))))
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -61,7 +61,15 @@ object TextFns {
       array_min(
         transform(
           sequence(lit(1), size(toks) - (k - 1)),
-          i => md5(concat_ws(" ", slice(toks, i, k)).cast("binary")))))
+          i => md5(concat_ws(" ", slice(toks, i, lit(k))).cast("binary")))))
       .otherwise(md5(text.cast("binary"))) // short doc: whole-text hash
+  }
+
+  /** Jaccard similarity of two already-distinct string arrays. Union size
+    * is |a|+|b|−|a∩b| (identical formula in the DuckDB oracle — avoids
+    * relying on the two engines' union-dedup semantics agreeing). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
   }
 }

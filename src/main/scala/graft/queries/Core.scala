@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.functions.Num.oround
 
 /** Core declared inventory Q1–Q20 (SURVEY §2.3).
   *
@@ -61,9 +62,9 @@ object Core {
     lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(avg("l_quantity"), 2).as("avg_qty"),
-        round(avg("l_extendedprice"), 2).as("avg_price"),
-        round(sum("l_quantity"), 2).as("sum_qty"),
+        oround(avg("l_quantity"), 2).as("avg_qty"),
+        oround(avg("l_extendedprice"), 2).as("avg_price"),
+        oround(sum("l_quantity"), 2).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -75,7 +76,7 @@ object Core {
   private def q05(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 2).as("avg_value"))
+      .agg(count(lit(1)).as("n"), oround(avg("value"), 2).as("avg_value"))
       .select(
         col("window.start").as("w_start"),
         col("event_type"), col("n"), col("avg_value"))
@@ -84,22 +85,21 @@ object Core {
   /** Q6 — wrap-aware counter delta (OP-07,
     * `/root/reference/src/utils.rs:64-71`): (last − first) mod 256 over
     * explicit (ts, event_id) order — never bare first()/last(), which are
-    * order-nondeterministic in Spark (SURVEY §7 hard-point 2). */
+    * order-nondeterministic in Spark (SURVEY §7 hard-point 2).
+    * `min_by`/`max_by` on the (ts, event_id) struct = ONE partially
+    * aggregated shuffle (the prior window+distinct shape was a full sort
+    * plus a second full-width shuffle — a scale-killer on skewed keys). */
   private def q06(s: SparkSession, d: String): DataFrame = {
-    val w = Window
-      .partitionBy("user_id")
-      .orderBy("ts", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ord = struct(col("ts"), col("event_id"))
     events(s, d)
-      .select(
-        col("user_id"),
-        first("value").over(w).as("f"),
-        last("value").over(w).as("l"))
-      .distinct()
+      .groupBy("user_id")
+      .agg(
+        min_by(col("value"), ord).as("f"),
+        max_by(col("value"), ord).as("l"))
       .select(
         col("user_id"),
         pmod(
-          round(col("l"), 0).cast("int") - round(col("f"), 0).cast("int"),
+          oround(col("l"), 0).cast("int") - oround(col("f"), 0).cast("int"),
           lit(256)).as("delta"))
       .orderBy("user_id")
   }
@@ -170,7 +170,7 @@ object Core {
     evens
       .unionByName(odds)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), oround(sum("value"), 2).as("sum_value"))
       .orderBy("event_type")
   }
 
@@ -187,7 +187,7 @@ object Core {
     o.join(broadcast(building), col("o_custkey") === col("c_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(oround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .select("l_orderkey", "revenue", "o_orderdate")
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(20)
@@ -268,7 +268,7 @@ object Core {
     e.crossJoin(broadcast(qv))
       .select(
         col("vec_id"),
-        round(
+        oround(
           aggregate(
             zip_with(col("embedding"), col("q"),
               (x, y) => x.cast("double") * y.cast("double")),

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Num.oround
+import graft.functions.TextFns
+import graft.functions.VectorFns
+
+/** Deduplication family — the flagship LLM-data-pipeline operators over
+  * the `documents` / `embeddings` tables: exact dedup lives in Core (q18);
+  * here are fingerprint blocking, MinHash+LSH, SimHash, n-gram Jaccard and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (the whole point of these shapes at 100 TB):
+  *  - signatures / fingerprints / buckets are per-row narrow work
+  *    (higher-order array functions, no UDFs, no shuffle);
+  *  - candidate generation is a shuffle JOIN ON A BLOCKING KEY
+  *    (fingerprint, LSH band hash, SRP bucket) — never an all-pairs cross
+  *    join. The candidate count is |bucket|², bounded by band width, not
+  *    corpus²;
+  *  - exact verification (Jaccard / cosine) runs only on candidates.
+  *
+  * The corpus vocabulary is ~31 words (driver synthetic data), so word
+  * BIGRAMS are the discriminating shingle: random-pair bigram Jaccard is
+  * ~0.03 while the planted near-dup pairs sit at ≥0.9 (measured at
+  * sf0.01). 5-gram shingles would make every doc unique — nothing to find.
+  */
+object DedupQueries {
+
+  private val N = 2 // bigram shingles (see vocabulary note above)
+
+  /** Distinct bigram shingle set per doc (docs shorter than N dropped —
+    * the reference's drop-not-null discipline,
+    * `/root/reference/src/bluetooth/scanner.rs:36-45`). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(size(split(col("text"), " ")) >= N)
+      .select(col("doc_id"), TextFns.shingles(col("text"), N).as("sh"))
+
+  /** D1 — fingerprint blocking: group by the min-md5-over-bigrams
+    * fingerprint; clusters of size >1 are near-dup candidates. One
+    * map-side-combined shuffle on the fingerprint. */
+  private def d01(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(TextFns.fingerprint(col("text"), N).as("fp"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .filter(col("n") > 1)
+      .orderBy("fp")
+
+  /** D2 — MinHash + LSH banding: 8 signature components (min over shingles
+    * of md5(seed:shingle)), 4 bands of 2 rows; docs sharing a band hash
+    * are candidates; candidates are verified with exact Jaccard ≥ 0.8.
+    *
+    * Plan shape: signature = narrow; bands = 4× row explosion; candidate
+    * generation = self-join on (band, bandhash) — a hash-partitioned
+    * shuffle join whose per-bucket fan-out is the LSH collision count, not
+    * N²; verification joins the two shingle sets back by doc_id. */
+  private def d02(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val mh = (0 until 8).map(seed =>
+      TextFns.minhashComponent(col("sh"), seed).as(s"mh$seed"))
+    val sig = sh.select(col("doc_id") +: mh: _*)
+    val bandHashes = (0 until 4).map(b =>
+      md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary")))
+    val bands = sig.select(
+      col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id"), col("sh").as("sha")), col("da") === col("doc_id"))
+      .drop("doc_id")
+      .join(sh.select(col("doc_id"), col("sh").as("shb")), col("db") === col("doc_id"))
+      .select(col("da"), col("db"), TextFns.jaccard(col("sha"), col("shb")).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .select(col("da"), col("db"), oround(col("jac"), 3).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  /** D3 — SimHash: 16-bit signature over the token multiset. Each bit j is
+    * the sign of Σ±1 over token-hashes' bit j (hash60 = first 60 bits of
+    * md5). Docs sharing the exact signature form a cluster (Hamming-0
+    * buckets; wider Hamming radii would probe bit-flipped buckets the same
+    * way). Nested higher-order folds — zero UDFs, zero extra shuffles
+    * beyond the final groupBy. */
+  private def d03(s: SparkSession, d: String): DataFrame = {
+    val hs = transform(split(col("text"), " "), w => TextFns.hash60(w))
+    val simhash = aggregate(
+      sequence(lit(0), lit(15)), lit(0L),
+      (acc, j) =>
+        acc + when(
+          aggregate(hs, lit(0), (a, h) =>
+            a + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, 1)
+              .otherwise(-1)) >= 0,
+          call_function("shiftleft", lit(1L), j)).otherwise(0L))
+    documents(s, d)
+      .groupBy(simhash.as("simhash"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .filter(col("n") > 1)
+      .orderBy("simhash")
+  }
+
+  /** D4 — n-gram Jaccard top-k: exact bigram Jaccard, but only within
+    * fingerprint blocks (same blocking key as D1) — the all-pairs
+    * comparison never happens. Top-20 most similar pairs. */
+  private def d04(s: SparkSession, d: String): DataFrame = {
+    val sFp = documents(s, d)
+      .filter(size(split(col("text"), " ")) >= N)
+      .select(
+        col("doc_id"),
+        TextFns.fingerprint(col("text"), N).as("fp"),
+        TextFns.shingles(col("text"), N).as("sh"))
+    sFp.as("a")
+      .join(sFp.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        oround(TextFns.jaccard(col("a.sh"), col("b.sh")), 3).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("da"), col("db"))
+      .limit(20)
+  }
+
+  /** D5 — embedding-cosine near-dup: sign-projection bucket (4 bits) as
+    * the blocking key, exact cosine ≥ 0.3 within buckets. The bucket join
+    * replaces the N² cross join; at 100 TB add more bits (each bit halves
+    * the bucket) and multi-probe for recall. */
+  private def d05(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(
+      col("vec_id"),
+      VectorFns.toDouble(col("embedding")).as("e"))
+    val b = e.select(
+      col("vec_id"), col("e"),
+      VectorFns.norm(col("e")).as("nrm"),
+      VectorFns.srpBucket(col("e"), 4).as("bucket"))
+    b.as("a")
+      .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        (VectorFns.dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .select(col("va"), col("vb"), oround(col("cos"), 4).as("cos_sim"))
+      .orderBy("va", "vb")
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles (same shingle/signature/bucket constructions — md5 is
+  // the cross-engine-identical hash; folds are sequential in both).
+  // ------------------------------------------------------------------
+
+  private val od01 =
+    """WITH t AS (SELECT doc_id, text, string_split(text,' ') toks FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+      |  THEN list_min(list_transform(generate_series(1, len(toks)-1), i -> md5(toks[i] || ' ' || toks[i+1])))
+      |  ELSE md5(text) END fp FROM t)
+      |SELECT fp, count(*) AS n, min(doc_id) AS keeper FROM s GROUP BY fp
+      |HAVING count(*) > 1 ORDER BY fp""".stripMargin
+
+  private val mhList = (0 until 8)
+    .map(i => s"list_min(list_transform(sh, x -> md5('$i:'||x)))")
+    .mkString(",\n      |   ")
+
+  private val od02 =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])) sh
+      |      FROM t WHERE len(toks) >= 2),
+      |sig AS (SELECT doc_id, [$mhList] mh FROM s),
+      |bands AS (SELECT doc_id, b, md5(mh[2*b-1]||mh[2*b]) bh FROM sig, (SELECT unnest(generate_series(1,4)) b)),
+      |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b
+      |         ON a.b=b.b AND a.bh=b.bh AND a.doc_id<b.doc_id),
+      |j AS (SELECT da, db, len(list_intersect(sa.sh,sb.sh))::DOUBLE/(len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh,sb.sh))) jac
+      |      FROM cand JOIN s sa ON cand.da = sa.doc_id JOIN s sb ON cand.db = sb.doc_id)
+      |SELECT da, db, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.8 ORDER BY da, db""".stripMargin
+
+  private val od03 =
+    """WITH t AS (SELECT doc_id, list_transform(string_split(text,' '), w -> ('0x'||substr(md5(w),1,15))::BIGINT) hs FROM documents),
+      |sh AS (SELECT doc_id, list_sum(list_transform(generate_series(0,15), j ->
+      |   CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+      |   THEN (1::BIGINT << j) ELSE 0 END))::BIGINT simhash FROM t)
+      |SELECT simhash, count(*) AS n, min(doc_id) AS keeper FROM sh GROUP BY 1
+      |HAVING count(*) > 1 ORDER BY simhash""".stripMargin
+
+  private val od04 =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |s AS (SELECT doc_id,
+      |    list_min(list_transform(generate_series(1, len(toks)-1), i -> md5(toks[i]||' '||toks[i+1]))) fp,
+      |    list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])) sh
+      |  FROM t WHERE len(toks) >= 2)
+      |SELECT a.doc_id AS da, b.doc_id AS db,
+      |  ROUND(len(list_intersect(a.sh,b.sh))::DOUBLE/(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3) AS jaccard
+      |FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |ORDER BY jaccard DESC, da, db LIMIT 20""".stripMargin
+
+  private val od05 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
+      |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n)
+      |SELECT va, vb, ROUND(cos, 4) AS cos_sim FROM (
+      |  SELECT a.vec_id va, b2.vec_id vb,
+      |    list_sum(list_transform(list_zip(a.e, b2.e), x -> x[1]*x[2]))/(a.nrm*b2.nrm) cos
+      |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+      |WHERE cos >= 0.3 ORDER BY va, vb""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("d01_fingerprint_blocks", d01, Some(od01)),
+    QueryDef("d02_minhash_lsh_pairs", d02, Some(od02)),
+    QueryDef("d03_simhash_groups", d03, Some(od03)),
+    QueryDef("d04_ngram_jaccard_topk", d04, Some(od04)),
+    QueryDef("d05_embedding_near_dup", d05, Some(od05)))
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+import graft.functions.Num.oround
+import graft.functions.Format5
+
+/** Multimodal-column family: typed JSON access, opaque-binary metadata
+  * extraction, the format-5 binary sensor decode (OP-06 —
+  * `/root/reference/src/bluetooth/scanner.rs:35-83`) and fixed-size
+  * frame sampling.
+  *
+  * The container has no image/audio codecs, so the "decode" steps here
+  * are deterministic byte-level extractions (length, hashes, header
+  * fields, frame chunks) — but the Spark-side plumbing is the real thing:
+  * `BinaryType` columns, codegen'd expressions (substring/hex/conv on
+  * binary), schema'd `from_json`, and per-row narrow plans that at 100 TB
+  * run one pass with no shuffle before the final bounded aggregate.
+  */
+object MultimodalQueries {
+
+  /** M1 — schema'd JSON access: ONE `from_json` parse serving multiple
+    * key extractions (vs per-key get_json_object re-parsing — the
+    * difference is a full extra parse of every props string per key at
+    * scale). Missing keys arrive as typed nulls. */
+  private def m01(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("tag", StringType)))
+    events(s, d)
+      .select(col("event_id"), from_json(col("props"), schema).as("j"))
+      .select(col("event_id"), col("j.k").as("k"), col("j.tag").as("tag"))
+      .orderBy("event_id")
+      .limit(100)
+  }
+
+  /** M2 — opaque-binary metadata: byte length, content hash, first byte.
+    * The text column stands in for an image/audio blob; the operations
+    * (length/md5/header byte on `BinaryType`) are the real multimodal
+    * plumbing. */
+  private def m02(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_hash"),
+        ascii(substring(col("text"), 1, 1)).as("first_byte"))
+      .orderBy("doc_id")
+      .limit(100)
+
+  /** M3 — format-5 sensor decode (OP-06) end-to-end over `BinaryType`:
+    * deterministic 24-byte payloads are built from events fields
+    * (encode → unhex → binary), validated (OP-05: 24 bytes + tag 5,
+    * malformed rows dropped) and decoded with sign extension, the
+    * humidity clamp, the pressure offset and decode-time rounding —
+    * `/root/reference/src/bluetooth/scanner.rs:35-83` semantics. */
+  private def m03(s: SparkSession, d: String): DataFrame = {
+    val payloadHex = Format5.encodeHex(
+      tempRaw = oround(col("value") * 200, 0).cast("long"),
+      humRaw = get_json_object(col("props"), "$.k").cast("long") * 400,
+      pressRaw = col("user_id") * 100,
+      axRaw = (col("event_id") % 2001) - 1000,
+      ayRaw = (col("event_id") % 1999) - 999,
+      azRaw = (col("event_id") % 997) - 498,
+      movementRaw = col("event_id"))
+    val p = col("payload")
+    events(s, d)
+      .select(col("event_id"), unhex(payloadHex).as("payload"))
+      .filter(Format5.isValid(p))
+      .select(
+        col("event_id"),
+        Format5.temperature(p).as("temperature"),
+        Format5.humidity(p).as("humidity"),
+        Format5.pressure(p).as("pressure"),
+        Format5.accelX(p).as("accel_x"),
+        Format5.accelY(p).as("accel_y"),
+        Format5.accelZ(p).as("accel_z"),
+        Format5.movement(p).as("movement"))
+      .orderBy("event_id")
+      .limit(100)
+  }
+
+  /** M4 — frame sampling: split an opaque payload into fixed 16-byte
+    * frames, keep every 4th, hash each — the decode-free skeleton of
+    * video frame-sampling (sequence → explode → per-frame extract). */
+  private def m04(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(
+        col("doc_id"), col("text"),
+        explode(sequence(lit(1L), floor((length(col("text")) + 15) / 16))).as("frame_no"))
+      .filter(pmod(col("frame_no"), lit(4)) === 1)
+      .select(
+        col("doc_id"), col("frame_no"),
+        md5(expr("cast(substring(text, cast((frame_no-1)*16+1 as int), 16) as binary)")).as("frame_hash"))
+      .orderBy("doc_id", "frame_no")
+
+  // ------------------------------------------------------------------
+
+  private val om01 =
+    """SELECT event_id, json_extract(props,'$.k')::INT AS k,
+      |  json_extract_string(props,'$.tag') AS tag
+      |FROM events ORDER BY event_id LIMIT 100""".stripMargin
+
+  private val om02 =
+    """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS content_hash,
+      |  ascii(substr(text,1,1)) AS first_byte
+      |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin
+
+  private val om03 =
+    """WITH enc AS (SELECT event_id,
+      |  '05'
+      |   || lpad(to_hex(((round(value*200)::BIGINT % 65536) + 65536) % 65536), 4, '0')
+      |   || lpad(to_hex(json_extract(props,'$.k')::BIGINT * 400), 4, '0')
+      |   || lpad(to_hex(user_id * 100), 4, '0')
+      |   || lpad(to_hex((((event_id % 2001) - 1000) + 65536) % 65536), 4, '0')
+      |   || lpad(to_hex((((event_id % 1999) - 999) + 65536) % 65536), 4, '0')
+      |   || lpad(to_hex((((event_id % 997) - 498) + 65536) % 65536), 4, '0')
+      |   || 'FFFF' || lpad(to_hex(event_id % 256), 2, '0') || '0000' || '000000000000' AS h
+      |  FROM events),
+      |dec AS (SELECT event_id,
+      |  ('0x'||substr(h,3,4))::BIGINT AS traw, ('0x'||substr(h,7,4))::BIGINT AS hraw,
+      |  ('0x'||substr(h,11,4))::BIGINT AS praw, ('0x'||substr(h,15,4))::BIGINT AS axraw,
+      |  ('0x'||substr(h,19,4))::BIGINT AS ayraw, ('0x'||substr(h,23,4))::BIGINT AS azraw,
+      |  ('0x'||substr(h,31,2))::BIGINT AS mraw
+      |  FROM enc)
+      |SELECT event_id,
+      |  ROUND((CASE WHEN traw >= 32768 THEN traw - 65536 ELSE traw END) * (0.005::DOUBLE), 2) AS temperature,
+      |  ROUND(LEAST(hraw * (0.0025::DOUBLE), 100.0::DOUBLE), 2) AS humidity,
+      |  ROUND((praw + 50000) / (100.0::DOUBLE), 2) AS pressure,
+      |  ROUND((CASE WHEN axraw >= 32768 THEN axraw - 65536 ELSE axraw END) * (0.001::DOUBLE), 3) AS accel_x,
+      |  ROUND((CASE WHEN ayraw >= 32768 THEN ayraw - 65536 ELSE ayraw END) * (0.001::DOUBLE), 3) AS accel_y,
+      |  ROUND((CASE WHEN azraw >= 32768 THEN azraw - 65536 ELSE azraw END) * (0.001::DOUBLE), 3) AS accel_z,
+      |  mraw AS movement
+      |FROM dec ORDER BY event_id LIMIT 100""".stripMargin
+
+  private val om04 =
+    """WITH f AS (SELECT doc_id, text, generate_series(1, (length(text)+15)//16) idxs
+      |           FROM documents WHERE doc_id < 20),
+      |fr AS (SELECT doc_id, unnest(idxs) AS frame_no, text FROM f)
+      |SELECT doc_id, frame_no, md5(substr(text, ((frame_no-1)*16+1)::INT, 16)) AS frame_hash
+      |FROM fr WHERE frame_no % 4 = 1 ORDER BY doc_id, frame_no""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("m01_json_multikey", m01, Some(om01)),
+    QueryDef("m02_binary_metadata", m02, Some(om02)),
+    QueryDef("m03_format5_decode", m03, Some(om03)),
+    QueryDef("m04_frame_sample", m04, Some(om04)))
+}

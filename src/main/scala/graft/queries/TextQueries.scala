@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Num.oround
+import graft.functions.TextFns
+
+/** Text-analysis family over `documents`: language stats, quality
+  * scoring, heuristic language-ID, dual tokenization, and winnowing
+  * fingerprints.
+  *
+  * All per-doc feature extraction is higher-order array functions — one
+  * narrow pass, WholeStageCodegen, no UDFs — followed by a single
+  * map-side-combined aggregate whose output is bounded by |langs| or
+  * |docs|, so every query here survives a 100× scale-up unchanged.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "and", "of")
+
+  /** T1 — per-language corpus stats (doc counts, avg chars, avg tokens). */
+  private def t01(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        oround(avg("n_chars"), 2).as("avg_chars"),
+        oround(avg(size(split(col("text"), " "))), 2).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** T2 — document quality score: 0.4·length + 0.3·(1−stopword ratio) +
+    * 0.3·lexical diversity, the classic cheap pre-filter for training-data
+    * curation. Arithmetic is all-double with left-assoc ordering, matching
+    * the oracle bit for bit before the final round. */
+  private def t02(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, w => w.isin(stopwords: _*))).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        oround(
+          lit(0.4) * least(nTok / 60.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - nStop / nTok) +
+            lit(0.3) * (nDistinct / nTok), 3).as("quality"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
+  /** T3 — heuristic language ID (stopword-ratio n-gram heuristic) with a
+    * confusion matrix against the labeled `lang`. */
+  private def t03(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val ratio = size(filter(toks, w => w.isin(stopwords: _*))).cast("double") / size(toks)
+    documents(s, d)
+      .select(col("lang"), when(ratio >= 0.05, "en").otherwise("other").as("pred"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  /** T4 — token counting two ways: whitespace split vs a BPE-ish regex
+    * ([a-z]+ | digit runs | single punctuation). Identical regex dialect
+    * subset in Java and DuckDB's RE2. */
+  private def t04(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("lang"),
+        size(split(col("text"), " ")).as("ws_tok"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("re_tok"))
+      .groupBy("lang")
+      .agg(
+        sum("ws_tok").as("ws_tokens"),
+        sum("re_tok").as("re_tokens"),
+        oround(avg("ws_tok"), 2).as("avg_ws"))
+      .orderBy("lang")
+
+  /** T5 — winnowing document fingerprints (MOSS-style): bigram hash
+    * stream → sliding window of 4 → per-window min → distinct selected
+    * hashes. Output is the fingerprint-set size per doc; the set itself is
+    * the near-dup index key at scale. */
+  private def t05(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val hs = transform(
+      sequence(lit(1), size(toks) - 1),
+      i => md5(concat_ws(" ", slice(toks, i, lit(2))).cast("binary")))
+    val fps = array_distinct(
+      transform(
+        sequence(lit(1), size(hs) - 3),
+        i => array_min(slice(hs, i, lit(4)))))
+    documents(s, d)
+      .filter(size(toks) >= 5)
+      .select(col("doc_id"), size(fps).cast("long").as("n_fingerprints"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
+  // ------------------------------------------------------------------
+
+  private val ot01 =
+    """SELECT lang, count(*) AS n_docs, ROUND(avg(n_chars), 2) AS avg_chars,
+      |  ROUND(avg(len(string_split(text,' '))), 2) AS avg_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val ot02 =
+    """WITH q AS (SELECT doc_id,
+      |  len(string_split(text,' '))::DOUBLE n_tok,
+      |  len(list_filter(string_split(text,' '), w -> w IN ('the','a','and','of')))::DOUBLE n_stop,
+      |  len(list_distinct(string_split(text,' ')))::DOUBLE n_distinct
+      |  FROM documents)
+      |SELECT doc_id, ROUND(CAST(
+      |  0.4 * LEAST(n_tok / 60.0, 1.0) +
+      |  0.3 * (1.0 - n_stop / n_tok) +
+      |  0.3 * (n_distinct / n_tok) AS DOUBLE), 3) AS quality
+      |FROM q ORDER BY doc_id LIMIT 100""".stripMargin
+
+  private val ot03 =
+    """WITH p AS (SELECT doc_id, lang,
+      |  CASE WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a','and','of')))::DOUBLE
+      |            / len(string_split(text,' ')) >= 0.05 THEN 'en' ELSE 'other' END pred
+      |  FROM documents)
+      |SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+
+  private val ot04 =
+    """WITH t AS (SELECT lang,
+      |  len(string_split(text,' ')) ws_tok,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) re_tok
+      |  FROM documents)
+      |SELECT lang, sum(ws_tok)::BIGINT AS ws_tokens, sum(re_tok)::BIGINT AS re_tokens,
+      |  ROUND(avg(ws_tok), 2) AS avg_ws FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val ot05 =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |h AS (SELECT doc_id, list_transform(generate_series(1, len(toks)-1), i -> md5(toks[i]||' '||toks[i+1])) hs
+      |      FROM t WHERE len(toks) >= 5),
+      |w AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs)-3), i -> list_min(hs[i:i+3]))) fps FROM h)
+      |SELECT doc_id, len(fps) AS n_fingerprints FROM w ORDER BY doc_id LIMIT 100""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("t01_lang_stats", t01, Some(ot01)),
+    QueryDef("t02_quality_score", t02, Some(ot02)),
+    QueryDef("t03_lang_id", t03, Some(ot03)),
+    QueryDef("t04_token_stats", t04, Some(ot04)),
+    QueryDef("t05_winnow_fingerprints", t05, Some(ot05)))
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Num.oround
+import graft.functions.VectorFns._
+
+/** Similarity-search family over `embeddings` (`vec_id`, 64-dim float
+  * `embedding`, `label`).
+  *
+  * v01 is the exact brute-force baseline (one corpus pass per query — the
+  * correctness reference). v02 (SRP/LSH buckets) and v03 (IVF with the
+  * label as the coarse partition) are the 100 TB paths: both turn "scan
+  * the corpus" into "scan one bucket/partition", which is a partition-
+  * pruned fraction of the data once the corpus is written bucketed by the
+  * blocking key. The query side is always a 1-row broadcast — no shuffle
+  * of the corpus side.
+  */
+object VectorQueries {
+
+  /** Corpus with double-widened embedding + norm. */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      toDouble(col("embedding")).as("e"))
+
+  /** V1 — exact cosine top-k vs the vec_id=0 query vector. Brute force:
+    * one narrow pass + TakeOrderedAndProject(10). */
+  private def v01(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d).withColumn("nrm", norm(col("e")))
+    val q = c.filter(col("vec_id") === 0).select(col("e").as("qe"), col("nrm").as("qn"))
+    c.crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        oround(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** V2 — SRP-bucketed ANN: 4-bit sign-projection bucket as the blocking
+    * key; only the query's bucket is scanned/ranked. At rest, partition
+    * the corpus by this bucket → the scan prunes to 1/2^bits of the data;
+    * recall is tunable via bits and multi-probe (flip one bit per probe). */
+  private def v02(s: SparkSession, d: String): DataFrame = {
+    val b = corpus(s, d).select(
+      col("vec_id"), col("e"),
+      norm(col("e")).as("nrm"),
+      srpBucket(col("e"), 4).as("bucket"))
+    val q = b.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("nrm").as("qn"), col("bucket").as("qb"))
+    b.join(broadcast(q), col("bucket") === col("qb"))
+      .select(
+        col("vec_id"),
+        oround(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** V3 — IVF: per-label centroids (posexplode → per-(label,dim) avg →
+    * re-assembled vectors) as the coarse quantizer; probe the nearest
+    * centroid's partition only, exact re-rank inside it. The centroid
+    * table is tiny (|labels| rows) and broadcast. */
+  private def v03(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val cent = c
+      .select(col("label"), posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(avg("x").as("cx"))
+      .groupBy("label")
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("i"), col("cx")))),
+          p => p.getField("cx")).as("ce"))
+    val q = c.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val best = cent.crossJoin(broadcast(q))
+      .select(
+        col("label"),
+        (dot(col("ce"), col("qe")) / (norm(col("ce")) * norm(col("qe")))).as("cs"))
+      .orderBy(col("cs").desc, col("label"))
+      .limit(1)
+      .select(col("label").as("best_label"))
+    c.join(broadcast(best), col("label") === col("best_label"))
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        oround(dot(col("e"), col("qe")) / (norm(col("e")) * norm(col("qe"))), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** V4 — vector aggregate stats: per-label counts and mean L2 norm. */
+  private def v04(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), norm(toDouble(col("embedding"))).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), oround(avg("nrm"), 4).as("avg_norm"))
+      .orderBy("label")
+
+  // ------------------------------------------------------------------
+
+  private val ov01 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |m AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm FROM n),
+      |q AS (SELECT e qe, nrm qn FROM m WHERE vec_id = 0)
+      |SELECT vec_id, ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) AS cos_sim
+      |FROM m, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  private val ov02 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
+      |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n),
+      |q AS (SELECT e qe, nrm qn, bucket qb FROM b WHERE vec_id = 0)
+      |SELECT vec_id, ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) AS cos_sim
+      |FROM b, q WHERE b.bucket = q.qb ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  private val ov03 =
+    """WITH n AS (SELECT vec_id, label, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |cd AS (SELECT label, i, avg(e[i]) c FROM n, (SELECT unnest(generate_series(1,64)) i) GROUP BY label, i),
+      |cent AS (SELECT label, list(c ORDER BY i) ce FROM cd GROUP BY label),
+      |q AS (SELECT e qe FROM n WHERE vec_id = 0),
+      |best AS (SELECT label FROM cent, q
+      |  ORDER BY list_sum(list_transform(list_zip(ce, qe), x -> x[1]*x[2]))
+      |           / (sqrt(list_sum(list_transform(ce, x->x*x))) * sqrt(list_sum(list_transform(qe, x->x*x)))) DESC, label LIMIT 1)
+      |SELECT n.vec_id, ROUND(list_sum(list_transform(list_zip(n.e, q.qe), x -> x[1]*x[2]))
+      |  / (sqrt(list_sum(list_transform(n.e, x->x*x))) * sqrt(list_sum(list_transform(q.qe, x->x*x)))), 4) AS cos_sim
+      |FROM n, q, best WHERE n.label = best.label ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  private val ov04 =
+    """SELECT label, count(*) AS n,
+      |  ROUND(avg(sqrt(list_sum(list_transform(embedding, x->(x::DOUBLE)*(x::DOUBLE))))), 4) AS avg_norm
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("v01_cosine_topk", v01, Some(ov01)),
+    QueryDef("v02_srp_ann", v02, Some(ov02)),
+    QueryDef("v03_ivf_centroid", v03, Some(ov03)),
+    QueryDef("v04_norm_stats", v04, Some(ov04)))
+}
