@@ -1,0 +1,151 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.Format5
+import graft.functions.Num.oround
+
+/** The reference-parity dataflow (OP-03..OP-13 composed), batch and
+  * streaming: whitelist → validate → decode → 30-min tumbling window →
+  * per-sensor aggregate (two-stage rounding + wrap-aware movement delta) →
+  * name enrichment → dual vertical-split sinks.
+  *
+  * Reference trace: `/root/reference/src/main.rs:69-184` (interval loop),
+  * `src/bluetooth/scanner.rs:169-185` (whitelist/decode),
+  * `src/utils.rs:37-95` (aggregate), `src/database/operations.rs:17-90`
+  * (dual sink).
+  *
+  * Input contract: `readings(mac STRING, ts TIMESTAMP, payload BINARY)` —
+  * one row per received advertisement; `tags(mac STRING, name STRING)` —
+  * the config dimension (`RUUVI_TAGS`, `src/config.rs:36-53`), broadcast.
+  *
+  * Scale notes: the window+mac aggregate is ONE partially-aggregated
+  * shuffle keyed on (window, mac) — group count is bounded by
+  * sensors × windows, so the shuffle output is tiny at any input scale.
+  * The enrichment is a broadcast hash join (the dimension is config-sized).
+  * No collects, no driver-side state: the reference's per-interval
+  * `HashMap` buffer (`src/main.rs:72`) becomes Spark window state.
+  */
+object Pipeline {
+
+  /** OP-03: key-whitelist semi-join against the broadcast tag dimension,
+    * MACs uppercased first (`scanner.rs:175-178`). */
+  def whitelist(readings: DataFrame, tags: DataFrame): DataFrame = {
+    val up = readings.withColumn("mac", upper(col("mac")))
+    val keys = tags.select(upper(col("mac")).as("mac"))
+    up.join(broadcast(keys), Seq("mac"), "left_semi")
+  }
+
+  /** OP-05 + OP-06: drop malformed payloads (never null them), decode the
+    * rest with decode-stage rounding (`scanner.rs:35-83`). */
+  def decode(readings: DataFrame): DataFrame =
+    readings
+      .filter(Format5.isValid(col("payload")))
+      .select(Seq(col("mac"), col("ts")) ++ Format5.decodeAll(col("payload")): _*)
+
+  /** OP-07 + OP-08 + OP-11: 30-minute tumbling window per sensor.
+    *
+    * - Averages are over already-rounded decode outputs and rounded AGAIN
+    *   here (2 dp atmospherics / 3 dp acceleration) — the reference's
+    *   two-stage rounding (`utils.rs:75-80` over `scanner.rs:68-73`).
+    * - Movement delta = (last − first) mod 256 in ARRIVAL (ts) order via
+    *   min_by/max_by — order-explicit, one aggregate, no window function
+    *   (`utils.rs:64-71`, u8 wrapping_sub).
+    * - `time` = window end (deterministic stand-in for the reference's
+    *   `now_utc()` stamped at aggregation, `utils.rs:82`).
+    * - Sensors with no readings in a window simply have no group — empty
+    *   groups are omitted, not nulled (`utils.rs:44-47`). */
+  def aggregate(decoded: DataFrame): DataFrame =
+    decoded
+      .groupBy(window(col("ts"), "30 minutes").as("w"), col("mac"))
+      .agg(
+        oround(avg("temperature"), 2).as("temperature"),
+        oround(avg("humidity"), 2).as("humidity"),
+        oround(avg("pressure"), 2).as("pressure"),
+        oround(avg("acceleration_x"), 3).as("acceleration_x"),
+        oround(avg("acceleration_y"), 3).as("acceleration_y"),
+        oround(avg("acceleration_z"), 3).as("acceleration_z"),
+        pmod(
+          max_by(col("movement_counter"), col("ts")) -
+            min_by(col("movement_counter"), col("ts")),
+          lit(256)).cast("int").as("movement_counter"),
+        count(lit(1)).cast("int").as("samples"))
+      .select(col("w.end").as("time"), col("*")).drop("w")
+
+  /** OP-10: broadcast left-outer enrichment with the 'Unknown' default
+    * (`utils.rs:83-87`). The dimension is deduplicated by key first: the
+    * reference's config is a HashMap (unique keys by construction,
+    * `config.rs:36-53`), but a dirty dimension here would silently fan out
+    * every aggregate row through the left join. */
+  def enrich(agg: DataFrame, tags: DataFrame): DataFrame = {
+    val dim = tags.select(upper(col("mac")).as("mac"), col("name")).dropDuplicates("mac")
+    agg
+      .join(broadcast(dim), Seq("mac"), "left_outer")
+      .withColumn("name", coalesce(col("name"), lit("Unknown")))
+  }
+
+  /** Full batch pipeline: readings + tags → enriched per-window aggregates. */
+  def batch(readings: DataFrame, tags: DataFrame): DataFrame =
+    enrich(aggregate(decode(whitelist(readings, tags))), tags)
+
+  /** OP-12: atmospheric projection (`operations.rs:31-43`). */
+  def sensorProjection(agg: DataFrame): DataFrame =
+    agg.select("mac", "temperature", "humidity", "pressure", "time", "name", "samples")
+
+  /** OP-13: movement projection with the u32→i32 cast (`operations.rs:74-87`). */
+  def movementProjection(agg: DataFrame): DataFrame =
+    agg.select(
+      col("mac"), col("acceleration_x"), col("acceleration_y"), col("acceleration_z"),
+      col("movement_counter").cast("int").as("movement_counter"),
+      col("time"), col("name"), col("samples"))
+
+  /** Dual sink over ONE computed upstream: the aggregate is cached and the
+    * two vertical projections are written from it — the upstream is never
+    * recomputed per sink (the reference pays two serial INSERT paths,
+    * `main.rs:134-154`; and this is the fix for the q09a/q09b
+    * double-compute pattern at scale). */
+  def writeBatch(agg: DataFrame, outDir: String): Unit = {
+    val cached = agg.cache()
+    try {
+      sensorProjection(cached).write.mode("overwrite").parquet(s"$outDir/sensor_data")
+      movementProjection(cached).write.mode("overwrite").parquet(s"$outDir/movement_data")
+    } finally cached.unpersist()
+  }
+
+  /** Streaming variant (OP-08 as Structured Streaming): event-time 30-min
+    * windows with a watermark, `foreachBatch` dual sink (idempotent
+    * overwrite-per-window in production supersedes the reference's
+    * 100×5 s insert retry, `connection.rs:52-134` — Spark task retries +
+    * deterministic batch replay give the same at-least-once-with-
+    * idempotence guarantee), processing-time trigger like the reference's
+    * 30-minute loop cadence.
+    *
+    * To reproduce reference behavior exactly (processing time, no late
+    * data), stamp arrival time as `ts` upstream; the watermark then only
+    * bounds state size (SURVEY §7 hard-point 4). */
+  def streaming(
+      readings: DataFrame,
+      tags: DataFrame,
+      outDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 minutes"),
+      watermark: String = "1 hour"): StreamingQuery = {
+    // Watermark bounds window state (append mode requires it); the SAME
+    // declarative plan as batch() then runs incrementally.
+    val agg = batch(readings.withWatermark("ts", watermark), tags)
+    agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
+        val cached = batchDf.cache()
+        try {
+          sensorProjection(cached).write.mode("append").parquet(s"$outDir/sensor_data")
+          movementProjection(cached).write.mode("append").parquet(s"$outDir/movement_data")
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Pipeline
+import graft.functions.Format5
+
+/** Streaming variant of the interval loop (SURVEY §5 item 5, §7 step 5):
+  * MemoryStream → 30-min event-time windows + watermark → foreachBatch
+  * dual sink → graceful stop (OP-20). The late-data marker advances the
+  * watermark so the first window finalizes and emits — the streaming
+  * equivalent of the reference closing its buffer at interval end
+  * (`/root/reference/src/main.rs:122-131`). */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("30-min window aggregates flow through the foreachBatch dual sink") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Timestamp, String)]
+    val readings = ms.toDF().toDF("mac", "ts", "hex")
+      .select(col("mac"), col("ts"), unhex(col("hex")).as("payload"))
+    val tags = Seq(("AA:BB:CC:DD:EE:01", "Kitchen")).toDF("mac", "name")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val query = Pipeline.streaming(
+      readings, tags,
+      outDir = s"$dir/out", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0), watermark = "0 seconds")
+    try {
+      def hexFor(tempRaw: Long, mc: Long): String =
+        "05" + f"$tempRaw%04X" + "4E20" + "C350" + "000000000000" + "FFFF" + f"$mc%02X" + "0000" + "000000000000"
+      // window [10:00, 10:30): two readings
+      ms.addData(
+        ("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 10:00:00"), hexFor(4000L, 10L)),
+        ("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 10:20:00"), hexFor(5000L, 20L)))
+      query.processAllAvailable()
+      // marker far past the window end — advances the watermark, closes it
+      ms.addData(
+        ("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 12:00:00"), hexFor(4000L, 30L)))
+      query.processAllAvailable()
+
+      val sensor = spark.read.parquet(s"$dir/out/sensor_data")
+        .filter(col("time") === lit(Timestamp.valueOf("2024-01-01 10:30:00")))
+        .collect()
+      assert(sensor.length == 1)
+      val r = sensor.head
+      assert(r.getAs[String]("mac") == "AA:BB:CC:DD:EE:01")
+      assert(r.getAs[Double]("temperature") == 22.5) // avg(20.0, 25.0)
+      assert(r.getAs[String]("name") == "Kitchen")
+      assert(r.getAs[Int]("samples") == 2)
+      val movement = spark.read.parquet(s"$dir/out/movement_data")
+        .filter(col("time") === lit(Timestamp.valueOf("2024-01-01 10:30:00")))
+        .collect()
+      assert(movement.length == 1)
+      assert(movement.head.getAs[Int]("movement_counter") == 10) // (20−10) mod 256
+    } finally {
+      query.stop()              // OP-20: graceful shutdown
+      query.awaitTermination()
+    }
+  }
+}
