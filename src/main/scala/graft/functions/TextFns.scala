@@ -7,8 +7,18 @@ import org.apache.spark.sql.functions._
   * operators.
   *
   * Everything here is built from codegen'd `org.apache.spark.sql.functions`
-  * higher-order array functions — per-row, narrow (no shuffle, no UDF), so
-  * each stays inside WholeStageCodegen and scales linearly with input.
+  * higher-order array functions — per-row, narrow (no shuffle, no UDF).
+  *
+  * PERFORMANCE CONTRACT: the `*Of` variants take ALREADY-MATERIALIZED
+  * array columns. Catalyst does no common-subexpression elimination across
+  * lambda boundaries, so an expression like
+  * `transform(seq, i => slice(split(text), i, k))` re-runs the full
+  * `split` (or worse, an md5-transform) once per lambda iteration —
+  * measured 92 s for a winnowing query at sf0.1 that runs in ~1 s staged.
+  * Callers must stage `tokens` / `shingles` / hash arrays through a
+  * projection (`.select(....as("toks"))`) and pass the attribute in;
+  * CollapseProject keeps non-cheap multi-referenced projections
+  * materialized, so the array is computed once per row.
   *
   * Hashes are md5-based because md5 is the one hash with identical output
   * in Spark and DuckDB (the correctness oracle) — xxhash64/hash are
@@ -20,12 +30,11 @@ object TextFns {
     * any trailing empty token, matching DuckDB `string_split`. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles; empty array when the doc has fewer
-    * than n tokens (the reference drops short/invalid rows rather than
-    * nulling them — `/root/reference/src/bluetooth/scanner.rs:36-45`; we
-    * keep the same drop-not-null discipline). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Distinct word n-gram shingles from a materialized token array; empty
+    * array when the doc has fewer than n tokens (the reference drops
+    * short/invalid rows rather than nulling them —
+    * `/root/reference/src/bluetooth/scanner.rs:36-45`). */
+  def shinglesOf(toks: Column, n: Int): Column =
     when(
       size(toks) >= n,
       array_distinct(
@@ -33,7 +42,17 @@ object TextFns {
           sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience wrapper for cold paths and tests — do NOT use inside
+    * further lambdas (see the performance contract above). */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
+
+  /** md5 of every word k-gram, in document order (the winnowing hash
+    * stream). Input must be a materialized token array. */
+  def kgramHashes(toks: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => md5(concat_ws(" ", slice(toks, i, lit(k))).cast("binary")))
 
   /** One MinHash signature component: min over shingles of
     * md5(seed ":" shingle). Lexicographic min over lowercase-hex md5 is a
@@ -49,21 +68,19 @@ object TextFns {
   def hash60(tok: Column): Column =
     conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Winnowing-style document fingerprint: the minimum md5 over the
-    * document's word k-grams. Equal fingerprints ⇒ the two documents share
-    * their lexicographically-smallest k-gram hash — a cheap, fully
-    * distributive near-dup blocking key (k=5 default mirrors the k-gram
-    * size used by MOSS-style winnowing). */
-  def fingerprint(text: Column, k: Int = 5): Column = {
-    val toks = tokens(text)
-    when(
-      size(toks) >= k,
-      array_min(
-        transform(
-          sequence(lit(1), size(toks) - (k - 1)),
-          i => md5(concat_ws(" ", slice(toks, i, lit(k))).cast("binary")))))
-      .otherwise(md5(text.cast("binary"))) // short doc: whole-text hash
-  }
+  /** Winnowing-style document fingerprint from a materialized token
+    * array: the minimum md5 over the document's word k-grams. Equal
+    * fingerprints ⇒ the two documents share their lexicographically-
+    * smallest k-gram hash — a cheap, fully distributive near-dup blocking
+    * key. Short docs fall back to the whole-text hash. */
+  def fingerprintOf(toks: Column, text: Column, k: Int): Column =
+    when(size(toks) >= k, array_min(kgramHashes(toks, k)))
+      .otherwise(md5(text.cast("binary")))
+
+  /** Convenience wrapper for cold paths and tests (performance contract
+    * above applies). */
+  def fingerprint(text: Column, k: Int = 5): Column =
+    fingerprintOf(tokens(text), text, k)
 
   /** Jaccard similarity of two already-distinct string arrays. Union size
     * is |a|+|b|−|a∩b| (identical formula in the DuckDB oracle — avoids
@@ -72,4 +89,16 @@ object TextFns {
     val inter = size(array_intersect(a, b))
     inter.cast("double") / (size(a) + size(b) - inter)
   }
+
+  /** 16-bit SimHash from a materialized token-hash array (`hash60` per
+    * token): bit j is the sign of Σ±1 over the tokens' bit j. */
+  def simhash16(hashes: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(15)), lit(0L),
+      (acc, j) =>
+        acc + when(
+          aggregate(hashes, lit(0), (a, h) =>
+            a + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, 1)
+              .otherwise(-1)) >= 0,
+          call_function("shiftleft", lit(1L), j)).otherwise(0L))
 }

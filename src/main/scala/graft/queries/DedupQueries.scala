@@ -31,20 +31,28 @@ object DedupQueries {
 
   private val N = 2 // bigram shingles (see vocabulary note above)
 
+  /** Tokens staged as a materialized projection column — every downstream
+    * lambda then reads the attribute instead of re-running `split` per
+    * iteration (TextFns performance contract). */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
+
   /** Distinct bigram shingle set per doc (docs shorter than N dropped —
     * the reference's drop-not-null discipline,
     * `/root/reference/src/bluetooth/scanner.rs:36-45`). */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .filter(size(split(col("text"), " ")) >= N)
-      .select(col("doc_id"), TextFns.shingles(col("text"), N).as("sh"))
+    tokenized(s, d)
+      .filter(size(col("toks")) >= N)
+      .select(col("doc_id"), TextFns.shinglesOf(col("toks"), N).as("sh"))
 
   /** D1 — fingerprint blocking: group by the min-md5-over-bigrams
     * fingerprint; clusters of size >1 are near-dup candidates. One
     * map-side-combined shuffle on the fingerprint. */
   private def d01(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .groupBy(TextFns.fingerprint(col("text"), N).as("fp"))
+    tokenized(s, d)
+      .select(col("doc_id"), TextFns.fingerprintOf(col("toks"), col("text"), N).as("fp"))
+      .groupBy("fp")
       .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
       .filter(col("n") > 1)
       .orderBy("fp")
@@ -88,33 +96,24 @@ object DedupQueries {
     * buckets; wider Hamming radii would probe bit-flipped buckets the same
     * way). Nested higher-order folds — zero UDFs, zero extra shuffles
     * beyond the final groupBy. */
-  private def d03(s: SparkSession, d: String): DataFrame = {
-    val hs = transform(split(col("text"), " "), w => TextFns.hash60(w))
-    val simhash = aggregate(
-      sequence(lit(0), lit(15)), lit(0L),
-      (acc, j) =>
-        acc + when(
-          aggregate(hs, lit(0), (a, h) =>
-            a + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, 1)
-              .otherwise(-1)) >= 0,
-          call_function("shiftleft", lit(1L), j)).otherwise(0L))
-    documents(s, d)
-      .groupBy(simhash.as("simhash"))
+  private def d03(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .select(col("doc_id"), transform(col("toks"), w => TextFns.hash60(w)).as("hs"))
+      .groupBy(TextFns.simhash16(col("hs")).as("simhash"))
       .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
       .filter(col("n") > 1)
       .orderBy("simhash")
-  }
 
   /** D4 — n-gram Jaccard top-k: exact bigram Jaccard, but only within
     * fingerprint blocks (same blocking key as D1) — the all-pairs
     * comparison never happens. Top-20 most similar pairs. */
   private def d04(s: SparkSession, d: String): DataFrame = {
-    val sFp = documents(s, d)
-      .filter(size(split(col("text"), " ")) >= N)
+    val sFp = tokenized(s, d)
+      .filter(size(col("toks")) >= N)
       .select(
         col("doc_id"),
-        TextFns.fingerprint(col("text"), N).as("fp"),
-        TextFns.shingles(col("text"), N).as("sh"))
+        TextFns.fingerprintOf(col("toks"), col("text"), N).as("fp"),
+        TextFns.shinglesOf(col("toks"), N).as("sh"))
     sFp.as("a")
       .join(sFp.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(

@@ -35,11 +35,12 @@ object TextQueries {
     * curation. Arithmetic is all-double with left-assoc ordering, matching
     * the oracle bit for bit before the final round. */
   private def t02(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
+    val toks = col("toks") // staged once; lambdas read the attribute
     val nTok = size(toks).cast("double")
     val nStop = size(filter(toks, w => w.isin(stopwords: _*))).cast("double")
     val nDistinct = size(array_distinct(toks)).cast("double")
     documents(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
         oround(
@@ -53,9 +54,10 @@ object TextQueries {
   /** T3 — heuristic language ID (stopword-ratio n-gram heuristic) with a
     * confusion matrix against the labeled `lang`. */
   private def t03(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
+    val toks = col("toks")
     val ratio = size(filter(toks, w => w.isin(stopwords: _*))).cast("double") / size(toks)
     documents(s, d)
+      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
       .select(col("lang"), when(ratio >= 0.05, "en").otherwise("other").as("pred"))
       .groupBy("lang", "pred")
       .agg(count(lit(1)).as("n"))
@@ -83,16 +85,18 @@ object TextQueries {
     * hashes. Output is the fingerprint-set size per doc; the set itself is
     * the near-dup index key at scale. */
   private def t05(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val hs = transform(
-      sequence(lit(1), size(toks) - 1),
-      i => md5(concat_ws(" ", slice(toks, i, lit(2))).cast("binary")))
+    // Stage toks, then the k-gram hash stream, THEN window over it: with
+    // the hash stream inlined into the window lambda the full md5 stream
+    // re-evaluates once per window position — measured 92 s vs ~1 s at
+    // sf0.1 (TextFns performance contract).
     val fps = array_distinct(
       transform(
-        sequence(lit(1), size(hs) - 3),
-        i => array_min(slice(hs, i, lit(4)))))
+        sequence(lit(1), size(col("hs")) - 3),
+        i => array_min(slice(col("hs"), i, lit(4)))))
     documents(s, d)
-      .filter(size(toks) >= 5)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), TextFns.kgramHashes(col("toks"), 2).as("hs"))
       .select(col("doc_id"), size(fps).cast("long").as("n_fingerprints"))
       .orderBy("doc_id")
       .limit(100)
