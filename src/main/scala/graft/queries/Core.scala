@@ -289,6 +289,17 @@ object Core {
         col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
+  /** Q21 — duration→seconds scalar (OP-18,
+    * `/root/reference/src/utils.rs:21-23`): per-user event-span in whole
+    * seconds via unix_timestamp (floor-to-second on both engines). */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .agg(
+        (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("span_sec"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
   // -------------------------------------------------------------------
   // DuckDB oracle texts
   // -------------------------------------------------------------------
@@ -439,6 +450,12 @@ object Core {
       |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
+  private val oq21 =
+    """SELECT user_id,
+      |  (epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000)::BIGINT AS span_sec,
+      |  count(*) AS n
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_scan_project", q01, Some(oq01)),
     QueryDef("q02_filter_count", q02, Some(oq02)),
@@ -462,5 +479,6 @@ object Core {
     QueryDef("q17b_top_tokens", q17b, Some(oq17b)),
     QueryDef("q18_exact_dup_clusters", q18, Some(oq18)),
     QueryDef("q19_vector_topk", q19, Some(oq19)),
-    QueryDef("q20_rollup", q20, Some(oq20)))
+    QueryDef("q20_rollup", q20, Some(oq20)),
+    QueryDef("q21_duration_seconds", q21, Some(oq21)))
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -102,6 +103,31 @@ object TextQueries {
       .limit(100)
   }
 
+  /** T6 — TF-IDF top terms per language: tf over (lang, term), idf over
+    * document frequency, top-5 per lang via a ranking window. The tf and
+    * df aggregates are partial-aggregated shuffles bounded by |vocab|;
+    * the df side is vocabulary-sized and broadcast into the score join. */
+  private def t06(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // corpus size as a broadcast 1-row side — declarative, no driver action
+    val nd = documents(s, d).agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nd))
+      .select(
+        col("lang"), col("term"),
+        oround(col("tf") * log(col("n") / col("df")), 4).as("score"))
+    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .drop("rn")
+      .orderBy(col("lang"), col("score").desc, col("term"))
+  }
+
   // ------------------------------------------------------------------
 
   private val ot01 =
@@ -143,10 +169,24 @@ object TextQueries {
       |w AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs)-3), i -> list_min(hs[i:i+3]))) fps FROM h)
       |SELECT doc_id, len(fps) AS n_fingerprints FROM w ORDER BY doc_id LIMIT 100""".stripMargin
 
+  private val ot06 =
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) term FROM documents),
+      |tf AS (SELECT lang, term, count(*) tf FROM tok GROUP BY lang, term),
+      |df AS (SELECT term, count(DISTINCT doc_id) df FROM tok GROUP BY term),
+      |nd AS (SELECT count(*) n FROM documents),
+      |scored AS (SELECT tf.lang, tf.term,
+      |  ROUND(tf.tf * ln(nd.n::DOUBLE / df.df), 4) score
+      |  FROM tf JOIN df ON tf.term = df.term, nd)
+      |SELECT lang, term, score FROM (
+      |  SELECT lang, term, score,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) rn FROM scored)
+      |WHERE rn <= 5 ORDER BY lang, score DESC, term""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
     QueryDef("t03_lang_id", t03, Some(ot03)),
     QueryDef("t04_token_stats", t04, Some(ot04)),
-    QueryDef("t05_winnow_fingerprints", t05, Some(ot05)))
+    QueryDef("t05_winnow_fingerprints", t05, Some(ot05)),
+    QueryDef("t06_tfidf_top_terms", t06, Some(ot06)))
 }

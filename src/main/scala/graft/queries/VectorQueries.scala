@@ -90,6 +90,35 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** V5 — multi-probe SRP ANN: probe the query's bucket PLUS the 4
+    * one-bit-flip neighbor buckets. Recall rises from "whatever one
+    * bucket holds" toward exact top-k while still scanning ≤ 5/2^bits of
+    * a bucket-partitioned corpus — the standard recall/latency dial for
+    * LSH at scale (more probes, not more data). Probes are a handful of
+    * strings: broadcast, exploded, joined on the bucket key. */
+  private def v05(s: SparkSession, d: String): DataFrame = {
+    val b = corpus(s, d).select(
+      col("vec_id"), col("e"),
+      norm(col("e")).as("nrm"),
+      srpBucket(col("e"), 4).as("bucket"))
+    val q = b.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("nrm").as("qn"), col("bucket").as("qb"))
+    val flips = (1 to 4).map(j =>
+      concat(
+        substring(col("qb"), 1, j - 1),
+        when(substring(col("qb"), j, 1) === "1", "0").otherwise("1"),
+        substring(col("qb"), j + 1, 4 - j)))
+    val probes = q
+      .select(col("qe"), col("qn"), explode(array(col("qb") +: flips: _*)).as("pb"))
+      .distinct()
+    b.join(broadcast(probes), col("bucket") === col("pb"))
+      .select(
+        col("vec_id"),
+        oround(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** V4 — vector aggregate stats: per-label counts and mean L2 norm. */
   private def v04(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -133,9 +162,25 @@ object VectorQueries {
       |  ROUND(avg(sqrt(list_sum(list_transform(embedding, x->(x::DOUBLE)*(x::DOUBLE))))), 4) AS avg_norm
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  private val ov05 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
+      |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n),
+      |q AS (SELECT e qe, nrm qn, bucket qb FROM b WHERE vec_id = 0),
+      |probes AS (SELECT DISTINCT pb FROM (
+      |  SELECT qb pb FROM q
+      |  UNION ALL
+      |  SELECT substr(qb,1,j-1) || (CASE WHEN substr(qb,j,1)='1' THEN '0' ELSE '1' END) || substr(qb,j+1) pb
+      |  FROM q, (SELECT unnest(generate_series(1,4)) j)))
+      |SELECT vec_id, ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) AS cos_sim
+      |FROM b JOIN probes ON b.bucket = probes.pb, q
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(ov01)),
     QueryDef("v02_srp_ann", v02, Some(ov02)),
     QueryDef("v03_ivf_centroid", v03, Some(ov03)),
-    QueryDef("v04_norm_stats", v04, Some(ov04)))
+    QueryDef("v04_norm_stats", v04, Some(ov04)),
+    QueryDef("v05_srp_multiprobe", v05, Some(ov05)))
 }

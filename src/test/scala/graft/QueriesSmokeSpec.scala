@@ -57,6 +57,22 @@ class QueriesSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe ANN recall dominates single-bucket ANN") {
+    val single = SparkEntry.queries("v02_srp_ann")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val multi = SparkEntry.queries("v05_srp_multiprobe")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the probed candidate set strictly contains the single bucket, so the
+    // top-k can only improve: every single-bucket hit at or above the
+    // multiprobe cutoff must still be present, with the same score
+    val cutoff = multi.values.min
+    single.filter(_._2 >= cutoff).foreach { case (id, score) =>
+      assert(multi.contains(id) && multi(id) == score,
+        s"vec $id ($score) lost by multiprobe")
+    }
+    assert(multi.size >= single.size || multi.size == 10)
+  }
+
   test("IVF probe returns vectors from exactly one coarse partition") {
     val ann = SparkEntry.queries("v03_ivf_centroid")(spark, sf).collect().map(_.getLong(0))
     val labels = Tables.embeddings(spark, sf)
