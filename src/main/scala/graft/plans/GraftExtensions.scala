@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point, wired via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (set by
+  * [[graft.Engine.builder]]) — the canonical way to ship custom Catalyst
+  * pieces without forking Spark. Currently registers:
+  *
+  *  - `format5_decode(binary)` → struct of the seven decoded sensor
+  *    metrics ([[Format5Decode]]), NULL for invalid payloads.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("format5_decode"),
+      new ExpressionInfo(
+        classOf[Format5Decode].getCanonicalName,
+        null,
+        "format5_decode",
+        "format5_decode(payload) - Decodes a 24-byte RuuviTag data-format-5 payload " +
+          "into (temperature, humidity, pressure, acceleration_x/y/z, movement_counter); " +
+          "NULL when the payload is not a valid format-5 frame.",
+        ""),
+      (children: Seq[Expression]) => Format5Decode(children.head)))
+  }
+}

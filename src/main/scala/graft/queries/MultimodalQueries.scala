@@ -82,6 +82,39 @@ object MultimodalQueries {
       .limit(100)
   }
 
+  /** M5 — the same decode as M3 through the NATIVE Catalyst expression
+    * `format5_decode` ([[graft.plans.Format5Decode]], registered by
+    * [[graft.plans.GraftExtensions]]): one byte-level pass with codegen
+    * instead of the composed substring→hex→conv chain. Invalid payloads
+    * decode to NULL and are dropped by the isNotNull filter (same
+    * drop-not-null semantics, different mechanism). Shares M3's oracle —
+    * the two implementations must be indistinguishable. */
+  private def m05(s: SparkSession, d: String): DataFrame = {
+    val payloadHex = Format5.encodeHex(
+      tempRaw = oround(col("value") * 200, 0).cast("long"),
+      humRaw = get_json_object(col("props"), "$.k").cast("long") * 400,
+      pressRaw = col("user_id") * 100,
+      axRaw = (col("event_id") % 2001) - 1000,
+      ayRaw = (col("event_id") % 1999) - 999,
+      azRaw = (col("event_id") % 997) - 498,
+      movementRaw = col("event_id"))
+    events(s, d)
+      .select(col("event_id"), unhex(payloadHex).as("payload"))
+      .select(col("event_id"), expr("format5_decode(payload)").as("dec"))
+      .filter(col("dec").isNotNull)
+      .select(
+        col("event_id"),
+        col("dec.temperature").as("temperature"),
+        col("dec.humidity").as("humidity"),
+        col("dec.pressure").as("pressure"),
+        col("dec.acceleration_x").as("accel_x"),
+        col("dec.acceleration_y").as("accel_y"),
+        col("dec.acceleration_z").as("accel_z"),
+        col("dec.movement_counter").as("movement"))
+      .orderBy("event_id")
+      .limit(100)
+  }
+
   /** M4 — frame sampling: split an opaque payload into fixed 16-byte
     * frames, keep every 4th, hash each — the decode-free skeleton of
     * video frame-sampling (sequence → explode → per-frame extract). */
@@ -147,5 +180,7 @@ object MultimodalQueries {
     QueryDef("m01_json_multikey", m01, Some(om01)),
     QueryDef("m02_binary_metadata", m02, Some(om02)),
     QueryDef("m03_format5_decode", m03, Some(om03)),
-    QueryDef("m04_frame_sample", m04, Some(om04)))
+    QueryDef("m04_frame_sample", m04, Some(om04)),
+    // same oracle as m03: the native expression must be indistinguishable
+    QueryDef("m05_format5_native", m05, Some(om03)))
 }
