@@ -53,6 +53,14 @@ object PipelineDemo {
     println("empty-tags row count: " + Pipeline.batch(readings, tags.limit(0)).count())
     println("dup-tags samples: " + Pipeline.batch(readings, tags.unionByName(tags))
       .orderBy("mac").select("samples").collect().map(_.getInt(0)).mkString(","))
+
+    // at-rest layout: date-partitioned aggregate store + pruned read-back
+    graft.sources.Layout.writeDatePartitioned(agg, "time", s"$outDir/agg_by_day")
+    val pruned = graft.sources.Layout.readPartitioned(spark, s"$outDir/agg_by_day")
+      .filter(col("p_date") === "2024-01-01")
+    println("partition-pruned day rows: " + pruned.count())
+    println("pruned scan uses PartitionFilters: " +
+      pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(p_date"))
     spark.stop()
   }
 }

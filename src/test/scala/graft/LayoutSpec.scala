@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Layout
+
+/** Proof-of-plan for the at-rest layout strategies: bucketing removes
+  * the fact⋈fact shuffle; date partitioning prunes the scan. These are
+  * plan assertions, not just result assertions — the point is the shape
+  * that survives a 1000× scale-up. */
+class LayoutSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed orders⋈lineitem joins without any shuffle exchange") {
+    Layout.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+      "orders_bkt", "o_orderkey", 8)
+    Layout.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "lineitem_bkt", "l_orderkey", 8)
+
+    // Force the shuffle path (at this tiny sf the planner would broadcast,
+    // which hides exactly the exchange bucketing is meant to remove —
+    // at 100 TB neither fact side is broadcastable).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed sort-merge join must plan without a shuffle, got:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+      // and it still computes the right thing
+      val n = joined.count()
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(n == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("date-partitioned events scan prunes to the filtered days") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    Layout.writeDatePartitioned(Tables.events(spark, sf), "ts", dir)
+
+    val pruned = Layout.readPartitioned(spark, dir)
+      .filter(col("p_date") === "2024-01-02")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // correctness: same rows as filtering the unpartitioned table
+    val expected = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === "2024-01-02").count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+}

@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
   * nanosAsLong). */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = Engine.builder("local[4]", 4).getOrCreate()
+    val s = Engine.builder("local[4]", 4)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
