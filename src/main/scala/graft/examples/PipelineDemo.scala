@@ -61,6 +61,13 @@ object PipelineDemo {
     println("partition-pruned day rows: " + pruned.count())
     println("pruned scan uses PartitionFilters: " +
       pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(p_date"))
+
+    // multimodal: mapPartitions feature extraction over opaque blobs
+    // (stubbed codec — see graft.multimodal.MediaFeatures)
+    val media = graft.multimodal.MediaFeatures.fromDocuments(spark, "/root/testdata/sf0.001")
+    println("=== media features (first 5) ===")
+    graft.multimodal.MediaFeatures.extract(media)
+      .orderBy("media_id").limit(5).show(truncate = false)
     spark.stop()
   }
 }

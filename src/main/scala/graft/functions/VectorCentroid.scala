@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator` computing the element-wise mean of embedding
+  * vectors — the coarse-quantizer training step for IVF (SURVEY §7
+  * optional custom piece #2).
+  *
+  * Buffer is `(Array[Double] sums, Long count)`: `reduce` adds one
+  * vector, `merge` adds two partial buffers — associative and
+  * commutative, so Spark runs it as a partial (map-side) aggregate, and
+  * the shuffle carries ONE buffer per (group × partition) instead of the
+  * raw vectors. This is the property that makes centroid training on
+  * 100 TB of embeddings a single bounded-shuffle pass; it is also what
+  * `mapGroupsWithState`-style streaming centroids would reuse.
+  *
+  * The first vector fixes the dimensionality; mismatched dimensions
+  * throw rather than silently truncate.
+  */
+class VectorCentroid extends Aggregator[Array[Float], (Array[Double], Long), Array[Double]] {
+
+  override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+
+  override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
+    if (v == null) return b
+    val sums = if (b._2 == 0L) new Array[Double](v.length) else b._1
+    require(sums.length == v.length,
+      s"embedding dimension mismatch: ${sums.length} vs ${v.length}")
+    var i = 0
+    while (i < v.length) { sums(i) += v(i); i += 1 }
+    (sums, b._2 + 1L)
+  }
+
+  override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+    if (a._2 == 0L) return b
+    if (b._2 == 0L) return a
+    require(a._1.length == b._1.length,
+      s"embedding dimension mismatch: ${a._1.length} vs ${b._1.length}")
+    val sums = a._1.clone()
+    var i = 0
+    while (i < sums.length) { sums(i) += b._1(i); i += 1 }
+    (sums, a._2 + b._2)
+  }
+
+  override def finish(r: (Array[Double], Long)): Array[Double] =
+    if (r._2 == 0L) Array.emptyDoubleArray
+    else r._1.map(_ / r._2)
+
+  override def bufferEncoder: Encoder[(Array[Double], Long)] =
+    ExpressionEncoder[(Array[Double], Long)]()
+
+  override def outputEncoder: Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
+}

@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal feature extraction over opaque binary media columns via
+  * `mapPartitions` — the Scala analogue of a Pandas-UDF/`mapInPandas`
+  * stage: typed rows in, per-partition batched iteration, typed feature
+  * rows out. This is preference order (d) from the brief — used here
+  * because a real media codec is imperative per-blob work that no
+  * Column expression expresses.
+  *
+  * The container ships no image/audio codecs, so [[MediaCodec.Stub]] is
+  * a clearly-marked deterministic fake; the Spark-side plumbing —
+  * schema, encoders, partition-wise batching, codec reuse across a
+  * partition (the expensive init is amortized exactly like a Pandas UDF
+  * amortizes model load per batch), narrow one-pass shape — is the real
+  * thing, and is what carries over unchanged when a JNI/JavaCV codec
+  * replaces the stub at deployment.
+  */
+object MediaFeatures {
+
+  /** One media blob: id, declared kind ("image" | "audio" | …), payload. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features: byte stats + stubbed decode outputs. */
+  case class MediaFeature(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      header: String,
+      width: Int,
+      height: Int,
+      mean_luma: Double)
+
+  /** The decode seam. A production deployment plugs a real codec in;
+    * [[Stub]] derives deterministic pseudo-features from the bytes so
+    * the pipeline is testable end-to-end without native libraries. */
+  trait MediaCodec extends Serializable {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Double)
+  }
+
+  object Stub extends MediaCodec {
+    /** STUB — not a real decoder. Width/height/luma are deterministic
+      * functions of the payload bytes (length and byte sums), standing
+      * in for a decoded frame's shape and mean luminance. */
+    override def decode(kind: String, payload: Array[Byte]): (Int, Int, Double) = {
+      val n = payload.length
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += (payload(i) & 0xFF); i += 1 }
+      val w = 16 + (n % 64)
+      val h = 16 + ((n / 64) % 64)
+      val luma = if (n == 0) 0.0 else sum.toDouble / n / 255.0
+      (w, h, luma)
+    }
+  }
+
+  /** Per-partition feature extraction. The codec is instantiated once
+    * per partition (not per row) — the mapInPandas batching property. */
+  def extract(media: Dataset[MediaRow], codec: MediaCodec = Stub): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec setup would happen here (e.g. native init)
+      rows.map { r =>
+        val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+        val (w, h, luma) = codec.decode(r.kind, payload)
+        val header = payload.take(4).map(b => f"${b & 0xFF}%02x").mkString
+        MediaFeature(r.media_id, r.kind, payload.length.toLong, header, w, h, luma)
+      }
+    }
+  }
+
+  /** Documents table → synthetic media rows (text bytes standing in for
+    * media payloads; kind alternates image/audio deterministically). */
+  def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, "image").otherwise("audio").as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+}

@@ -300,6 +300,30 @@ object Core {
         count(lit(1)).as("n"))
       .orderBy("user_id")
 
+  /** Q20b — CUBE grouping sets (all four combinations, vs ROLLUP's
+    * hierarchy in Q20). Catalyst expands to a single Expand + aggregate —
+    * one pass, one shuffle, not one scan per grouping set. */
+  private def q20b(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), oround(sum("o_totalprice"), 2).as("total"))
+      .orderBy(
+        col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** Q22 — exact interpolated percentiles (ordered-set aggregate;
+    * Spark `percentile` ≡ DuckDB `quantile_cont`). For 100 TB swap in
+    * `approx_percentile` (t-digest sketch) — same query shape, bounded
+    * memory, mergeable partial state. */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        oround(percentile(col("value"), lit(0.5)), 2).as("p50"),
+        oround(percentile(col("value"), lit(0.95)), 2).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   // -------------------------------------------------------------------
   // DuckDB oracle texts
   // -------------------------------------------------------------------
@@ -456,6 +480,19 @@ object Core {
       |  count(*) AS n
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  private val oq20b =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+      |  ROUND(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  private val oq22 =
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.5), 2) AS p50,
+      |  ROUND(quantile_cont(value, 0.95), 2) AS p95,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_scan_project", q01, Some(oq01)),
     QueryDef("q02_filter_count", q02, Some(oq02)),
@@ -480,5 +517,7 @@ object Core {
     QueryDef("q18_exact_dup_clusters", q18, Some(oq18)),
     QueryDef("q19_vector_topk", q19, Some(oq19)),
     QueryDef("q20_rollup", q20, Some(oq20)),
-    QueryDef("q21_duration_seconds", q21, Some(oq21)))
+    QueryDef("q20b_cube", q20b, Some(oq20b)),
+    QueryDef("q21_duration_seconds", q21, Some(oq21)),
+    QueryDef("q22_percentiles", q22, Some(oq22)))
 }

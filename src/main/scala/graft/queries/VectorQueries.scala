@@ -119,6 +119,27 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** V6 — per-label centroids via the typed [[graft.functions.VectorCentroid]]
+    * Aggregator registered as a UDAF: partial buffers (sum vector, count)
+    * merge associatively, so the shuffle carries one buffer per
+    * (label × partition) — centroid training as a single bounded-shuffle
+    * pass. Output projects two coordinates (the array itself is checked
+    * against the declarative path in VectorCentroidSpec). */
+  private def v06(s: SparkSession, d: String): DataFrame = {
+    val centroid = udaf(
+      new graft.functions.VectorCentroid(),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    embeddings(s, d)
+      .groupBy("label")
+      .agg(centroid(col("embedding")).as("c"), count(lit(1)).as("n"))
+      .select(
+        col("label"),
+        oround(element_at(col("c"), 1), 4).as("c1"),
+        oround(element_at(col("c"), 64), 4).as("c64"),
+        col("n"))
+      .orderBy("label")
+  }
+
   /** V4 — vector aggregate stats: per-label counts and mean L2 norm. */
   private def v04(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -177,10 +198,18 @@ object VectorQueries {
       |FROM b JOIN probes ON b.bucket = probes.pb, q
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  private val ov06 =
+    """SELECT label,
+      |  ROUND(avg(embedding[1]::DOUBLE), 4) AS c1,
+      |  ROUND(avg(embedding[64]::DOUBLE), 4) AS c64,
+      |  count(*) AS n
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(ov01)),
     QueryDef("v02_srp_ann", v02, Some(ov02)),
     QueryDef("v03_ivf_centroid", v03, Some(ov03)),
     QueryDef("v04_norm_stats", v04, Some(ov04)),
-    QueryDef("v05_srp_multiprobe", v05, Some(ov05)))
+    QueryDef("v05_srp_multiprobe", v05, Some(ov05)),
+    QueryDef("v06_centroid_udaf", v06, Some(ov06)))
 }
