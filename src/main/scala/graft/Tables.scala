@@ -18,6 +18,18 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Rebalance rows across the session's shuffle-partition count before
+    * a CPU-heavy per-row stage (hashing/shingling/vector math). Small
+    * corpora often arrive as ONE parquet file = one partition, which
+    * serializes all the expression work onto a single core (measured:
+    * the whole dedup family single-threaded at sf0.1). The round-robin
+    * shuffle moves only the narrow input rows and is dwarfed by the
+    * per-row compute it parallelizes — the standard rebalance-before-
+    * expensive-map pattern, equally valid on a cluster when upstream
+    * produced few/skewed files. */
+  def rebalance(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -35,7 +35,7 @@ object DedupQueries {
     * lambda then reads the attribute instead of re-running `split` per
     * iteration (TextFns performance contract). */
   private def tokenized(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    graft.Tables.rebalance(s, documents(s, d))
       .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
 
   /** Distinct bigram shingle set per doc (docs shorter than N dropped —
@@ -74,11 +74,21 @@ object DedupQueries {
       md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary")))
     val bands = sig.select(
       col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    // Bucket per (band, hash) and emit ordered member pairs from the
+    // sorted bucket list — ONE pass over the signatures. (A bands⋈bands
+    // self-join reads twice: lambda exprIds defeat plan canonicalization,
+    // so ReuseExchange never kicks in above the signature computation.)
+    // LSH bounds bucket sizes, so the per-bucket pair fan-out is safe.
+    val buckets = bands
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val cand = buckets
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(
+          slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
+          y => struct(x.as("da"), y.as("db")))))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
       .distinct()
     cand
       .join(sh.select(col("doc_id"), col("sh").as("sha")), col("da") === col("doc_id"))
@@ -128,7 +138,7 @@ object DedupQueries {
     * replaces the N² cross join; at 100 TB add more bits (each bit halves
     * the bucket) and multi-probe for recall. */
   private def d05(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).select(
+    val e = graft.Tables.rebalance(s, embeddings(s, d)).select(
       col("vec_id"),
       VectorFns.toDouble(col("embedding")).as("e"))
     val b = e.select(

@@ -20,9 +20,10 @@ import graft.functions.VectorFns._
   */
 object VectorQueries {
 
-  /** Corpus with double-widened embedding + norm. */
+  /** Corpus with double-widened embedding + norm (rebalanced — the
+    * single-file corpus would otherwise run every fold on one core). */
   private def corpus(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(
+    graft.Tables.rebalance(s, embeddings(s, d)).select(
       col("vec_id"), col("label"),
       toDouble(col("embedding")).as("e"))
 
