@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join — "for each left row, the most recent right row at or
+  * before it, per key" — an operator Spark's built-in joins don't
+  * express (a range join would be O(pairs)). Composed from existing ops
+  * per the preference order: union the two sides with a side tag, one
+  * window pass ordered by (ts, side) carrying the last right-side row
+  * forward, then keep left rows.
+  *
+  * Cost: ONE shuffle on the key + a per-partition sort — the same price
+  * as a plain sort-merge join, regardless of how many right rows precede
+  * each left row (a naive `right.ts <= left.ts` range join explodes to
+  * the full pair count; Catalyst plans inequality-only conditions as
+  * BroadcastNestedLoopJoin). Ties (right.ts == left.ts) match, because
+  * the right side sorts before the left at equal timestamps.
+  */
+object AsOfJoin {
+
+  /** For every row of `left`, attach `payload` (a struct column built
+    * from `right`'s columns) of the latest `right` row with
+    * `right.tsCol <= left.tsCol` and the same `key`; null when no such
+    * row exists. Both inputs must share the `key` and `tsCol` names. */
+  def lastPrior(
+      left: DataFrame, right: DataFrame,
+      key: String, tsCol: String,
+      payload: Column): DataFrame = {
+    val leftCols = left.columns
+    // right side contributes only (key, ts, payload); sorts first on ties
+    val r = right
+      .select(col(key), col(tsCol), payload.as("__rp"))
+      .withColumn("__side", lit(0))
+    val unioned = left
+      .select((leftCols.map(col) :+ lit(1).as("__side") :+
+        lit(null).cast(r.schema("__rp").dataType).as("__rp")): _*)
+      .unionByName(
+        r.select((leftCols.map(c =>
+          if (c == key || c == tsCol) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c))
+          :+ col("__side") :+ col("__rp")): _*))
+    val w = Window
+      .partitionBy(key)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rp")
+  }
+}

@@ -324,6 +324,49 @@ object Core {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Q23 — AS-OF join ([[graft.ops.AsOfJoin]]): every purchase joined to
+    * the user's most recent view at or before it. One shuffle on
+    * user_id — no range join, no pair explosion; DuckDB's native
+    * `ASOF JOIN` is the oracle. */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.ops.AsOfJoin
+      .lastPrior(purchases, views, "user_id", "ts",
+        struct(col("ts").as("vts"), col("event_id").as("vid")))
+      .select(
+        col("event_id").as("purchase_id"),
+        col("asof.vid").as("view_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("asof.vts"))).as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
+  /** Q24 — gap-based sessionization (30-min inactivity closes a
+    * session): a lag + running-sum window assigns session ids in one
+    * shuffle on user_id; per-user session stats out. The standard
+    * conversation/e-commerce sessionizer for training-data pipelines. */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    events(s, d)
+      .withColumn("new_sess",
+        when(gapUs.isNull || gapUs > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sess", sum("new_sess").over(run))
+      .groupBy("user_id")
+      .agg(
+        countDistinct("sess").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"), col("n_sessions"), col("n_events"),
+        oround(col("n_events").cast("double") / col("n_sessions"), 4)
+          .as("avg_events_per_session"))
+      .orderBy("user_id")
+  }
+
   // -------------------------------------------------------------------
   // DuckDB oracle texts
   // -------------------------------------------------------------------
@@ -493,6 +536,27 @@ object Core {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  private val oq23 =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+      |SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+      |  (epoch_us(p.ts) // 1000000 - epoch_us(v.ts) // 1000000)::BIGINT AS gap_sec
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  private val oq24 =
+    """WITH o AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, event_id,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM o)
+      |SELECT user_id, count(DISTINCT sess)::BIGINT AS n_sessions, count(*) AS n_events,
+      |  ROUND(count(*)::DOUBLE / count(DISTINCT sess), 4) AS avg_events_per_session
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_scan_project", q01, Some(oq01)),
     QueryDef("q02_filter_count", q02, Some(oq02)),
@@ -519,5 +583,7 @@ object Core {
     QueryDef("q20_rollup", q20, Some(oq20)),
     QueryDef("q20b_cube", q20b, Some(oq20b)),
     QueryDef("q21_duration_seconds", q21, Some(oq21)),
-    QueryDef("q22_percentiles", q22, Some(oq22)))
+    QueryDef("q22_percentiles", q22, Some(oq22)),
+    QueryDef("q23_asof_join", q23, Some(oq23)),
+    QueryDef("q24_sessionize", q24, Some(oq24)))
 }
