@@ -68,6 +68,15 @@ object PipelineDemo {
     println("=== media features (first 5) ===")
     graft.multimodal.MediaFeatures.extract(media)
       .orderBy("media_id").limit(5).show(truncate = false)
+
+    // SQL surface: registered views + the extension-registered function
+    graft.Catalog.registerAll(spark, "/root/testdata/sf0.001")
+    println("=== SQL surface ===")
+    spark.sql(
+      """SELECT event_type, count(*) n,
+        |  format5_decode(unhex('0512FC5394C37C0004FFFC040CAC364200CDCBB8334C884F')).temperature t
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .show(truncate = false)
     spark.stop()
   }
 }
