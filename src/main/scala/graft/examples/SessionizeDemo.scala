@@ -1,0 +1,33 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+import graft.streaming.Sessionize
+
+/** Example: batch sessionization of the events table through the same
+  * typed sessionizer the streaming path uses (flatMapGroupsWithState
+  * runs in batch mode too — one pass, no state store).
+  *
+  * Usage: `sbt "runMain graft.examples.SessionizeDemo [sfDir]"`
+  */
+object SessionizeDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = Engine.builder("local[4]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val events = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[Sessionize.Event]
+
+    val sessions = Sessionize.sessions(events)
+    println("closed sessions: " + sessions.count())
+    println("=== longest sessions ===")
+    sessions
+      .orderBy(col("n_events").desc, col("user_id"))
+      .show(5, truncate = false)
+    spark.stop()
+  }
+}
