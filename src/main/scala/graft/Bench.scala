@@ -47,7 +47,12 @@ object Bench {
             -1.0
         }
       val first = once()
-      name -> (if (first < 0) first else math.min(first, once()))
+      val second = if (first < 0) first else once()
+      // a transient second-run failure must not discard the valid first
+      // measurement (the error is still logged to stderr)
+      name -> (if (first < 0) first
+               else if (second < 0) first
+               else math.min(first, second))
     }
     errs.foreach(e => System.err.println(s"[bench] FAILED $e"))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -67,9 +67,13 @@ object Pipeline {
         oround(avg("acceleration_x"), 3).as("acceleration_x"),
         oround(avg("acceleration_y"), 3).as("acceleration_y"),
         oround(avg("acceleration_z"), 3).as("acceleration_z"),
+        // (ts, movement_counter) ordering: the counter tiebreak makes the
+        // delta deterministic when two readings share a timestamp (the
+        // reference's arrival order is undefined there too — SURVEY §7
+        // hard-point 2 forbids order-nondeterministic aggregates)
         pmod(
-          max_by(col("movement_counter"), col("ts")) -
-            min_by(col("movement_counter"), col("ts")),
+          max_by(col("movement_counter"), struct(col("ts"), col("movement_counter"))) -
+            min_by(col("movement_counter"), struct(col("ts"), col("movement_counter"))),
           lit(256)).cast("int").as("movement_counter"),
         count(lit(1)).cast("int").as("samples"))
       .select(col("w.end").as("time"), col("*")).drop("w")
@@ -115,12 +119,14 @@ object Pipeline {
   }
 
   /** Streaming variant (OP-08 as Structured Streaming): event-time 30-min
-    * windows with a watermark, `foreachBatch` dual sink (idempotent
-    * overwrite-per-window in production supersedes the reference's
-    * 100×5 s insert retry, `connection.rs:52-134` — Spark task retries +
-    * deterministic batch replay give the same at-least-once-with-
-    * idempotence guarantee), processing-time trigger like the reference's
-    * 30-minute loop cadence.
+    * windows with a watermark, `foreachBatch` dual sink writing each
+    * micro-batch into its own `batch_id=` partition with DYNAMIC
+    * partition overwrite — a replayed batch (crash between sink write
+    * and checkpoint commit) overwrites only its own partition, so the
+    * sink is idempotent and the end-to-end guarantee is effectively
+    * exactly-once. This supersedes the reference's 100×5 s insert retry
+    * (`connection.rs:52-134`). Processing-time trigger mirrors the
+    * reference's 30-minute loop cadence.
     *
     * To reproduce reference behavior exactly (processing time, no late
     * data), stamp arrival time as `ts` upstream; the watermark then only
@@ -141,9 +147,16 @@ object Pipeline {
       .trigger(trigger)
       .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
         val cached = batchDf.cache()
+        def writeIdempotent(df: DataFrame, path: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
         try {
-          sensorProjection(cached).write.mode("append").parquet(s"$outDir/sensor_data")
-          movementProjection(cached).write.mode("append").parquet(s"$outDir/movement_data")
+          writeIdempotent(sensorProjection(cached), s"$outDir/sensor_data")
+          writeIdempotent(movementProjection(cached), s"$outDir/movement_data")
         } finally { cached.unpersist(); () }
       }
       .start()

@@ -69,6 +69,29 @@ object PipelineDemo {
     graft.multimodal.MediaFeatures.extract(media)
       .orderBy("media_id").limit(5).show(truncate = false)
 
+    // streaming variant: idempotent batch_id-partitioned dual sink
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(String, Timestamp, Array[Byte])]
+      val stream = ms.toDF().toDF("mac", "ts", "payload")
+      val q = graft.etl.Pipeline.streaming(
+        stream, tags, s"$outDir/stream", s"$outDir/ckpt",
+        trigger = Trigger.ProcessingTime(0), watermark = "0 seconds")
+      try {
+        val payload = readings.select("payload").collect().head.getAs[Array[Byte]](0)
+        ms.addData(("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 10:00:00"), payload))
+        q.processAllAvailable()
+        ms.addData(("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 12:00:00"), payload))
+        q.processAllAvailable()
+        println("=== streaming sink layout (batch_id partitions) ===")
+        new java.io.File(s"$outDir/stream/sensor_data").listFiles()
+          .map(_.getName).sorted.foreach(n => println(s"  $n"))
+        spark.read.parquet(s"$outDir/stream/sensor_data").show(truncate = false)
+      } finally { q.stop(); q.awaitTermination() }
+    }
+
     // SQL surface: registered views + the extension-registered function
     graft.Catalog.registerAll(spark, "/root/testdata/sf0.001")
     println("=== SQL surface ===")

@@ -23,7 +23,10 @@ object SessionizeDemo {
       .as[Sessionize.Event]
 
     val sessions = Sessionize.sessions(events)
-    println("closed sessions: " + sessions.count())
+    // batch mode fires no timeouts, so each user's final still-open
+    // session is NOT emitted (q24_sessionize counts those too — expect
+    // closed = q24 total minus one open tail per user)
+    println("closed sessions (open tails excluded): " + sessions.count())
     println("=== longest sessions ===")
     sessions
       .orderBy(col("n_events").desc, col("user_id"))

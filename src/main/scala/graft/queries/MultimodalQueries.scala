@@ -50,6 +50,19 @@ object MultimodalQueries {
       .orderBy("doc_id")
       .limit(100)
 
+  /** Shared synthetic payload for M3/M5 — ONE definition so the
+    * native-vs-composed equivalence the pair proves can never drift on
+    * the encode side. Every 16-bit field wraps mod 65536 (hex4's pmod),
+    * mirrored in the oracle. */
+  private def syntheticPayloadHex = Format5.encodeHex(
+    tempRaw = oround(col("value") * 200, 0).cast("long"),
+    humRaw = get_json_object(col("props"), "$.k").cast("long") * 400,
+    pressRaw = col("user_id") * 100,
+    axRaw = (col("event_id") % 2001) - 1000,
+    ayRaw = (col("event_id") % 1999) - 999,
+    azRaw = (col("event_id") % 997) - 498,
+    movementRaw = col("event_id"))
+
   /** M3 — format-5 sensor decode (OP-06) end-to-end over `BinaryType`:
     * deterministic 24-byte payloads are built from events fields
     * (encode → unhex → binary), validated (OP-05: 24 bytes + tag 5,
@@ -57,14 +70,7 @@ object MultimodalQueries {
     * humidity clamp, the pressure offset and decode-time rounding —
     * `/root/reference/src/bluetooth/scanner.rs:35-83` semantics. */
   private def m03(s: SparkSession, d: String): DataFrame = {
-    val payloadHex = Format5.encodeHex(
-      tempRaw = oround(col("value") * 200, 0).cast("long"),
-      humRaw = get_json_object(col("props"), "$.k").cast("long") * 400,
-      pressRaw = col("user_id") * 100,
-      axRaw = (col("event_id") % 2001) - 1000,
-      ayRaw = (col("event_id") % 1999) - 999,
-      azRaw = (col("event_id") % 997) - 498,
-      movementRaw = col("event_id"))
+    val payloadHex = syntheticPayloadHex
     val p = col("payload")
     events(s, d)
       .select(col("event_id"), unhex(payloadHex).as("payload"))
@@ -90,16 +96,8 @@ object MultimodalQueries {
     * drop-not-null semantics, different mechanism). Shares M3's oracle —
     * the two implementations must be indistinguishable. */
   private def m05(s: SparkSession, d: String): DataFrame = {
-    val payloadHex = Format5.encodeHex(
-      tempRaw = oround(col("value") * 200, 0).cast("long"),
-      humRaw = get_json_object(col("props"), "$.k").cast("long") * 400,
-      pressRaw = col("user_id") * 100,
-      axRaw = (col("event_id") % 2001) - 1000,
-      ayRaw = (col("event_id") % 1999) - 999,
-      azRaw = (col("event_id") % 997) - 498,
-      movementRaw = col("event_id"))
     events(s, d)
-      .select(col("event_id"), unhex(payloadHex).as("payload"))
+      .select(col("event_id"), unhex(syntheticPayloadHex).as("payload"))
       .select(col("event_id"), expr("format5_decode(payload)").as("dec"))
       .filter(col("dec").isNotNull)
       .select(
@@ -121,9 +119,16 @@ object MultimodalQueries {
   private def m04(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .filter(col("doc_id") < 20)
+      // guard the empty-text edge: Spark sequence(1, 0) yields the
+      // DESCENDING [1, 0] (not empty like DuckDB generate_series(1,0)) —
+      // emit an empty frame list instead so zero-byte payloads produce
+      // zero frames in both engines
+      .withColumn("n_frames", floor((length(col("text")) + 15) / 16))
       .select(
         col("doc_id"), col("text"),
-        explode(sequence(lit(1L), floor((length(col("text")) + 15) / 16))).as("frame_no"))
+        explode(
+          when(col("n_frames") >= 1L, sequence(lit(1L), col("n_frames")))
+            .otherwise(array().cast("array<bigint>"))).as("frame_no"))
       .filter(pmod(col("frame_no"), lit(4)) === 1)
       .select(
         col("doc_id"), col("frame_no"),
@@ -146,13 +151,14 @@ object MultimodalQueries {
     """WITH enc AS (SELECT event_id,
       |  '05'
       |   || lpad(to_hex(((round(value*200)::BIGINT % 65536) + 65536) % 65536), 4, '0')
-      |   || lpad(to_hex(json_extract(props,'$.k')::BIGINT * 400), 4, '0')
-      |   || lpad(to_hex(user_id * 100), 4, '0')
+      |   || lpad(to_hex((json_extract(props,'$.k')::BIGINT * 400) % 65536), 4, '0')
+      |   || lpad(to_hex((user_id * 100) % 65536), 4, '0')
       |   || lpad(to_hex((((event_id % 2001) - 1000) + 65536) % 65536), 4, '0')
       |   || lpad(to_hex((((event_id % 1999) - 999) + 65536) % 65536), 4, '0')
       |   || lpad(to_hex((((event_id % 997) - 498) + 65536) % 65536), 4, '0')
       |   || 'FFFF' || lpad(to_hex(event_id % 256), 2, '0') || '0000' || '000000000000' AS h
-      |  FROM events),
+      |  FROM events
+      |  WHERE json_extract(props,'$.k') IS NOT NULL),
       |dec AS (SELECT event_id,
       |  ('0x'||substr(h,3,4))::BIGINT AS traw, ('0x'||substr(h,7,4))::BIGINT AS hraw,
       |  ('0x'||substr(h,11,4))::BIGINT AS praw, ('0x'||substr(h,15,4))::BIGINT AS axraw,

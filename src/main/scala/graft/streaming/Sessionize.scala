@@ -54,8 +54,20 @@ object Sessionize {
     rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
       val us = toUs(e.ts)
       open match {
-        case Some(s) if us - s.lastUs <= gapUs =>
-          open = Some(s.copy(lastUs = math.max(s.lastUs, us), nEvents = s.nEvents + 1))
+        // within [start − gap, last + gap]: extends the open session in
+        // either direction (a cross-batch late event just before the
+        // session start legitimately pulls the start back)
+        case Some(s) if us - s.lastUs <= gapUs && s.startUs - us <= gapUs =>
+          open = Some(s.copy(
+            startUs = math.min(s.startUs, us),
+            lastUs = math.max(s.lastUs, us),
+            nEvents = s.nEvents + 1))
+        // far in the PAST of the open session: a late straggler from an
+        // already-gone session — emit it as its own closed singleton
+        // (re-opening history would need unbounded buffering)
+        case Some(s) if s.startUs - us > gapUs =>
+          closed += ClosedSession(userId, toTs(us), toTs(us), 1L)
+        // far in the FUTURE: the open session ended; start the next
         case Some(s) =>
           closed += ClosedSession(userId, toTs(s.startUs), toTs(s.lastUs), s.nEvents)
           open = Some(OpenSession(us, us, 1L))

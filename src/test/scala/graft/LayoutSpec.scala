@@ -34,7 +34,10 @@ class LayoutSpec extends AnyFunSuite {
 
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan)
-      assert(!plan.contains("ShuffleExchange"),
+      // shuffle nodes print as 'Exchange hashpartitioning(...)' (the
+      // string 'ShuffleExchange' never appears in plan output — asserting
+      // on it would be vacuous)
+      assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed sort-merge join must plan without a shuffle, got:\n$plan")
       assert(plan.contains("Bucketed: true"), plan)
       // and it still computes the right thing

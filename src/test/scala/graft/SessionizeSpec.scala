@@ -65,4 +65,28 @@ class SessionizeSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS closed_sessions")
     }
   }
+
+  test("late events merge backwards within gap, or emit singletons far past") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def us(t: String): Long = ts(t).getTime * 1000L
+    def freshState = TestGroupState.create[Sessionize.OpenSession](
+      Optional.of(Sessionize.OpenSession(us("2024-01-01 12:00:00"), us("2024-01-01 12:10:00"), 2L)),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), hasTimedOut = false)
+
+    // within gap BEFORE the open session start → backward merge
+    val s1 = freshState
+    val out1 = Sessionize.update(Sessionize.DefaultGapUs)(
+      1L, Iterator(Event(1L, ts("2024-01-01 11:50:00"), 9L)), s1).toSeq
+    assert(out1.isEmpty)
+    assert(s1.get.startUs == us("2024-01-01 11:50:00") && s1.get.nEvents == 3L)
+
+    // far in the past (> gap before start) → closed singleton, state kept
+    val s2 = freshState
+    val out2 = Sessionize.update(Sessionize.DefaultGapUs)(
+      1L, Iterator(Event(1L, ts("2024-01-01 08:00:00"), 10L)), s2).toSeq
+    assert(out2 == Seq(Sessionize.ClosedSession(
+      1L, ts("2024-01-01 08:00:00"), ts("2024-01-01 08:00:00"), 1L)))
+    assert(s2.get.startUs == us("2024-01-01 12:00:00") && s2.get.nEvents == 2L)
+  }
 }
