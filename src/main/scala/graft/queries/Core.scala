@@ -367,6 +367,19 @@ object Core {
       .orderBy("user_id")
   }
 
+  /** Q25 — deterministic hash-based sampling: keep rows whose md5-derived
+    * 60-bit hash lands in the sample band. Unlike `sample()`/rand(),
+    * this is reproducible across runs, engines and retries — the only
+    * sampling admissible in an audited training-data pipeline. */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(
+        pmod(graft.functions.TextFns.hash60(
+          concat(lit("s:"), col("doc_id").cast("string"))), lit(10L)) === 0L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+
   // -------------------------------------------------------------------
   // DuckDB oracle texts
   // -------------------------------------------------------------------
@@ -557,6 +570,11 @@ object Core {
       |  ROUND(count(*)::DOUBLE / count(DISTINCT sess), 4) AS avg_events_per_session
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  private val oq25 =
+    """SELECT lang, count(*) AS n_sampled FROM documents
+      |WHERE ('0x'||substr(md5('s:'||doc_id::VARCHAR),1,15))::BIGINT % 10 = 0
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_scan_project", q01, Some(oq01)),
     QueryDef("q02_filter_count", q02, Some(oq02)),
@@ -585,5 +603,6 @@ object Core {
     QueryDef("q21_duration_seconds", q21, Some(oq21)),
     QueryDef("q22_percentiles", q22, Some(oq22)),
     QueryDef("q23_asof_join", q23, Some(oq23)),
-    QueryDef("q24_sessionize", q24, Some(oq24)))
+    QueryDef("q24_sessionize", q24, Some(oq24)),
+    QueryDef("q25_hash_sample", q25, Some(oq25)))
 }

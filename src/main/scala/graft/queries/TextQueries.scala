@@ -128,6 +128,35 @@ object TextQueries {
       .orderBy(col("lang"), col("score").desc, col("term"))
   }
 
+  /** T7 — bigram language-model scoring: P(w2|w1) from corpus counts,
+    * per-doc mean log-probability — the perplexity-style quality signal
+    * for training-data curation. The bigram/unigram count tables are
+    * vocabulary-sized → broadcast into the scoring joins; the heavy side
+    * is one narrow pass + one bounded aggregate. */
+  private def t07(s: SparkSession, d: String): DataFrame = {
+    val t = graft.Tables.rebalance(s, documents(s, d))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = t
+      .select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(
+            element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cu = cb.groupBy("w1").agg(sum("c2").as("c1"))
+    bg
+      .join(broadcast(cb), Seq("w1", "w2"))
+      .join(broadcast(cu), Seq("w1"))
+      .select(col("doc_id"), log(col("c2").cast("double") / col("c1")).as("lp"))
+      .groupBy("doc_id")
+      .agg(oround(avg("lp"), 4).as("avg_logprob"), count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   private val ot01 =
@@ -182,11 +211,24 @@ object TextQueries {
       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) rn FROM scored)
       |WHERE rn <= 5 ORDER BY lang, score DESC, term""".stripMargin
 
+  private val ot07 =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |bg AS (SELECT doc_id, toks[i] w1, toks[i+1] w2
+      |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) i)
+      |       WHERE len(toks) >= 2),
+      |cb AS (SELECT w1, w2, count(*) c2 FROM bg GROUP BY w1, w2),
+      |cu AS (SELECT w1, sum(c2) c1 FROM cb GROUP BY w1),
+      |sc AS (SELECT bg.doc_id, ln(cb.c2::DOUBLE / cu.c1) lp
+      |       FROM bg JOIN cb ON bg.w1=cb.w1 AND bg.w2=cb.w2 JOIN cu ON bg.w1=cu.w1)
+      |SELECT doc_id, ROUND(avg(lp), 4) AS avg_logprob, count(*) AS n_bigrams
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
     QueryDef("t03_lang_id", t03, Some(ot03)),
     QueryDef("t04_token_stats", t04, Some(ot04)),
     QueryDef("t05_winnow_fingerprints", t05, Some(ot05)),
-    QueryDef("t06_tfidf_top_terms", t06, Some(ot06)))
+    QueryDef("t06_tfidf_top_terms", t06, Some(ot06)),
+    QueryDef("t07_bigram_lm_score", t07, Some(ot07)))
 }
