@@ -118,6 +118,27 @@ object Pipeline {
     } finally cached.unpersist()
   }
 
+  /** The streaming dual sink body: each micro-batch lands in its own
+    * `batch_id=` partition with DYNAMIC partition overwrite, so replaying
+    * a batch (crash between sink write and checkpoint commit) overwrites
+    * exactly its own partition — idempotent, hence effectively
+    * exactly-once end-to-end. Public so replay-idempotence is testable
+    * without crashing a real query. */
+  def writeMicroBatch(batchDf: DataFrame, batchId: Long, outDir: String): Unit = {
+    val cached = batchDf.cache()
+    def writeIdempotent(df: DataFrame, path: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    try {
+      writeIdempotent(sensorProjection(cached), s"$outDir/sensor_data")
+      writeIdempotent(movementProjection(cached), s"$outDir/movement_data")
+    } finally { cached.unpersist(); () }
+  }
+
   /** Streaming variant (OP-08 as Structured Streaming): event-time 30-min
     * windows with a watermark, `foreachBatch` dual sink writing each
     * micro-batch into its own `batch_id=` partition with DYNAMIC
@@ -146,18 +167,7 @@ object Pipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
-        val cached = batchDf.cache()
-        def writeIdempotent(df: DataFrame, path: String): Unit =
-          df.withColumn("batch_id", lit(batchId))
-            .write
-            .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(path)
-        try {
-          writeIdempotent(sensorProjection(cached), s"$outDir/sensor_data")
-          writeIdempotent(movementProjection(cached), s"$outDir/movement_data")
-        } finally { cached.unpersist(); () }
+        writeMicroBatch(batchDf, batchId, outDir)
       }
       .start()
   }

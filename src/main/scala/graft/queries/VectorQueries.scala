@@ -141,6 +141,50 @@ object VectorQueries {
       .orderBy("label")
   }
 
+  /** V7 — cross-modal retrieval: ANN over embeddings, then join the hits
+    * back to the `documents` table for their metadata — the standard
+    * retrieval pattern (vector index finds ids; the row store serves the
+    * content). The 5-row hit list broadcasts into the metadata join. */
+  private def v07(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d).withColumn("nrm", norm(col("e")))
+    val q = c.filter(col("vec_id") === 0).select(col("e").as("qe"), col("nrm").as("qn"))
+    val topk = c.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        oround(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+    documents(s, d)
+      .join(broadcast(topk), col("doc_id") === col("vec_id"))
+      .select(col("vec_id"), col("cos_sim"), col("lang"), col("n_chars"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** V8 — int8 quantization audit: per-vector symmetric scale
+    * (max|x|/127), round-trip through the quantized representation, and
+    * corpus-wide error stats — the 4×-storage-cut check a 100 TB
+    * embedding store runs before committing to int8. Unbalanced scan on
+    * purpose: the corpus-wide avg must fold in one deterministic order
+    * to match the oracle bit-for-bit. */
+  private def v08(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .select(
+        col("vec_id"), col("e"),
+        (array_max(transform(col("e"), x => abs(x))) / 127.0).as("sc"))
+      .select(
+        col("vec_id"), col("e"), col("sc"),
+        transform(col("e"), x => round(x / col("sc"), 0)).as("q"))
+      .select(
+        col("vec_id"),
+        array_max(zip_with(col("e"), col("q"), (a, b) => abs(a - b * col("sc"))))
+          .as("max_err"))
+      .agg(
+        count(lit(1)).as("n"),
+        oround(max("max_err"), 6).as("worst_abs_err"),
+        oround(avg("max_err"), 6).as("mean_max_err"))
+
   /** V4 — vector aggregate stats: per-label counts and mean L2 norm. */
   private def v04(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -206,11 +250,32 @@ object VectorQueries {
       |  count(*) AS n
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  private val ov07 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |m AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm FROM n),
+      |q AS (SELECT e qe, nrm qn FROM m WHERE vec_id = 0),
+      |tk AS (SELECT vec_id, ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) AS cos_sim
+      |       FROM m, q WHERE vec_id != 0 ORDER BY cos_sim DESC, vec_id LIMIT 5)
+      |SELECT tk.vec_id, tk.cos_sim, d.lang, d.n_chars
+      |FROM tk JOIN documents d ON tk.vec_id = d.doc_id
+      |ORDER BY cos_sim DESC, vec_id""".stripMargin
+
+  private val ov08 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |s AS (SELECT vec_id, e, list_max(list_transform(e, x->abs(x)))/127.0 sc FROM n),
+      |qz AS (SELECT vec_id, e, sc, list_transform(e, x -> round(x/sc)) q FROM s),
+      |err AS (SELECT vec_id, list_max(list_transform(list_zip(e, q), p -> abs(p[1] - p[2]*sc))) max_err FROM qz)
+      |SELECT count(*) AS n, ROUND(max(max_err), 6) AS worst_abs_err,
+      |  ROUND(avg(max_err), 6) AS mean_max_err
+      |FROM err""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(ov01)),
     QueryDef("v02_srp_ann", v02, Some(ov02)),
     QueryDef("v03_ivf_centroid", v03, Some(ov03)),
     QueryDef("v04_norm_stats", v04, Some(ov04)),
     QueryDef("v05_srp_multiprobe", v05, Some(ov05)),
-    QueryDef("v06_centroid_udaf", v06, Some(ov06)))
+    QueryDef("v06_centroid_udaf", v06, Some(ov06)),
+    QueryDef("v07_retrieval_join", v07, Some(ov07)),
+    QueryDef("v08_int8_quantization", v08, Some(ov08)))
 }

@@ -92,6 +92,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getAs[String]("name") == "Unknown")
   }
 
+  test("micro-batch replay is idempotent (dynamic batch_id overwrite)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val agg = Pipeline.batch(readings(Seq(
+      ("AA:BB:CC:DD:EE:01", ts("2024-01-01 10:00:00"), 4860L, 21396L, 50044L, 4L, -4L, 1036L, 66L))), tagDim)
+    Pipeline.writeMicroBatch(agg, batchId = 7L, dir)
+    Pipeline.writeMicroBatch(agg, batchId = 7L, dir) // crash-replay of the same batch
+    val sensor = spark.read.parquet(s"$dir/sensor_data")
+    assert(sensor.count() == 1, "replayed batch must overwrite, not append")
+    // partition-column type inference may yield int — compare as long
+    assert(sensor.select(col("batch_id").cast("long")).collect().head.getLong(0) == 7L)
+    // a different batch lands in its own partition alongside
+    Pipeline.writeMicroBatch(agg, batchId = 8L, dir)
+    assert(spark.read.parquet(s"$dir/sensor_data").count() == 2)
+  }
+
   test("dual sink writes both projections from one cached upstream") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dual-sink").toString
     val input = readings(Seq(
