@@ -76,8 +76,11 @@ object PipelineDemo {
       implicit val ctx = spark.sqlContext
       val ms = MemoryStream[(String, Timestamp, Array[Byte])]
       val stream = ms.toDF().toDF("mac", "ts", "payload")
+      // per-run checkpoint dir: reusing one across runs would make the
+      // recovered query demand MemoryStream batches this run never had
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-demo-ckpt").toString
       val q = graft.etl.Pipeline.streaming(
-        stream, tags, s"$outDir/stream", s"$outDir/ckpt",
+        stream, tags, s"$outDir/stream", ckpt,
         trigger = Trigger.ProcessingTime(0), watermark = "0 seconds")
       try {
         val payload = readings.select("payload").collect().head.getAs[Array[Byte]](0)

@@ -146,7 +146,10 @@ object TextQueries {
             element_at(col("toks"), i).as("w1"),
             element_at(col("toks"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // localCheckpoint materializes the vocabulary-sized bigram counts
+    // ONCE — without it, broadcast(cb), cu's lineage and the probe join
+    // each re-execute the full corpus tokenize+explode (3 passes)
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2")).localCheckpoint()
     val cu = cb.groupBy("w1").agg(sum("c2").as("c1"))
     bg
       .join(broadcast(cb), Seq("w1", "w2"))

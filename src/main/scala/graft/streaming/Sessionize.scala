@@ -49,37 +49,36 @@ object Sessionize {
       return Iterator.single(
         ClosedSession(userId, toTs(s.startUs), toTs(s.lastUs), s.nEvents))
     }
-    val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
-    var open = state.getOption
-    rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
-      val us = toUs(e.ts)
-      open match {
-        // within [start − gap, last + gap]: extends the open session in
-        // either direction (a cross-batch late event just before the
-        // session start legitimately pulls the start back)
-        case Some(s) if us - s.lastUs <= gapUs && s.startUs - us <= gapUs =>
-          open = Some(s.copy(
-            startUs = math.min(s.startUs, us),
-            lastUs = math.max(s.lastUs, us),
-            nEvents = s.nEvents + 1))
-        // far in the PAST of the open session: a late straggler from an
-        // already-gone session — emit it as its own closed singleton
-        // (re-opening history would need unbounded buffering)
-        case Some(s) if s.startUs - us > gapUs =>
-          closed += ClosedSession(userId, toTs(us), toTs(us), 1L)
-        // far in the FUTURE: the open session ended; start the next
-        case Some(s) =>
-          closed += ClosedSession(userId, toTs(s.startUs), toTs(s.lastUs), s.nEvents)
-          open = Some(OpenSession(us, us, 1L))
-        case None =>
-          open = Some(OpenSession(us, us, 1L))
-      }
+    // Interval sweep over (open session ∪ batch events) sorted by start:
+    // adjacent intervals within the gap merge (this handles ordinary
+    // extension, backward late-extension, AND late stragglers that form
+    // their own coherent session — a per-event case analysis splits the
+    // latter into spurious singletons). Everything but the latest merged
+    // interval is emitted closed; sessions already emitted can never be
+    // re-opened by later batches (that would need unbounded buffering).
+    val items = (rows.map(e => { val us = toUs(e.ts); OpenSession(us, us, 1L) })
+      ++ state.getOption.iterator).toSeq.sortBy(s => (s.startUs, s.lastUs))
+    if (items.isEmpty) return Iterator.empty
+    val merged = items.tail.foldLeft(List(items.head)) { (acc, it) =>
+      val head :: tail = acc: @unchecked
+      if (it.startUs - head.lastUs <= gapUs)
+        OpenSession(head.startUs, math.max(head.lastUs, it.lastUs),
+          head.nEvents + it.nEvents) :: tail
+      else it :: acc
     }
-    open.foreach { s =>
-      state.update(s)
-      state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
-    }
-    closed.iterator
+    val latest :: earlier = merged: @unchecked // merged is newest-first
+    state.update(latest)
+    // clamp: a straggler batch must not re-arm a timeout behind the
+    // current watermark (setTimeoutTimestamp throws and kills the query).
+    // Batch mode has no watermark and getCurrentWatermarkMs THROWS there
+    // (timeouts never fire in batch anyway) — treat it as -∞.
+    val watermarkMs =
+      try state.getCurrentWatermarkMs()
+      catch { case _: UnsupportedOperationException => -1L }
+    state.setTimeoutTimestamp(
+      math.max(latest.lastUs / 1000L + gapUs / 1000L, watermarkMs + 1L))
+    earlier.reverseIterator.map(s =>
+      ClosedSession(userId, toTs(s.startUs), toTs(s.lastUs), s.nEvents))
   }
 
   /** Sessionize a (possibly streaming) typed event source. The input
