@@ -64,4 +64,33 @@ class StreamingSpec extends AnyFunSuite {
       query.awaitTermination()
     }
   }
+
+  test("file source: readStream over a readings directory (production source path)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-filestream").toString
+    val tagDim = Seq(("AA:BB:CC:DD:EE:01", "Kitchen")).toDF("mac", "name")
+    def hexFor(tempRaw: Long): String =
+      "05" + f"$tempRaw%04X" + "4E20" + "C350" + "000000000000" + "FFFF" + "01" + "0000" + "000000000000"
+    // batch-write readings files the way a collector drops them
+    Seq(
+      ("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 10:00:00"), hexFor(4000L)),
+      ("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 10:20:00"), hexFor(5000L)),
+      ("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 12:00:00"), hexFor(4000L)))
+      .toDF("mac", "ts", "hex")
+      .select(col("mac"), col("ts"), unhex(col("hex")).as("payload"))
+      .write.parquet(s"$base/in")
+    val stream = spark.readStream
+      .schema("mac STRING, ts TIMESTAMP, payload BINARY")
+      .parquet(s"$base/in")
+    val query = Pipeline.streaming(
+      stream, tagDim, s"$base/out", s"$base/ckpt",
+      trigger = Trigger.AvailableNow(), watermark = "0 seconds")
+    try query.awaitTermination()
+    finally { query.stop(); query.awaitTermination() }
+    val sensor = spark.read.parquet(s"$base/out/sensor_data")
+      .filter(col("time") === lit(Timestamp.valueOf("2024-01-01 10:30:00")))
+      .collect()
+    assert(sensor.length == 1)
+    assert(sensor.head.getAs[Double]("temperature") == 22.5)
+    assert(sensor.head.getAs[Int]("samples") == 2)
+  }
 }
