@@ -380,6 +380,42 @@ object Core {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
 
+  /** Q26 — the COMPOSED reference-parity pipeline, oracle-checked end to
+    * end: synthesize format-5 readings from events (5 sensors, 3
+    * whitelisted), then run [[graft.etl.Pipeline.batch]] — whitelist
+    * semi-join → validate/decode (sign extension, clamp, offset,
+    * decode rounding) → 30-min window → two-stage-rounded averages +
+    * wrap-aware movement delta → name enrichment. The golden tests pin
+    * hand-computed cases; this pins the whole dataflow against an
+    * independent engine at 10k-event scale. */
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tags = Seq(
+      ("AA:BB:CC:DD:EE:01", "Kitchen"),
+      ("AA:BB:CC:DD:EE:02", "Sauna"),
+      ("AA:BB:CC:DD:EE:03", "Garage")).toDF("mac", "name")
+    val payloadHex = graft.functions.Format5.encodeHex(
+      tempRaw = oround(col("value") * 200, 0).cast("long"),
+      humRaw = get_json_object(col("props"), "$.k").cast("long") * 400,
+      pressRaw = col("user_id") * 100,
+      axRaw = (col("event_id") % 2001) - 1000,
+      ayRaw = (col("event_id") % 1999) - 999,
+      azRaw = (col("event_id") % 997) - 498,
+      movementRaw = col("event_id"))
+    val readings = events(s, d)
+      .filter(get_json_object(col("props"), "$.k").isNotNull)
+      .select(
+        concat(lit("aa:bb:cc:dd:ee:0"), ((col("user_id") % 5) + 1).cast("string")).as("mac"),
+        col("ts"),
+        unhex(payloadHex).as("payload"))
+    graft.etl.Pipeline.batch(readings, tags)
+      .select(
+        col("time"), col("mac"), col("temperature"), col("humidity"),
+        col("pressure"), col("acceleration_x"), col("acceleration_y"),
+        col("acceleration_z"), col("movement_counter"), col("samples"), col("name"))
+      .orderBy("mac", "time")
+  }
+
   // -------------------------------------------------------------------
   // DuckDB oracle texts
   // -------------------------------------------------------------------
@@ -575,6 +611,48 @@ object Core {
       |WHERE ('0x'||substr(md5('s:'||doc_id::VARCHAR),1,15))::BIGINT % 10 = 0
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  private val oq26 =
+    """WITH raw AS (
+      |  SELECT upper('aa:bb:cc:dd:ee:0' || ((user_id % 5) + 1)::VARCHAR) AS mac, ts,
+      |    ((round(value*200)::BIGINT % 65536) + 65536) % 65536 AS traw,
+      |    (json_extract(props,'$.k')::BIGINT * 400) % 65536 AS hraw,
+      |    (user_id * 100) % 65536 AS praw,
+      |    (((event_id % 2001) - 1000) + 65536) % 65536 AS axraw,
+      |    (((event_id % 1999) - 999) + 65536) % 65536 AS ayraw,
+      |    (((event_id % 997) - 498) + 65536) % 65536 AS azraw,
+      |    event_id % 256 AS mraw
+      |  FROM events WHERE json_extract(props,'$.k') IS NOT NULL),
+      |dec AS (
+      |  SELECT mac, ts,
+      |    ROUND((CASE WHEN traw >= 32768 THEN traw-65536 ELSE traw END) * (0.005::DOUBLE), 2) AS t,
+      |    ROUND(LEAST(hraw * (0.0025::DOUBLE), 100.0::DOUBLE), 2) AS h,
+      |    ROUND((praw + 50000) / (100.0::DOUBLE), 2) AS p,
+      |    ROUND((CASE WHEN axraw >= 32768 THEN axraw-65536 ELSE axraw END) * (0.001::DOUBLE), 3) AS ax,
+      |    ROUND((CASE WHEN ayraw >= 32768 THEN ayraw-65536 ELSE ayraw END) * (0.001::DOUBLE), 3) AS ay,
+      |    ROUND((CASE WHEN azraw >= 32768 THEN azraw-65536 ELSE azraw END) * (0.001::DOUBLE), 3) AS az,
+      |    mraw
+      |  FROM raw
+      |  WHERE mac IN ('AA:BB:CC:DD:EE:01','AA:BB:CC:DD:EE:02','AA:BB:CC:DD:EE:03')),
+      |w AS (SELECT *, epoch_us(ts) // 1800000000 AS wb FROM dec),
+      |mv AS (SELECT DISTINCT mac, wb,
+      |    first_value(mraw) OVER win AS f, last_value(mraw) OVER win AS l
+      |  FROM w WINDOW win AS (PARTITION BY mac, wb ORDER BY ts, mraw
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |agg AS (SELECT mac, wb,
+      |    ROUND(avg(t), 2) AS temperature, ROUND(avg(h), 2) AS humidity,
+      |    ROUND(avg(p), 2) AS pressure, ROUND(avg(ax), 3) AS acceleration_x,
+      |    ROUND(avg(ay), 3) AS acceleration_y, ROUND(avg(az), 3) AS acceleration_z,
+      |    count(*)::INT AS samples
+      |  FROM w GROUP BY mac, wb)
+      |SELECT to_timestamp((agg.wb + 1) * 1800)::TIMESTAMP AS time, agg.mac,
+      |  temperature, humidity, pressure, acceleration_x, acceleration_y, acceleration_z,
+      |  (((mv.l - mv.f) % 256 + 256) % 256)::INT AS movement_counter, samples,
+      |  CASE agg.mac WHEN 'AA:BB:CC:DD:EE:01' THEN 'Kitchen'
+      |               WHEN 'AA:BB:CC:DD:EE:02' THEN 'Sauna'
+      |               ELSE 'Garage' END AS name
+      |FROM agg JOIN mv ON agg.mac = mv.mac AND agg.wb = mv.wb
+      |ORDER BY agg.mac, time""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_scan_project", q01, Some(oq01)),
     QueryDef("q02_filter_count", q02, Some(oq02)),
@@ -604,5 +682,6 @@ object Core {
     QueryDef("q22_percentiles", q22, Some(oq22)),
     QueryDef("q23_asof_join", q23, Some(oq23)),
     QueryDef("q24_sessionize", q24, Some(oq24)),
-    QueryDef("q25_hash_sample", q25, Some(oq25)))
+    QueryDef("q25_hash_sample", q25, Some(oq25)),
+    QueryDef("q26_pipeline_parity", q26, Some(oq26)))
 }
