@@ -37,5 +37,7 @@ object VectorFns {
     * bucket instead of the full corpus. */
   def srpBucket(v: Column, bits: Int): Column =
     concat((1 to bits).map(j =>
-      when(element_at(v, j) >= 0, lit("1")).otherwise(lit("0"))): _*)
+      // try_element_at: vectors shorter than `bits` read as sign-0 bits
+      // instead of throwing (element_at errors out of bounds under ANSI)
+      when(try_element_at(v, lit(j)) >= 0, lit("1")).otherwise(lit("0"))): _*)
 }
