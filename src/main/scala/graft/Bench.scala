@@ -47,12 +47,14 @@ object Bench {
             -1.0
         }
       val first = once()
-      val second = if (first < 0) first else once()
-      // a transient second-run failure must not discard the valid first
-      // measurement (the error is still logged to stderr)
-      name -> (if (first < 0) first
-               else if (second < 0) first
-               else math.min(first, second))
+      // Always attempt the second run: a transient failure can hit run
+      // one just as easily as run two, and a single success is a valid
+      // measurement either way (errors are still logged to stderr).
+      val second = once()
+      name -> ((first, second) match {
+        case (a, b) if a >= 0 && b >= 0 => math.min(a, b)
+        case (a, b)                     => math.max(a, b) // the non-negative one, or -1
+      })
     }
     errs.foreach(e => System.err.println(s"[bench] FAILED $e"))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -41,9 +41,14 @@ object AsOfJoin {
           if (c == key || c == tsCol) col(c)
           else lit(null).cast(left.schema(c).dataType).as(c))
           :+ col("__side") :+ col("__rp")): _*))
+    // __rp as the final sort key makes ties deterministic: when several
+    // right rows share (key, ts), the carried payload is always the
+    // struct-wise greatest one, on every run. (Payload fields must be
+    // orderable types — true for any struct of atomics; left rows all
+    // have a null __rp so their relative order can't affect the result.)
     val w = Window
       .partitionBy(key)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), col("__rp"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("asof", last(col("__rp"), ignoreNulls = true).over(w))

@@ -621,7 +621,8 @@ object Core {
       |    (((event_id % 1999) - 999) + 65536) % 65536 AS ayraw,
       |    (((event_id % 997) - 498) + 65536) % 65536 AS azraw,
       |    event_id % 256 AS mraw
-      |  FROM events WHERE json_extract(props,'$.k') IS NOT NULL),
+      |  FROM events WHERE json_extract(props,'$.k') IS NOT NULL
+      |    AND value IS NOT NULL AND user_id IS NOT NULL),
       |dec AS (
       |  SELECT mac, ts,
       |    ROUND((CASE WHEN traw >= 32768 THEN traw-65536 ELSE traw END) * (0.005::DOUBLE), 2) AS t,

@@ -158,7 +158,8 @@ object MultimodalQueries {
       |   || lpad(to_hex((((event_id % 997) - 498) + 65536) % 65536), 4, '0')
       |   || 'FFFF' || lpad(to_hex(event_id % 256), 2, '0') || '0000' || '000000000000' AS h
       |  FROM events
-      |  WHERE json_extract(props,'$.k') IS NOT NULL),
+      |  WHERE json_extract(props,'$.k') IS NOT NULL
+      |    AND value IS NOT NULL AND user_id IS NOT NULL),
       |dec AS (SELECT event_id,
       |  ('0x'||substr(h,3,4))::BIGINT AS traw, ('0x'||substr(h,7,4))::BIGINT AS hraw,
       |  ('0x'||substr(h,11,4))::BIGINT AS praw, ('0x'||substr(h,15,4))::BIGINT AS axraw,

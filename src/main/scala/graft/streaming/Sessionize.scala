@@ -26,6 +26,19 @@ object Sessionize {
 
   case class Event(user_id: Long, ts: Timestamp, event_id: Long)
   case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long)
+
+  /** One emitted (closed) session.
+    *
+    * OUTPUT CONTRACT — possible overlap under late data: a session is
+    * emitted as soon as a later coherent session closes it (or its
+    * event-time timeout fires). An event arriving AFTER that emission,
+    * but with a timestamp inside the emitted session's gap, starts a NEW
+    * session whose [session_start, session_end] span may overlap the
+    * already-emitted one — re-opening emitted sessions would require
+    * unbounded output buffering (append mode cannot retract). Downstream
+    * consumers that sum per-span activity must therefore either tolerate
+    * overlap or set the watermark delay large enough that such
+    * stragglers are dropped before they reach the state operator. */
   case class ClosedSession(
       user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
@@ -83,7 +96,8 @@ object Sessionize {
 
   /** Sessionize a (possibly streaming) typed event source. The input
     * must carry a watermark on `ts` when streaming (it drives the
-    * event-time timeout). */
+    * event-time timeout). Emitted sessions may overlap under late data —
+    * see the [[ClosedSession]] output contract. */
   def sessions(events: Dataset[Event], gapUs: Long = DefaultGapUs): Dataset[ClosedSession] = {
     implicit val stateEnc = Encoders.product[OpenSession]
     implicit val outEnc = Encoders.product[ClosedSession]
