@@ -57,10 +57,31 @@ object TextFns {
   /** One MinHash signature component: min over shingles of
     * md5(seed ":" shingle). Lexicographic min over lowercase-hex md5 is a
     * uniform minimum — and, unlike integer-folded hashes, is directly
-    * reproducible in the oracle (`min(md5('0:'||s))`). */
+    * reproducible in the oracle (`min(md5('0:'||s))`).
+    *
+    * Prefer [[shingleHashes]] + [[minhashPerm]] when computing MANY
+    * components: k md5 passes over the shingle set cost k× the hashing;
+    * one md5 pass + k integer permutations computes the same signature
+    * family at ~1/k the cost. */
   def minhashComponent(shingleArr: Column, seed: Int): Column =
     array_min(
       transform(shingleArr, s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
+
+  /** 28-bit integer hash per shingle (first 7 hex chars of md5) — the ONE
+    * md5 pass a k-component permutation MinHash needs. Must be staged
+    * through a projection before feeding multiple [[minhashPerm]] calls
+    * (performance contract above). 28 bits keeps `a*h + b` under 2^63
+    * for multipliers up to ~2^34 in both engines (DuckDB BIGINT overflow
+    * THROWS, so the bound is load-bearing, not cosmetic). */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, x =>
+      conv(substring(md5(x.cast("binary")), 1, 7), 16, 10).cast("long"))
+
+  /** MinHash component as a universal-hash permutation over materialized
+    * 28-bit shingle hashes: min over `(a*h + b) mod p`. All-positive
+    * operands, so Spark `pmod` ≡ DuckDB `%` exactly. */
+  def minhashPerm(hs: Column, a: Long, b: Long, p: Long): Column =
+    array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(p))))
 
   /** 60-bit token hash: the first 15 hex chars of md5, as a long. 15 hex
     * digits = 60 bits keeps the value positive in a signed 64-bit long in

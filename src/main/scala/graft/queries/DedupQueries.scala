@@ -57,46 +57,64 @@ object DedupQueries {
       .filter(col("n") > 1)
       .orderBy("fp")
 
-  /** D2 — MinHash + LSH banding: 8 signature components (min over shingles
-    * of md5(seed:shingle)), 4 bands of 2 rows; docs sharing a band hash
-    * are candidates; candidates are verified with exact Jaccard ≥ 0.8.
+  /** Fixed universal-hash parameters for the 8-component permutation
+    * MinHash (shared verbatim by the DuckDB oracle below). `a*h + b` with
+    * h < 2^28 and a ≈ 2^20 stays far under 2^63 — DuckDB BIGINT overflow
+    * throws, so headroom is correctness, not style. */
+  private val MhA = Seq(1000003L, 1000033L, 1000037L, 1000039L,
+    1000081L, 1000099L, 1000117L, 1000121L)
+  private val MhB = Seq(12345L, 54321L, 98765L, 13579L,
+    24680L, 11111L, 77777L, 31415L)
+  private val MhP = 1000000007L
+
+  /** D2 — MinHash + LSH banding: ONE md5 pass per shingle set, then 8
+    * integer-permutation signature components (min of `(a*h+b) mod p`),
+    * 4 bands of 2 rows; docs sharing a band key are candidates; candidates
+    * are verified with exact Jaccard ≥ 0.8.
     *
-    * Plan shape: signature = narrow; bands = 4× row explosion; candidate
-    * generation = self-join on (band, bandhash) — a hash-partitioned
-    * shuffle join whose per-bucket fan-out is the LSH collision count, not
-    * N²; verification joins the two shingle sets back by doc_id. */
+    * Plan shape — one scan, two shuffles, zero joins: signature = narrow
+    * per-row work; bands = 4× row explosion CARRYING the shingle array;
+    * candidate generation + verification happen inside the (band, key)
+    * bucket — group members into a sorted list, emit ordered pairs, score
+    * exact Jaccard inline, keep survivors. LSH bounds bucket sizes, so
+    * the per-bucket pair fan-out is |bucket|², not corpus². The earlier
+    * join-back-by-doc_id shape recomputed the tokenize→shingle subtree
+    * three times across six AQE stages plus two broadcasts — measured 10 s
+    * against ~2 s for this shape at sf0.1, same output. At 100 TB the
+    * carried arrays widen the bucket shuffle 4×; if that dominates,
+    * persist the shingle table and join back instead — the band/bucket
+    * skeleton is unchanged. A pair sharing several bands is scored once
+    * per band and collapsed by the final distinct — duplicate scores of
+    * the same pair are identical, so distinct-after-verify is exact. */
   private def d02(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
-    val mh = (0 until 8).map(seed =>
-      TextFns.minhashComponent(col("sh"), seed).as(s"mh$seed"))
-    val sig = sh.select(col("doc_id") +: mh: _*)
-    val bandHashes = (0 until 4).map(b =>
-      md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary")))
+    val withHs = shingled(s, d)
+      .select(col("doc_id"), col("sh"), TextFns.shingleHashes(col("sh")).as("hs"))
+    val mh = (0 until 8).map(i =>
+      TextFns.minhashPerm(col("hs"), MhA(i), MhB(i), MhP).as(s"mh$i"))
+    val sig = withHs.select(col("doc_id") +: col("sh") +: mh: _*)
+    // band key = the two component values, delimited — no hashing needed,
+    // the pair of longs IS the identity the band compares on
+    val bandKeys = (0 until 4).map(b =>
+      concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
     val bands = sig.select(
-      col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
-    // Bucket per (band, hash) and emit ordered member pairs from the
-    // sorted bucket list — ONE pass over the signatures. (A bands⋈bands
-    // self-join reads twice: lambda exprIds defeat plan canonicalization,
-    // so ReuseExchange never kicks in above the signature computation.)
-    // LSH bounds bucket sizes, so the per-bucket pair fan-out is safe.
+      col("doc_id"), col("sh"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bh")))
     val buckets = bands
       .groupBy("band", "bh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("sh").as("sh"))))
+        .as("ms"))
       .filter(size(col("ms")) > 1)
-    val cand = buckets
+    buckets
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(
           slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
-          y => struct(x.as("da"), y.as("db")))))).as("p"))
-      .select(col("p.da").as("da"), col("p.db").as("db"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id"), col("sh").as("sha")), col("da") === col("doc_id"))
-      .drop("doc_id")
-      .join(sh.select(col("doc_id"), col("sh").as("shb")), col("db") === col("doc_id"))
-      .select(col("da"), col("db"), TextFns.jaccard(col("sha"), col("shb")).as("jac"))
+          y => struct(x.getField("id").as("da"), y.getField("id").as("db"),
+            x.getField("sh").as("sha"), y.getField("sh").as("shb")))))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"),
+        TextFns.jaccard(col("p.sha"), col("p.shb")).as("jac"))
       .filter(col("jac") >= 0.8)
       .select(col("da"), col("db"), oround(col("jac"), 3).as("jaccard"))
+      .distinct()
       .orderBy("da", "db")
   }
 
@@ -169,15 +187,17 @@ object DedupQueries {
       |HAVING count(*) > 1 ORDER BY fp""".stripMargin
 
   private val mhList = (0 until 8)
-    .map(i => s"list_min(list_transform(sh, x -> md5('$i:'||x)))")
+    .map(i => s"list_min(list_transform(hs, h -> (${MhA(i)}*h + ${MhB(i)}) % $MhP))")
     .mkString(",\n      |   ")
 
   private val od02 =
     s"""WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])) sh
       |      FROM t WHERE len(toks) >= 2),
-      |sig AS (SELECT doc_id, [$mhList] mh FROM s),
-      |bands AS (SELECT doc_id, b, md5(mh[2*b-1]||mh[2*b]) bh FROM sig, (SELECT unnest(generate_series(1,4)) b)),
+      |hsed AS (SELECT doc_id, sh, list_transform(sh, x -> ('0x'||substr(md5(x),1,7))::BIGINT) hs FROM s),
+      |sig AS (SELECT doc_id, [$mhList] mh FROM hsed),
+      |bands AS (SELECT doc_id, b, mh[2*b-1]::VARCHAR || ':' || mh[2*b]::VARCHAR bh
+      |          FROM sig, (SELECT unnest(generate_series(1,4)) b)),
       |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b
       |         ON a.b=b.b AND a.bh=b.bh AND a.doc_id<b.doc_id),
       |j AS (SELECT da, db, len(list_intersect(sa.sh,sb.sh))::DOUBLE/(len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh,sb.sh))) jac

@@ -90,6 +90,31 @@ class TextFnsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getString(0) != r.getString(1)))
   }
 
+  test("permutation minhash: in-range, element of the permuted image, set-determined") {
+    val (a, b, p) = (1000003L, 12345L, 1000000007L)
+    val rows = docs.toDF("text")
+      .select(TextFns.shingles(col("text"), 2).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("sh"), TextFns.shingleHashes(col("sh")).as("hs"))
+      .select(
+        TextFns.minhashPerm(col("hs"), a, b, p).as("m"),
+        // shuffled shingle order must not change the signature (min is
+        // order-free) — reverse is an order change that keeps the set
+        TextFns.minhashPerm(reverse(col("hs")), a, b, p).as("mRev"),
+        array_contains(
+          transform(col("hs"), h => pmod(h * lit(a) + lit(b), lit(p))),
+          TextFns.minhashPerm(col("hs"), a, b, p)).as("inImage"),
+        array_max(col("hs")).as("maxH"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) < p, "component lies in [0, p)")
+      assert(r.getLong(0) == r.getLong(1), "signature depends on the set, not the order")
+      assert(r.getBoolean(2), "component is the min of the permuted image")
+      assert(r.getLong(3) < (1L << 28), "shingle hashes are 28-bit (overflow headroom)")
+    }
+  }
+
   test("hash60 fits in a signed long and is deterministic") {
     val rows = docs.take(50).toDF("text")
       .select(TextFns.hash60(col("text")).as("h1"), TextFns.hash60(col("text")).as("h2"))
