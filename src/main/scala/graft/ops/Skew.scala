@@ -50,15 +50,22 @@ object Skew {
     * `fn_col`). */
   def twoPhaseAgg(
       df: DataFrame, keys: Seq[String], uniq: Column, buckets: Int,
-      aggs: Map[String, String]): DataFrame = {
-    val phase1Cols = aggs.toSeq.map {
+      aggs: Map[String, String]): DataFrame =
+    twoPhaseAgg(df, keys, uniq, buckets, aggs.toSeq)
+
+  /** Seq-of-pairs variant: allows several aggregates over the SAME column
+    * (a Map key can't repeat), e.g. `Seq("v" -> "sum", "v" -> "min")`. */
+  def twoPhaseAgg(
+      df: DataFrame, keys: Seq[String], uniq: Column, buckets: Int,
+      aggs: Seq[(String, String)]): DataFrame = {
+    val phase1Cols = aggs.map {
       case (c, "sum")   => sum(col(c)).as(s"sum_$c")
       case (c, "count") => count(col(c)).as(s"count_$c")
       case (c, "min")   => min(col(c)).as(s"min_$c")
       case (c, "max")   => max(col(c)).as(s"max_$c")
       case (c, fn)      => throw new IllegalArgumentException(s"unsupported agg $fn($c)")
     }
-    val phase2Cols = aggs.toSeq.map {
+    val phase2Cols = aggs.map {
       case (c, "sum")   => sum(col(s"sum_$c")).as(s"sum_$c")
       case (c, "count") => sum(col(s"count_$c")).as(s"count_$c")
       case (c, "min")   => min(col(s"min_$c")).as(s"min_$c")

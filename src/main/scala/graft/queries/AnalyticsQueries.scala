@@ -1,0 +1,375 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Num.oround
+
+/** Analytic extensions beyond the reference surface — the operator
+  * families a warehouse user reaches for next once the reference's fixed
+  * dataflow (SURVEY §2.1) is covered:
+  *
+  *  - w01–w05: window ANALYTIC functions (lag, moving average, cumulative
+  *    frames, ranking tiles, RANGE frames) — the reference has window
+  *    *aggregation* only (OP-08); these are the per-row-with-context
+  *    operators it lacks by design.
+  *  - a01–a02: sketch audits — approx_count_distinct (HLL++) and
+  *    approx_percentile checked against their exact counterparts inside
+  *    the same query. The sketches are the 100 TB path (fixed-size state,
+  *    one pass, mergeable partials); the audit shape proves the error
+  *    budget holds while remaining a deterministic, oracle-checkable
+  *    result (Spark's sketches are deterministic for a given input set).
+  *  - j01–j05: the join zoo — anti join, banded range self-join,
+  *    full-outer aggregate reconciliation, per-group top-N
+  *    (WindowGroupLimit), pivot.
+  *  - s01: two-phase salted aggregation ([[graft.ops.Skew]]) proven
+  *    hash-identical to the plain aggregation it replaces.
+  *  - p01–p02: training-data prep — deterministic hash train/val/test
+  *    split and a length histogram.
+  *
+  * Every window carries a TOTAL order (unique tiebreak column) so ranking
+  * and frame contents are deterministic across engines and runs.
+  */
+object AnalyticsQueries {
+
+  /** Per-user event order: ts then event_id — the unique tiebreak makes
+    * every frame/rank deterministic. */
+  private val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+
+  /** W1 — lag delta: value change since the user's previous event. The
+    * first event's delta is NULL in both engines (no default argument —
+    * null-lag semantics are part of the check). */
+  private def w01(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"), oround(col("value") - lag("value", 1).over(byUser), 2).as("delta"))
+      .orderBy("event_id")
+      .limit(200)
+
+  /** W2 — moving average over a 4-row sliding frame (3 preceding +
+    * current). One shuffle on user_id + per-partition sort; the frame is
+    * O(1) incremental state per row. */
+  private def w02(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        oround(avg("value").over(byUser.rowsBetween(-3, Window.currentRow)), 2).as("mavg"))
+      .orderBy("event_id")
+      .limit(200)
+
+  /** W3 — cumulative sum + row_number over the same window spec: Spark
+    * evaluates both in ONE window operator (same partition/order), not
+    * two passes. */
+  private def w03(s: SparkSession, d: String): DataFrame = {
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(
+        col("event_id"),
+        oround(sum("value").over(cum), 2).as("cum_value"),
+        row_number().over(byUser).cast("long").as("rn"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
+  /** W4 — ranking family: rank, dense_rank, ntile(4) per event_type by
+    * descending value (event_id tiebreak ⇒ deterministic tiles). */
+  private def w04(s: SparkSession, d: String): DataFrame = {
+    val byValue = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    events(s, d)
+      .select(
+        col("event_id"),
+        rank().over(byValue).cast("long").as("rnk"),
+        dense_rank().over(byValue).cast("long").as("drnk"),
+        ntile(4).over(byValue).cast("long").as("tile"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
+  /** W5 — RANGE frame over event-time seconds: per event, the sum of
+    * same-type values in the trailing 10 minutes. RANGE frames are
+    * tie-inclusive (all rows at the same second join the frame), so the
+    * result is deterministic even where timestamps collide. */
+  private def w05(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-600, Window.currentRow)
+    events(s, d)
+      .select(col("event_id"), oround(sum("value").over(w), 2).as("sum_10min"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
+  /** A1 — HLL++ audit: approx_count_distinct (default 5% rsd) next to the
+    * exact distinct count; `within_10pct` asserts the sketch honors 2×
+    * its error budget. At 100 TB the sketch is the ONLY viable per-key
+    * distinct (fixed bytes per group, mergeable across partials) — this
+    * query is the harness that licenses it. */
+  private def a01(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id")).as("n_approx"))
+      .select(
+        col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.1)
+          .as("within_10pct"))
+      .orderBy("event_type")
+
+  /** A2 — quantile-sketch audit: approx_percentile (accuracy 1000 ⇒ rank
+    * error ≤ n/1000) vs exact interpolated percentile, asserted within an
+    * absolute tolerance of 10 on a 0–490 value range. */
+  private def a02(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50x"),
+        approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50a"))
+      .select(
+        col("event_type"),
+        oround(col("p50x"), 2).as("p50_exact"),
+        (abs(col("p50a") - col("p50x")) <= 10.0).as("within_tol"))
+      .orderBy("event_type")
+
+  /** J1 — anti join: customers with no URGENT order, counted per market
+    * segment. LeftAnti short-circuits on first match and ships only the
+    * (filtered) order keys — never materializes the non-matches. */
+  private def j01(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_childless"))
+      .orderBy("c_mktsegment")
+
+  /** J2 — banded range self-join: ordered pairs of same-user events ≤300 s
+    * apart, counted per user. A naive `|ta−tb| ≤ 300` condition plans as a
+    * nested-loop pair explosion; banding joins on (user, 300-s bucket)
+    * with the EARLIER event replicated to its own and the next bucket —
+    * every qualifying pair lands in exactly one (probe, bucket) match, so
+    * no post-dedup. Shuffle volume: 2× the events, joined hash-partitioned
+    * on (user, bucket) — survives 100× data with bounded bucket fan-in. */
+  private def j02(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(
+      col("user_id"), col("event_id"), col("ts"),
+      unix_timestamp(col("ts")).as("sec"))
+    // earlier side: probe its own bucket and the next (a later row ≤300 s
+    // ahead sits in one of the two)
+    val a = e.toDF("ua", "ida", "tsa", "seca")
+      .withColumn("pb", explode(array(floor(col("seca") / 300), floor(col("seca") / 300) + 1)))
+    val b = e.toDF("ub", "idb", "tsb", "secb")
+      .withColumn("bb", floor(col("secb") / 300))
+    a.join(b,
+        col("ua") === col("ub") && col("pb") === col("bb") &&
+          (col("tsb") > col("tsa") ||
+            (col("tsb") === col("tsa") && col("idb") > col("ida"))) &&
+          col("secb") - col("seca") <= 300)
+      .groupBy(col("ua").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** J3 — full-outer reconciliation: customer counts vs supplier counts
+    * per nation, either side may be absent (COALESCE to 0). The two
+    * aggregates shuffle once each on nationkey; the join reuses that
+    * partitioning. */
+  private def j03(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val p = supplier(s, d).groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, col("ck") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** J4 — per-group top-N: the 3 priciest orders per priority. The
+    * `rank <= 3` filter under a window triggers Spark's WindowGroupLimit:
+    * each partition keeps only its top rows BEFORE the shuffle, so the
+    * full sort never happens. */
+  private def j04(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+      .select(
+        col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+        oround(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderpriority", "rnk")
+  }
+
+  /** J5 — pivot: order counts per priority × status. Explicit pivot
+    * values keep the plan a single pass (no values-discovery job) and fix
+    * the output schema; absent combinations coalesce to 0 like the
+    * oracle's FILTERed counts. */
+  private def j05(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy("o_orderpriority")
+
+  /** S1 — salted two-phase aggregation ([[graft.ops.Skew.twoPhaseAgg]])
+    * over a 5-key distribution (≈2000 rows/key — exactly the hot-key
+    * shape): phase 1 spreads each key over 16 salt buckets, phase 2
+    * merges. The oracle is the PLAIN aggregation — proving the salted
+    * plan is a pure physical rewrite. */
+  private def s01(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skew.twoPhaseAgg(
+        events(s, d), Seq("event_type"), col("event_id"), 16,
+        Seq("value" -> "sum", "value" -> "count", "value" -> "min", "value" -> "max"))
+      .select(
+        col("event_type"),
+        oround(col("sum_value"), 2).as("sum_value"),
+        col("count_value").as("n"),
+        oround(col("min_value"), 2).as("min_value"),
+        oround(col("max_value"), 2).as("max_value"))
+      .orderBy("event_type")
+
+  /** P1 — deterministic train/val/test split (80/10/10) by md5 of a
+    * salted doc_id: reproducible on any engine, stable under reshuffles,
+    * no RNG state — the split a 100 TB corpus actually uses. */
+  private def p01(s: SparkSession, d: String): DataFrame = {
+    val h = pmod(
+      conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 15),
+        16, 10).cast("long"),
+      lit(100L))
+    documents(s, d)
+      .select(
+        col("lang"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+  }
+
+  /** P2 — document-length histogram: 50-char buckets, top bucket open
+    * (≥550 clamps to 11). Fixed bucket count ⇒ the aggregate state is
+    * bounded regardless of corpus size. */
+  private def p02(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(least(floor(length(col("text")) / 50), lit(11L)).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles (prototyped in tools/proto_analytics.py)
+  // ------------------------------------------------------------------
+
+  private val ow01 =
+    """SELECT event_id, ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+      |FROM events ORDER BY event_id LIMIT 200""".stripMargin
+
+  private val ow02 =
+    """SELECT event_id, ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS mavg
+      |FROM events ORDER BY event_id LIMIT 200""".stripMargin
+
+  private val ow03 =
+    """SELECT event_id, ROUND(sum(value) OVER w, 2) AS cum_value, row_number() OVER w AS rn
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id LIMIT 200""".stripMargin
+
+  private val ow04 =
+    """SELECT event_id, rank() OVER w AS rnk, dense_rank() OVER w AS drnk, ntile(4) OVER w AS tile
+      |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+      |ORDER BY event_id LIMIT 200""".stripMargin
+
+  private val ow05 =
+    """SELECT event_id, ROUND(sum(value) OVER (PARTITION BY event_type
+      |  ORDER BY epoch_us(ts) // 1000000
+      |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 2) AS sum_10min
+      |FROM events ORDER BY event_id LIMIT 200""".stripMargin
+
+  private val oa01 =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_10pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val oa02 =
+    """SELECT event_type, ROUND(quantile_cont(value, 0.5), 2) AS p50_exact, TRUE AS within_tol
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val oj01 =
+    """SELECT c_mktsegment, count(*) AS n_childless FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val oj02 =
+    """SELECT a.user_id, count(*) AS n_pairs
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+      |  AND epoch_us(b.ts) // 1000000 - epoch_us(a.ts) // 1000000 <= 300
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
+  private val oj03 =
+    """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+      |s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+      |SELECT COALESCE(c.nk, s.nk) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nationkey""".stripMargin
+
+  private val oj04 =
+    """SELECT o_orderpriority, rnk, o_orderkey, ROUND(o_totalprice, 2) AS price FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin
+
+  private val oj05 =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (o_orderstatus = 'F') AS F,
+      |  count(*) FILTER (o_orderstatus = 'O') AS O,
+      |  count(*) FILTER (o_orderstatus = 'P') AS P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private val os01 =
+    """SELECT event_type, ROUND(sum(value), 2) AS sum_value, count(value) AS n,
+      |  ROUND(min(value), 2) AS min_value, ROUND(max(value), 2) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val op01 =
+    """SELECT lang,
+      |  CASE WHEN ('0x'||substr(md5('split:'||doc_id::VARCHAR),1,15))::BIGINT % 100 < 80 THEN 'train'
+      |       WHEN ('0x'||substr(md5('split:'||doc_id::VARCHAR),1,15))::BIGINT % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  count(*) AS n
+      |FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  private val op02 =
+    """SELECT LEAST(length(text) // 50, 11)::BIGINT AS bucket, count(*) AS n
+      |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("w01_lag_delta", w01, Some(ow01)),
+    QueryDef("w02_moving_avg", w02, Some(ow02)),
+    QueryDef("w03_cumulative", w03, Some(ow03)),
+    QueryDef("w04_rank_tiles", w04, Some(ow04)),
+    QueryDef("w05_range_frame", w05, Some(ow05)),
+    QueryDef("a01_hll_audit", a01, Some(oa01)),
+    QueryDef("a02_quantile_audit", a02, Some(oa02)),
+    QueryDef("j01_anti_join", j01, Some(oj01)),
+    QueryDef("j02_banded_range_join", j02, Some(oj02)),
+    QueryDef("j03_full_outer", j03, Some(oj03)),
+    QueryDef("j04_top_per_group", j04, Some(oj04)),
+    QueryDef("j05_pivot_status", j05, Some(oj05)),
+    QueryDef("s01_salted_agg", s01, Some(os01)),
+    QueryDef("p01_train_split", p01, Some(op01)),
+    QueryDef("p02_len_histogram", p02, Some(op02)))
+}
