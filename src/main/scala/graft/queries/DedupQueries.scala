@@ -104,14 +104,20 @@ object DedupQueries {
       .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("sh").as("sh"))))
         .as("ms"))
       .filter(size(col("ms")) > 1)
+    // Emit (ids, |a∩b|, |a|, |b|) per pair — the intersection is computed
+    // ONCE inside the lambda and only 5 scalars leave it (materializing
+    // the two shingle arrays per pair would blow the row up |bucket|²×);
+    // the Jaccard ratio is derived from the scalars in the projection.
     buckets
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(
           slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
           y => struct(x.getField("id").as("da"), y.getField("id").as("db"),
-            x.getField("sh").as("sha"), y.getField("sh").as("shb")))))).as("p"))
+            size(array_intersect(x.getField("sh"), y.getField("sh"))).as("ni"),
+            size(x.getField("sh")).as("na"),
+            size(y.getField("sh")).as("nb")))))).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"),
-        TextFns.jaccard(col("p.sha"), col("p.shb")).as("jac"))
+        (col("p.ni").cast("double") / (col("p.na") + col("p.nb") - col("p.ni"))).as("jac"))
       .filter(col("jac") >= 0.8)
       .select(col("da"), col("db"), oround(col("jac"), 3).as("jaccard"))
       .distinct()
@@ -134,22 +140,40 @@ object DedupQueries {
 
   /** D4 — n-gram Jaccard top-k: exact bigram Jaccard, but only within
     * fingerprint blocks (same blocking key as D1) — the all-pairs
-    * comparison never happens. Top-20 most similar pairs. */
-  private def d04(s: SparkSession, d: String): DataFrame = {
-    val sFp = tokenized(s, d)
+    * comparison never happens. Top-20 most similar pairs.
+    *
+    * Same bucket-local shape as D2 (one scan, one shuffle, zero joins):
+    * group members by fingerprint, emit ordered pairs from the sorted
+    * list, score inline; top-20 via TakeOrderedAndProject. The earlier
+    * self-join-on-fp computed the tokenize→shingle subtree twice (lambda
+    * exprIds defeat exchange reuse, so ReuseExchange never fires). */
+  private def d04(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
       .filter(size(col("toks")) >= N)
       .select(
         col("doc_id"),
         TextFns.fingerprintOf(col("toks"), col("text"), N).as("fp"),
         TextFns.shinglesOf(col("toks"), N).as("sh"))
-    sFp.as("a")
-      .join(sFp.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        oround(TextFns.jaccard(col("a.sh"), col("b.sh")), 3).as("jaccard"))
+      .groupBy("fp")
+      .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("sh").as("sh"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      // same 5-scalar pair emission as D2: intersect once in-lambda,
+      // ratio outside — fingerprint blocks run to hundreds of members on
+      // this corpus, so a block row explodes to |block|² pairs and must
+      // not carry array payloads per pair
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(
+          slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
+          y => struct(x.getField("id").as("da"), y.getField("id").as("db"),
+            size(array_intersect(x.getField("sh"), y.getField("sh"))).as("ni"),
+            size(x.getField("sh")).as("na"),
+            size(y.getField("sh")).as("nb")))))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"),
+        oround(col("p.ni").cast("double") / (col("p.na") + col("p.nb") - col("p.ni")), 3)
+          .as("jaccard"))
       .orderBy(col("jaccard").desc, col("da"), col("db"))
       .limit(20)
-  }
 
   /** D5 — embedding-cosine near-dup: sign-projection bucket (4 bits) as
     * the blocking key, exact cosine ≥ 0.3 within buckets. The bucket join
