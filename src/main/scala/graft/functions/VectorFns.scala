@@ -18,13 +18,21 @@ object VectorFns {
   /** float[] → double[] (element-exact widening). */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Dot product as a sequential left fold over zip_with products. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — the native codegen'd loop ([[graft.plans.VectorDot]],
+    * registered by [[graft.plans.GraftExtensions]]). Same sequential left
+    * fold as [[dotFold]], bit for bit, without the per-row products
+    * array + interpreted lambda dispatch. */
+  def dot(a: Column, b: Column): Column = call_function("vector_dot", a, b)
+
+  /** Dot product as a composed-builtin sequential left fold over
+    * zip_with products — the portable form (no session extensions
+    * needed); [[graft.VectorDotSpec]] pins it bit-identical to [[dot]]. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** L2 norm. */
-  def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+  /** L2 norm: `sqrt(dot(v, v))` — the self-dot fold `acc + x*x` in the
+    * same order as the previous composed form. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine similarity of two double[] columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

@@ -11,6 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *  - `format5_decode(binary)` → struct of the seven decoded sensor
   *    metrics ([[Format5Decode]]), NULL for invalid payloads.
+  *  - `vector_dot(array<double>, array<double>)` → double
+  *    ([[VectorDot]]), the codegen'd similarity inner loop.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -25,5 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "NULL when the payload is not a valid format-5 frame.",
         ""),
       (children: Seq[Expression]) => Format5Decode(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(
+        classOf[VectorDot].getCanonicalName,
+        null,
+        "vector_dot",
+        "vector_dot(a, b) - Sequential-fold dot product of two ARRAY<DOUBLE> vectors; " +
+          "NULL on length mismatch or NULL elements.",
+        ""),
+      (children: Seq[Expression]) => VectorDot(children.head, children(1))))
   }
 }
