@@ -52,6 +52,44 @@ object Sessionize {
   /** 30-minute default gap, mirroring the reference's interval. */
   val DefaultGapUs: Long = 1800L * 1000000L
 
+  /** The pure sessionization core, shared by the `flatMapGroupsWithState`
+    * implementation here and the `transformWithState` one
+    * ([[SessionizeTws]]) so the two runtimes can never drift.
+    *
+    * Interval sweep over (open session ∪ batch events) sorted by start:
+    * adjacent intervals within the gap merge (this handles ordinary
+    * extension, backward late-extension, AND late stragglers that form
+    * their own coherent session — a per-event case analysis splits the
+    * latter into spurious singletons). Everything but the latest merged
+    * interval is closed; sessions already emitted can never be re-opened
+    * by later batches (that would need unbounded buffering).
+    *
+    * @return (sessions to emit closed, in chronological order; the
+    *         still-open latest interval — None only for empty input) */
+  def mergeIntervals(
+      gapUs: Long,
+      existing: Option[OpenSession],
+      batch: Seq[OpenSession]): (Seq[OpenSession], Option[OpenSession]) = {
+    val items = (batch ++ existing).sortBy(s => (s.startUs, s.lastUs))
+    if (items.isEmpty) return (Nil, None)
+    val merged = items.tail.foldLeft(List(items.head)) { (acc, it) =>
+      val head :: tail = acc: @unchecked
+      if (it.startUs - head.lastUs <= gapUs)
+        OpenSession(head.startUs, math.max(head.lastUs, it.lastUs),
+          head.nEvents + it.nEvents) :: tail
+      else it :: acc
+    }
+    val latest :: earlier = merged: @unchecked // merged is newest-first
+    (earlier.reverse, Some(latest))
+  }
+
+  private[streaming] def toClosed(userId: Long, s: OpenSession): ClosedSession =
+    ClosedSession(userId, toTs(s.startUs), toTs(s.lastUs), s.nEvents)
+
+  private[streaming] def eventInterval(e: Event): OpenSession = {
+    val us = toUs(e.ts); OpenSession(us, us, 1L)
+  }
+
   def update(gapUs: Long)(
       userId: Long,
       rows: Iterator[Event],
@@ -62,24 +100,10 @@ object Sessionize {
       return Iterator.single(
         ClosedSession(userId, toTs(s.startUs), toTs(s.lastUs), s.nEvents))
     }
-    // Interval sweep over (open session ∪ batch events) sorted by start:
-    // adjacent intervals within the gap merge (this handles ordinary
-    // extension, backward late-extension, AND late stragglers that form
-    // their own coherent session — a per-event case analysis splits the
-    // latter into spurious singletons). Everything but the latest merged
-    // interval is emitted closed; sessions already emitted can never be
-    // re-opened by later batches (that would need unbounded buffering).
-    val items = (rows.map(e => { val us = toUs(e.ts); OpenSession(us, us, 1L) })
-      ++ state.getOption.iterator).toSeq.sortBy(s => (s.startUs, s.lastUs))
-    if (items.isEmpty) return Iterator.empty
-    val merged = items.tail.foldLeft(List(items.head)) { (acc, it) =>
-      val head :: tail = acc: @unchecked
-      if (it.startUs - head.lastUs <= gapUs)
-        OpenSession(head.startUs, math.max(head.lastUs, it.lastUs),
-          head.nEvents + it.nEvents) :: tail
-      else it :: acc
-    }
-    val latest :: earlier = merged: @unchecked // merged is newest-first
+    val (earlier, latestOpt) =
+      mergeIntervals(gapUs, state.getOption, rows.map(eventInterval).toSeq)
+    if (latestOpt.isEmpty) return Iterator.empty
+    val latest = latestOpt.get
     state.update(latest)
     // clamp: a straggler batch must not re-arm a timeout behind the
     // current watermark (setTimeoutTimestamp throws and kills the query).
@@ -90,7 +114,7 @@ object Sessionize {
       catch { case _: UnsupportedOperationException => -1L }
     state.setTimeoutTimestamp(
       math.max(latest.lastUs / 1000L + gapUs / 1000L, watermarkMs + 1L))
-    earlier.reverseIterator.map(s =>
+    earlier.iterator.map(s =>
       ClosedSession(userId, toTs(s.startUs), toTs(s.lastUs), s.nEvents))
   }
 
