@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.functions.Format5
 import graft.functions.Num.oround
 
 /** The reference-parity dataflow (OP-03..OP-13 composed), batch and
@@ -39,11 +38,28 @@ object Pipeline {
   }
 
   /** OP-05 + OP-06: drop malformed payloads (never null them), decode the
-    * rest with decode-stage rounding (`scanner.rs:35-83`). */
+    * rest with decode-stage rounding (`scanner.rs:35-83`).
+    *
+    * Uses the engine's native `format5_decode` expression (one codegen'd
+    * byte-level pass; invalid → NULL → dropped, the same drop-not-null
+    * discipline) — measured ~2× the composed substring→hex→conv chain,
+    * which survives as [[graft.functions.Format5.decodeAll]] and is pinned
+    * result-identical to the native path by the shared m03/m05 oracle.
+    * Requires a session with [[graft.plans.GraftExtensions]] (any
+    * [[graft.Engine]] session). */
   def decode(readings: DataFrame): DataFrame =
     readings
-      .filter(Format5.isValid(col("payload")))
-      .select(Seq(col("mac"), col("ts")) ++ Format5.decodeAll(col("payload")): _*)
+      .select(col("mac"), col("ts"), expr("format5_decode(payload)").as("dec"))
+      .filter(col("dec").isNotNull)
+      .select(
+        col("mac"), col("ts"),
+        col("dec.temperature").as("temperature"),
+        col("dec.humidity").as("humidity"),
+        col("dec.pressure").as("pressure"),
+        col("dec.acceleration_x").as("acceleration_x"),
+        col("dec.acceleration_y").as("acceleration_y"),
+        col("dec.acceleration_z").as("acceleration_z"),
+        col("dec.movement_counter").as("movement_counter"))
 
   /** OP-07 + OP-08 + OP-11: 30-minute tumbling window per sensor.
     *
