@@ -258,6 +258,45 @@ object AnalyticsQueries {
       .orderBy("lang", "split")
   }
 
+  /** P3 — the preprocessing funnel a training corpus actually runs,
+    * composed end to end: quality score (t02's formula) → threshold
+    * filter (drops ~40% of this corpus) → exact-dedup keeping the first
+    * doc per content hash → deterministic split assignment (p01's hash)
+    * → per-(lang, split) count + mean quality. Everything is one narrow
+    * pass until the dedup's single hash-partitioned shuffle; the final
+    * aggregate is bounded by |langs| × 3. */
+  private def p03(s: SparkSession, d: String): DataFrame = {
+    val toks = col("toks")
+    val nTok = size(toks).cast("double")
+    // t02's stopword list (TextQueries) — shared formula, shared constants
+    val nStop = size(filter(toks, w => w.isin("the", "a", "and", "of"))).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val h = pmod(
+      conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 15),
+        16, 10).cast("long"),
+      lit(100L))
+    val firstPerContent = Window
+      .partitionBy(md5(col("text").cast("binary")))
+      .orderBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        (lit(0.4) * least(nTok / 60.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - nStop / nTok) +
+          lit(0.3) * (nDistinct / nTok)).as("quality"))
+      .filter(col("quality") >= 0.73)
+      .withColumn("rn", row_number().over(firstPerContent))
+      .filter(col("rn") === 1)
+      .select(
+        col("lang"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
+        col("quality"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), oround(avg("quality"), 3).as("avg_quality"))
+      .orderBy("lang", "split")
+  }
+
   /** P2 — document-length histogram: 50-char buckets, top bucket open
     * (≥550 clamps to 11). Fixed bucket count ⇒ the aggregate state is
     * bounded regardless of corpus size. */
@@ -356,6 +395,27 @@ object AnalyticsQueries {
     """SELECT LEAST(length(text) // 50, 11)::BIGINT AS bucket, count(*) AS n
       |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  private val op03 =
+    """WITH q AS (SELECT doc_id, lang, text,
+      |  len(string_split(text,' '))::DOUBLE n_tok,
+      |  len(list_filter(string_split(text,' '), w -> w IN ('the','a','and','of')))::DOUBLE n_stop,
+      |  len(list_distinct(string_split(text,' ')))::DOUBLE n_distinct
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang, text,
+      |  0.4 * LEAST(n_tok / 60.0, 1.0) + 0.3 * (1.0 - n_stop / n_tok)
+      |    + 0.3 * (n_distinct / n_tok) AS quality
+      |  FROM q),
+      |f AS (SELECT * FROM s WHERE quality >= 0.73),
+      |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn FROM f),
+      |k AS (SELECT doc_id, lang, quality FROM d WHERE rn = 1),
+      |sp AS (SELECT lang, quality,
+      |  CASE WHEN ('0x'||substr(md5('split:'||doc_id::VARCHAR),1,15))::BIGINT % 100 < 80 THEN 'train'
+      |       WHEN ('0x'||substr(md5('split:'||doc_id::VARCHAR),1,15))::BIGINT % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM k)
+      |SELECT lang, split, count(*) AS n, ROUND(avg(quality), 3) AS avg_quality
+      |FROM sp GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_lag_delta", w01, Some(ow01)),
     QueryDef("w02_moving_avg", w02, Some(ow02)),
@@ -371,5 +431,6 @@ object AnalyticsQueries {
     QueryDef("j05_pivot_status", j05, Some(oj05)),
     QueryDef("s01_salted_agg", s01, Some(os01)),
     QueryDef("p01_train_split", p01, Some(op01)),
-    QueryDef("p02_len_histogram", p02, Some(op02)))
+    QueryDef("p02_len_histogram", p02, Some(op02)),
+    QueryDef("p03_prep_funnel", p03, Some(op03)))
 }

@@ -65,6 +65,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming duplicate suppression: dropDuplicatesWithinWatermark (OP-02)") {
+    // The reference pushes duplicate suppression into the BlueZ scanner
+    // (`/root/reference/src/bluetooth/scanner.rs:126-135`); the streaming
+    // analogue drops repeated (mac, seq) advertisements with BOUNDED
+    // state — dedup keys are expired once the watermark passes them,
+    // unlike a global dropDuplicates whose state grows forever.
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Timestamp, Long)]
+    val deduped = ms.toDF().toDF("mac", "ts", "seq")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("mac", "seq")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // same advertisement re-received in-batch and across batches
+      ms.addData(
+        ("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
+        ("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 10:00:05"), 7L))
+      query.processAllAvailable()
+      ms.addData(
+        ("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 10:00:10"), 7L), // dup, within watermark
+        ("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 10:01:00"), 8L)) // new seq
+      query.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(2))).sorted.toSeq ==
+        Seq(("AA:BB:CC:DD:EE:01", 7L), ("AA:BB:CC:DD:EE:01", 8L)),
+        s"got ${rows.mkString(", ")}")
+    } finally {
+      query.stop(); query.awaitTermination()
+      spark.sql("DROP TABLE IF EXISTS dedup_out")
+    }
+  }
+
   test("file source: readStream over a readings directory (production source path)") {
     val base = java.nio.file.Files.createTempDirectory("graft-filestream").toString
     val tagDim = Seq(("AA:BB:CC:DD:EE:01", "Kitchen")).toDF("mac", "name")
