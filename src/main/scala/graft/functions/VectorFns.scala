@@ -22,7 +22,11 @@ object VectorFns {
     * registered by [[graft.plans.GraftExtensions]]). Same sequential left
     * fold as [[dotFold]], bit for bit, without the per-row products
     * array + interpreted lambda dispatch. */
-  def dot(a: Column, b: Column): Column = call_function("vector_dot", a, b)
+  def dot(a: Column, b: Column): Column =
+    // the native expression is strict ARRAY<DOUBLE> (no implicit numeric
+    // coercion); the cast is a no-op for already-double inputs and keeps
+    // this API as permissive as the old numeric-promoting fold
+    call_function("vector_dot", a.cast("array<double>"), b.cast("array<double>"))
 
   /** Dot product as a composed-builtin sequential left fold over
     * zip_with products — the portable form (no session extensions

@@ -26,7 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "into (temperature, humidity, pressure, acceleration_x/y/z, movement_counter); " +
           "NULL when the payload is not a valid format-5 frame.",
         ""),
-      (children: Seq[Expression]) => Format5Decode(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"format5_decode expects 1 argument (payload BINARY), got ${children.length}")
+        Format5Decode(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(
@@ -36,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "vector_dot(a, b) - Sequential-fold dot product of two ARRAY<DOUBLE> vectors; " +
           "NULL on length mismatch or NULL elements.",
         ""),
-      (children: Seq[Expression]) => VectorDot(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"vector_dot expects 2 arguments (a, b ARRAY<DOUBLE>), got ${children.length}")
+        VectorDot(children.head, children(1))
+      }))
   }
 }

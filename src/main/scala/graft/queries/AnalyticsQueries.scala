@@ -241,18 +241,24 @@ object AnalyticsQueries {
         oround(col("max_value"), 2).as("max_value"))
       .orderBy("event_type")
 
+  /** The ONE split-assignment definition (shared by p01 and the p03
+    * funnel so the composed pipeline can never assign differently from
+    * the standalone split query): md5("split:" + doc_id) mod 100 →
+    * train < 80 ≤ val < 90 ≤ test. */
+  private def splitOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = pmod(
+      conv(substring(md5(concat(lit("split:"), docId.cast("string")).cast("binary")), 1, 15),
+        16, 10).cast("long"),
+      lit(100L))
+    when(h < 80, "train").when(h < 90, "val").otherwise("test")
+  }
+
   /** P1 — deterministic train/val/test split (80/10/10) by md5 of a
     * salted doc_id: reproducible on any engine, stable under reshuffles,
     * no RNG state — the split a 100 TB corpus actually uses. */
   private def p01(s: SparkSession, d: String): DataFrame = {
-    val h = pmod(
-      conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 15),
-        16, 10).cast("long"),
-      lit(100L))
     documents(s, d)
-      .select(
-        col("lang"),
-        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+      .select(col("lang"), splitOf(col("doc_id")).as("split"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "split")
@@ -271,10 +277,6 @@ object AnalyticsQueries {
     // t02's stopword list (TextQueries) — shared formula, shared constants
     val nStop = size(filter(toks, w => w.isin("the", "a", "and", "of"))).cast("double")
     val nDistinct = size(array_distinct(toks)).cast("double")
-    val h = pmod(
-      conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 15),
-        16, 10).cast("long"),
-      lit(100L))
     val firstPerContent = Window
       .partitionBy(md5(col("text").cast("binary")))
       .orderBy("doc_id")
@@ -288,10 +290,7 @@ object AnalyticsQueries {
       .filter(col("quality") >= 0.73)
       .withColumn("rn", row_number().over(firstPerContent))
       .filter(col("rn") === 1)
-      .select(
-        col("lang"),
-        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
-        col("quality"))
+      .select(col("lang"), splitOf(col("doc_id")).as("split"), col("quality"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n"), oround(avg("quality"), 3).as("avg_quality"))
       .orderBy("lang", "split")

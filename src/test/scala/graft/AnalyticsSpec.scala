@@ -12,18 +12,25 @@ class AnalyticsSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("s01: salted two-phase aggregation ≡ plain aggregation") {
+    import graft.functions.Num.oround
     val salted = SparkEntry.queries("s01_salted_agg")(spark, sf).collect()
+    // the same projection s01 applies (oround included), unsalted — so
+    // every output column compares exactly, not within a tolerance
     val plain = Tables.events(spark, sf)
       .groupBy("event_type")
       .agg(sum("value").as("s"), count("value").as("n"),
         min("value").as("mn"), max("value").as("mx"))
+      .select(col("event_type"), oround(col("s"), 2).as("sum_value"),
+        col("n"), oround(col("mn"), 2).as("min_value"), oround(col("mx"), 2).as("max_value"))
       .orderBy("event_type")
       .collect()
     assert(salted.length == plain.length && salted.nonEmpty)
     salted.zip(plain).foreach { case (a, b) =>
       assert(a.getString(0) == b.getString(0))
-      assert(math.abs(a.getDouble(1) - b.getDouble(2 - 1)) < 1e-6) // sum
-      assert(a.getLong(2) == b.getLong(2)) // count
+      assert(a.getDouble(1) == b.getDouble(1), "sum")
+      assert(a.getLong(2) == b.getLong(2), "count")
+      assert(a.getDouble(3) == b.getDouble(3), "min")
+      assert(a.getDouble(4) == b.getDouble(4), "max")
     }
   }
 

@@ -39,7 +39,8 @@ SELECT event_type, ROUND(quantile_cont(value, 0.5), 2) AS p50_exact, TRUE AS wit
 FROM events GROUP BY event_type ORDER BY event_type""",
     "j01_anti_join": """
 SELECT c_mktsegment, count(*) AS n_childless FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "j02_banded_range_join": """
 SELECT a.user_id, count(*) AS n_pairs
