@@ -110,6 +110,28 @@ object Pipeline {
   def batch(readings: DataFrame, tags: DataFrame): DataFrame =
     enrich(aggregate(decode(whitelist(readings, tags))), tags)
 
+  /** OP-19, done the engine way: the reference logs a per-sensor summary
+    * and warns on an empty interval by re-reading its in-memory map
+    * (`main.rs:156-172`); here the same counters ride the job as OBSERVED
+    * metrics — computed inside the already-running action, zero extra
+    * passes, retrievable after any action on the returned frame.
+    *
+    * Usage: `val (agg, obs) = Pipeline.observedBatch(readings, tags);
+    * Pipeline.writeBatch(agg, dir); val m = obs.get` — `m("windows")`
+    * is the aggregate row count (0 ⇒ the reference's empty-interval
+    * warning), `m("readings")` the decoded sample total. */
+  def observedBatch(
+      readings: DataFrame, tags: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("graft_pipeline")
+    val agg = batch(readings, tags).observe(
+      obs,
+      count(lit(1)).as("windows"),
+      coalesce(sum("samples"), lit(0L)).as("readings"),
+      min("time").as("first_window"),
+      max("time").as("last_window"))
+    (agg, obs)
+  }
+
   /** OP-12: atmospheric projection (`operations.rs:31-43`). */
   def sensorProjection(agg: DataFrame): DataFrame =
     agg.select("mac", "temperature", "humidity", "pressure", "time", "name", "samples")

@@ -84,6 +84,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.batch(input, tagDim).count() == 0)
   }
 
+  test("observed metrics ride the job: window/reading counts, empty-interval signal (OP-19)") {
+    // populated interval: counters match the golden scenario
+    val input = readings(Seq(
+      ("AA:BB:CC:DD:EE:01", ts("2024-01-01 10:00:00"), 4000L, 20000L, 50000L, 0L, 0L, 1000L, 1L),
+      ("AA:BB:CC:DD:EE:01", ts("2024-01-01 10:10:00"), 5000L, 20000L, 50000L, 0L, 0L, 1000L, 2L),
+      ("AA:BB:CC:DD:EE:02", ts("2024-01-01 10:05:00"), 3000L, 20000L, 50000L, 0L, 0L, 1000L, 3L)))
+    val (agg, obs) = Pipeline.observedBatch(input, tagDim)
+    agg.write.format("noop").mode("overwrite").save() // any action completes the observation
+    val m = obs.get
+    assert(m("windows") == 2L, s"got $m")   // two (sensor, window) groups
+    assert(m("readings") == 3L, s"got $m")  // all three decoded samples
+    assert(m("first_window") == ts("2024-01-01 10:30:00"))
+
+    // empty interval: the reference's warning condition is windows == 0
+    val (aggEmpty, obsEmpty) = Pipeline.observedBatch(input.filter(lit(false)), tagDim)
+    aggEmpty.write.format("noop").mode("overwrite").save()
+    val me = obsEmpty.get
+    assert(me("windows") == 0L && me("readings") == 0L, s"got $me")
+  }
+
   test("unknown-name default survives schema drift (coalesce 'Unknown')") {
     val input = readings(Seq(
       ("AA:BB:CC:DD:EE:01", ts("2024-01-01 10:00:00"), 4000L, 20000L, 50000L, 0L, 0L, 1000L, 1L)))
