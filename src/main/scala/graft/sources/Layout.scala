@@ -45,4 +45,21 @@ object Layout {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Write `df` range-clustered on `key`: rows are range-partitioned
+    * into `files` output files and sorted within each, so every file
+    * covers one narrow, non-overlapping key range. Parquet records
+    * per-column min/max in footers and row groups; a point or range
+    * predicate on `key` then skips every non-overlapping file/row-group
+    * at scan time — directory-free data skipping, the complement of
+    * [[writeDatePartitioned]] for high-cardinality keys where one
+    * directory per value is unworkable. (The same idea generalizes to
+    * multi-column Z-ordering; one clustered column covers the dominant
+    * predicate.) */
+  def writeRangeClustered(df: DataFrame, key: String, files: Int, path: String): Unit =
+    df.repartitionByRange(files, col(key))
+      .sortWithinPartitions(key)
+      .write
+      .mode("overwrite")
+      .parquet(path)
 }

@@ -49,6 +49,28 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("range-clustered files cover disjoint key ranges (data-skipping precondition)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-range").toString + "/events"
+    Layout.writeRangeClustered(Tables.events(spark, sf), "user_id", files = 8, dir)
+
+    // per output file: the user_id span it covers
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("lo"), max("user_id").as("hi"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(spans.length > 1, "clustering produced a single file — nothing to skip")
+    // ranges are non-overlapping: each file's lo is past the previous hi,
+    // so parquet min/max footer stats prune every non-matching file for
+    // a point/range predicate on user_id
+    spans.sliding(2).foreach { case Array((_, hi1, _), (lo2, _, _)) =>
+      assert(lo2 >= hi1, s"overlapping file ranges: hi=$hi1 vs next lo=$lo2")
+    }
+    // nothing lost in the rewrite
+    assert(spans.map(_._3).sum == Tables.events(spark, sf).count())
+  }
+
   test("date-partitioned events scan prunes to the filtered days") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     Layout.writeDatePartitioned(Tables.events(spark, sf), "ts", dir)
