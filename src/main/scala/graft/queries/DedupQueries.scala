@@ -86,7 +86,16 @@ object DedupQueries {
     * skeleton is unchanged. A pair sharing several bands is scored once
     * per band and collapsed by the final distinct — duplicate scores of
     * the same pair are identical, so distinct-after-verify is exact. */
-  private def d02(s: SparkSession, d: String): DataFrame = {
+  private def d02(s: SparkSession, d: String): DataFrame =
+    lshVerifiedPairs(s, d)
+      .select(col("da"), col("db"), oround(col("jac"), 3).as("jaccard"))
+      .distinct()
+      .orderBy("da", "db")
+
+  /** The verified near-dup pair stream shared by D2 (pair listing) and
+    * D6 (cluster formation): (da < db, exact Jaccard ≥ 0.8), possibly
+    * repeated when a pair collides in several bands. */
+  private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val withHs = shingled(s, d)
       .select(col("doc_id"), col("sh"), TextFns.shingleHashes(col("sh")).as("hs"))
     val mh = (0 until 8).map(i =>
@@ -119,10 +128,24 @@ object DedupQueries {
       .select(col("p.da").as("da"), col("p.db").as("db"),
         (col("p.ni").cast("double") / (col("p.na") + col("p.nb") - col("p.ni"))).as("jac"))
       .filter(col("jac") >= 0.8)
-      .select(col("da"), col("db"), oround(col("jac"), 3).as("jaccard"))
-      .distinct()
-      .orderBy("da", "db")
   }
+
+  /** D6 — duplicate CLUSTERS from the near-dup pairs: connected
+    * components over the D2 edge set ([[graft.ops.ConnectedComponents]]
+    * min-label propagation), labeled by the cluster's minimum doc_id —
+    * the representative a dedup pass would keep. This is the step
+    * production dedup actually needs (pairs alone under-delete:
+    * transitively-linked docs A–B–C must collapse to ONE keeper, not
+    * two independent pair decisions). Oracle: a recursive-CTE transitive
+    * closure over the identical edge set. */
+  private def d06(s: SparkSession, d: String): DataFrame =
+    graft.ops.ConnectedComponents
+      .run(lshVerifiedPairs(s, d)
+        .select(col("da").as("src"), col("db").as("dst"))
+        .distinct())
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("component")
 
   /** D3 — SimHash: 16-bit signature over the token multiset. Each bit j is
     * the sign of Σ±1 over token-hashes' bit j (hash60 = first 60 bits of
@@ -258,10 +281,36 @@ object DedupQueries {
       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
       |WHERE cos >= 0.3 ORDER BY va, vb""".stripMargin
 
+  private val od06 =
+    s"""WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])) sh
+      |      FROM t WHERE len(toks) >= 2),
+      |hsed AS (SELECT doc_id, sh, list_transform(sh, x -> ('0x'||substr(md5(x),1,7))::BIGINT) hs FROM s),
+      |sig AS (SELECT doc_id, [$mhList] mh FROM hsed),
+      |bands AS (SELECT doc_id, b, mh[2*b-1]::VARCHAR || ':' || mh[2*b]::VARCHAR bh
+      |          FROM sig, (SELECT unnest(generate_series(1,4)) b)),
+      |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b
+      |         ON a.b=b.b AND a.bh=b.bh AND a.doc_id<b.doc_id),
+      |ej AS (SELECT da, db FROM (
+      |  SELECT da, db, len(list_intersect(sa.sh,sb.sh))::DOUBLE/(len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh,sb.sh))) jac
+      |  FROM cand JOIN s sa ON cand.da = sa.doc_id JOIN s sb ON cand.db = sb.doc_id) WHERE jac >= 0.8),
+      |und AS (SELECT da a, db b FROM ej UNION SELECT db, da FROM ej),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM und
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a
+      |),
+      |lbl AS (SELECT a AS v, LEAST(a, min(b)) AS component FROM reach GROUP BY a)
+      |SELECT component, count(*) + 1 AS n_docs
+      |FROM (SELECT v, component FROM lbl WHERE v <> component)
+      |GROUP BY component ORDER BY component""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_fingerprint_blocks", d01, Some(od01)),
     QueryDef("d02_minhash_lsh_pairs", d02, Some(od02)),
     QueryDef("d03_simhash_groups", d03, Some(od03)),
     QueryDef("d04_ngram_jaccard_topk", d04, Some(od04)),
-    QueryDef("d05_embedding_near_dup", d05, Some(od05)))
+    QueryDef("d05_embedding_near_dup", d05, Some(od05)),
+    QueryDef("d06_dup_components", d06, Some(od06)))
 }
