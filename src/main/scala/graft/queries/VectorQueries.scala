@@ -185,6 +185,21 @@ object VectorQueries {
         oround(max("max_err"), 6).as("worst_abs_err"),
         oround(avg("max_err"), 6).as("mean_max_err"))
 
+  /** V9 — recall audit: how much of the EXACT top-10 (v01) the
+    * multi-probe ANN (v05) recovers, measured in-query — the
+    * approximation's error budget checked by the engine itself, like the
+    * sketch audits (a01/a02). At 100 TB this is the periodic quality
+    * probe a production ANN index runs on sampled queries; recall below
+    * target ⇒ add probes or bits. */
+  private def v09(s: SparkSession, d: String): DataFrame =
+    v01(s, d).select(col("vec_id"))
+      .join(v05(s, d).select(col("vec_id").as("aid")),
+        col("vec_id") === col("aid"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(
+        lit(10L).as("k"), col("n_hits"),
+        oround(col("n_hits").cast("double") / 10, 2).as("recall"))
+
   /** V4 — vector aggregate stats: per-label counts and mean L2 norm. */
   private def v04(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -269,6 +284,25 @@ object VectorQueries {
       |  ROUND(avg(max_err), 6) AS mean_max_err
       |FROM err""".stripMargin
 
+  private val ov09 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
+      |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n),
+      |q AS (SELECT e qe, nrm qn, bucket qb FROM b WHERE vec_id = 0),
+      |exact AS (SELECT vec_id FROM b, q
+      |  ORDER BY list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn) DESC, vec_id LIMIT 10),
+      |probes AS (SELECT DISTINCT pb FROM (
+      |  SELECT qb pb FROM q
+      |  UNION ALL
+      |  SELECT substr(qb,1,j-1) || (CASE WHEN substr(qb,j,1)='1' THEN '0' ELSE '1' END) || substr(qb,j+1) pb
+      |  FROM q, (SELECT unnest(generate_series(1,4)) j))),
+      |ann AS (SELECT b.vec_id FROM b JOIN probes ON b.bucket = probes.pb, q
+      |  ORDER BY list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn) DESC, vec_id LIMIT 10)
+      |SELECT 10::BIGINT AS k, count(*) AS n_hits,
+      |  ROUND(count(*)::DOUBLE / 10, 2) AS recall
+      |FROM exact WHERE vec_id IN (SELECT vec_id FROM ann)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(ov01)),
     QueryDef("v02_srp_ann", v02, Some(ov02)),
@@ -277,5 +311,6 @@ object VectorQueries {
     QueryDef("v05_srp_multiprobe", v05, Some(ov05)),
     QueryDef("v06_centroid_udaf", v06, Some(ov06)),
     QueryDef("v07_retrieval_join", v07, Some(ov07)),
-    QueryDef("v08_int8_quantization", v08, Some(ov08)))
+    QueryDef("v08_int8_quantization", v08, Some(ov08)),
+    QueryDef("v09_recall_audit", v09, Some(ov09)))
 }
