@@ -32,7 +32,7 @@ object ConnectedComponents {
     * @return (v, component) — `component` is the minimum vertex id
     *         reachable from `v`; vertices not on any edge are absent
     *         (callers union isolated vertices back if needed) */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val und = edges
       .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .unionByName(edges.select(
@@ -51,17 +51,25 @@ object ConnectedComponents {
       val next = labels.unionByName(neighborLabels)
         .groupBy("v")
         .agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized BEFORE prev is released
       val changed = next
         .join(labels.withColumnRenamed("lbl", "prev"), "v")
         .filter(col("lbl") =!= col("prev"))
         .limit(1)
         .count()
+      // release the superseded round's checkpoint blocks now instead of
+      // waiting for driver GC — otherwise up to maxIter stale label
+      // tables accumulate in executor storage on large graphs
+      labels.unpersist()
       labels = next
       converged = changed == 0L
       i += 1
     }
-    require(converged, s"label propagation did not converge in $maxIter iterations")
+    und.unpersist() // the result reads from its own checkpoint only
+    require(converged,
+      s"label propagation did not converge in $maxIter iterations — " +
+        "component diameter exceeds the bound; raise maxIter (or switch " +
+        "to the large-star/small-star O(log n) variant for chain-shaped graphs)")
     labels.select(col("v"), col("lbl").as("component"))
   }
 }

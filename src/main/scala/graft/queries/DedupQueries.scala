@@ -237,8 +237,12 @@ object DedupQueries {
     .map(i => s"list_min(list_transform(hs, h -> (${MhA(i)}*h + ${MhB(i)}) % $MhP))")
     .mkString(",\n      |   ")
 
-  private val od02 =
-    s"""WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+  /** The shared oracle CTE chain producing the scored candidate pairs —
+    * interpolated into BOTH od02 and od06 so the two oracles can never
+    * verify against different edge sets (mirrors the Scala side's shared
+    * [[lshVerifiedPairs]]). Yields CTE `j(da, db, jac)`. */
+  private val lshPairCtes =
+    s"""t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])) sh
       |      FROM t WHERE len(toks) >= 2),
       |hsed AS (SELECT doc_id, sh, list_transform(sh, x -> ('0x'||substr(md5(x),1,7))::BIGINT) hs FROM s),
@@ -248,7 +252,10 @@ object DedupQueries {
       |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b
       |         ON a.b=b.b AND a.bh=b.bh AND a.doc_id<b.doc_id),
       |j AS (SELECT da, db, len(list_intersect(sa.sh,sb.sh))::DOUBLE/(len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh,sb.sh))) jac
-      |      FROM cand JOIN s sa ON cand.da = sa.doc_id JOIN s sb ON cand.db = sb.doc_id)
+      |      FROM cand JOIN s sa ON cand.da = sa.doc_id JOIN s sb ON cand.db = sb.doc_id)""".stripMargin
+
+  private val od02 =
+    s"""WITH $lshPairCtes
       |SELECT da, db, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.8 ORDER BY da, db""".stripMargin
 
   private val od03 =
@@ -283,18 +290,8 @@ object DedupQueries {
 
   private val od06 =
     s"""WITH RECURSIVE
-      |t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
-      |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])) sh
-      |      FROM t WHERE len(toks) >= 2),
-      |hsed AS (SELECT doc_id, sh, list_transform(sh, x -> ('0x'||substr(md5(x),1,7))::BIGINT) hs FROM s),
-      |sig AS (SELECT doc_id, [$mhList] mh FROM hsed),
-      |bands AS (SELECT doc_id, b, mh[2*b-1]::VARCHAR || ':' || mh[2*b]::VARCHAR bh
-      |          FROM sig, (SELECT unnest(generate_series(1,4)) b)),
-      |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b
-      |         ON a.b=b.b AND a.bh=b.bh AND a.doc_id<b.doc_id),
-      |ej AS (SELECT da, db FROM (
-      |  SELECT da, db, len(list_intersect(sa.sh,sb.sh))::DOUBLE/(len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh,sb.sh))) jac
-      |  FROM cand JOIN s sa ON cand.da = sa.doc_id JOIN s sb ON cand.db = sb.doc_id) WHERE jac >= 0.8),
+      |$lshPairCtes,
+      |ej AS (SELECT da, db FROM j WHERE jac >= 0.8),
       |und AS (SELECT da a, db b FROM ej UNION SELECT db, da FROM ej),
       |reach(a, b) AS (
       |  SELECT a, b FROM und

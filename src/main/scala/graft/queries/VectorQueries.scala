@@ -291,14 +291,14 @@ object VectorQueries {
       |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n),
       |q AS (SELECT e qe, nrm qn, bucket qb FROM b WHERE vec_id = 0),
       |exact AS (SELECT vec_id FROM b, q
-      |  ORDER BY list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn) DESC, vec_id LIMIT 10),
+      |  ORDER BY ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) DESC, vec_id LIMIT 10),
       |probes AS (SELECT DISTINCT pb FROM (
       |  SELECT qb pb FROM q
       |  UNION ALL
       |  SELECT substr(qb,1,j-1) || (CASE WHEN substr(qb,j,1)='1' THEN '0' ELSE '1' END) || substr(qb,j+1) pb
       |  FROM q, (SELECT unnest(generate_series(1,4)) j))),
       |ann AS (SELECT b.vec_id FROM b JOIN probes ON b.bucket = probes.pb, q
-      |  ORDER BY list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn) DESC, vec_id LIMIT 10)
+      |  ORDER BY ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) DESC, vec_id LIMIT 10)
       |SELECT 10::BIGINT AS k, count(*) AS n_hits,
       |  ROUND(count(*)::DOUBLE / 10, 2) AS recall
       |FROM exact WHERE vec_id IN (SELECT vec_id FROM ann)""".stripMargin
