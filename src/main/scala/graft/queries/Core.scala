@@ -380,6 +380,23 @@ object Core {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
 
+  /** Q27 — the SQL frontend: the same catalog, planner and custom
+    * functions serve `spark.sql` unchanged ([[graft.Catalog]] registers
+    * the driver tables as views). The query is a CORRELATED scalar
+    * subquery — orders more than 3× their customer's average — which
+    * Catalyst decorrelates into an aggregate + join (no per-row
+    * re-execution; `explain` shows one HashAggregate over orders joined
+    * back to orders). The reference has no SQL surface at all; this is
+    * the declared proof the engine's is real, not a DataFrame-only API. */
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    graft.Catalog.registerAll(s, d)
+    s.sql(
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders o
+        |WHERE o_totalprice > 3 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+        |                          WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Q26 — the COMPOSED reference-parity pipeline, oracle-checked end to
     * end: synthesize format-5 readings from events (5 sensors, 3
     * whitelisted), then run [[graft.etl.Pipeline.batch]] — whitelist
@@ -611,6 +628,13 @@ object Core {
       |WHERE ('0x'||substr(md5('s:'||doc_id::VARCHAR),1,15))::BIGINT % 10 = 0
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // identical ANSI text runs on both engines — that is the point of q27
+  private val oq27 =
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders o
+      |WHERE o_totalprice > 3 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+      |                          WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val oq26 =
     """WITH raw AS (
       |  SELECT upper('aa:bb:cc:dd:ee:0' || ((user_id % 5) + 1)::VARCHAR) AS mac, ts,
@@ -684,5 +708,6 @@ object Core {
     QueryDef("q23_asof_join", q23, Some(oq23)),
     QueryDef("q24_sessionize", q24, Some(oq24)),
     QueryDef("q25_hash_sample", q25, Some(oq25)),
-    QueryDef("q26_pipeline_parity", q26, Some(oq26)))
+    QueryDef("q26_pipeline_parity", q26, Some(oq26)),
+    QueryDef("q27_sql_correlated", q27, Some(oq27)))
 }
