@@ -296,6 +296,40 @@ object AnalyticsQueries {
       .orderBy("lang", "split")
   }
 
+  /** P4 — decontamination: training docs sharing any 8-token n-gram with
+    * the benchmark set (stand-in: every 50th doc), counted per language —
+    * the overlap check every serious training corpus runs against its
+    * eval benchmarks before training. Benchmark sets are small by nature,
+    * so the hash side BROADCASTS: the corpus is scanned once, narrow,
+    * and never shuffled — the 100 TB shape. 8-gram md5s are the same
+    * [[graft.functions.TextFns.kgramHashes]] stream winnowing uses. */
+  private def p04(s: SparkSession, d: String): DataFrame = {
+    val withG8 = tokenizedDocs(s, d)
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(graft.functions.TextFns.kgramHashes(col("toks"), 8)).as("g8"))
+    val benchHashes = withG8
+      .filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(explode(col("g8")).as("h"))
+      .distinct()
+    withG8
+      .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .select(col("doc_id"), col("lang"), explode(col("g8")).as("h"))
+      .join(broadcast(benchHashes), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("lang"))
+      .distinct()
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_contaminated"))
+      .orderBy("lang")
+  }
+
+  /** Documents with the token array staged once (TextFns performance
+    * contract — lambdas must read the attribute, not recompute split). */
+  private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"))
+
   /** P2 — document-length histogram: 50-char buckets, top bucket open
     * (≥550 clamps to 11). Fixed bucket count ⇒ the aggregate state is
     * bounded regardless of corpus size. */
@@ -415,6 +449,17 @@ object AnalyticsQueries {
       |SELECT lang, split, count(*) AS n, ROUND(avg(quality), 3) AS avg_quality
       |FROM sp GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  private val op04 =
+    """WITH t AS (SELECT doc_id, lang, string_split(text,' ') toks FROM documents),
+      |sh AS (SELECT doc_id, lang,
+      |    list_distinct(list_transform(generate_series(1, len(toks)-7),
+      |      i -> md5(toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]))) g8
+      |  FROM t WHERE len(toks) >= 8),
+      |bench AS (SELECT DISTINCT h FROM (SELECT unnest(g8) h FROM sh WHERE doc_id % 50 = 0)),
+      |train AS (SELECT doc_id, lang, unnest(g8) h FROM sh WHERE doc_id % 50 != 0),
+      |hits AS (SELECT DISTINCT train.doc_id, train.lang FROM train JOIN bench ON train.h = bench.h)
+      |SELECT lang, count(*) AS n_contaminated FROM hits GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_lag_delta", w01, Some(ow01)),
     QueryDef("w02_moving_avg", w02, Some(ow02)),
@@ -431,5 +476,6 @@ object AnalyticsQueries {
     QueryDef("s01_salted_agg", s01, Some(os01)),
     QueryDef("p01_train_split", p01, Some(op01)),
     QueryDef("p02_len_histogram", p02, Some(op02)),
-    QueryDef("p03_prep_funnel", p03, Some(op03)))
+    QueryDef("p03_prep_funnel", p03, Some(op03)),
+    QueryDef("p04_decontaminate", p04, Some(op04)))
 }
