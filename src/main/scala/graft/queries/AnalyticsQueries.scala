@@ -324,9 +324,11 @@ object AnalyticsQueries {
   }
 
   /** Documents with the token array staged once (TextFns performance
-    * contract — lambdas must read the attribute, not recompute split). */
+    * contract — lambdas must read the attribute, not recompute split).
+    * Rebalanced first: the single-file corpus otherwise runs all the
+    * downstream n-gram hashing on one core. */
   private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    graft.Tables.rebalance(s, documents(s, d))
       .select(col("doc_id"), col("lang"),
         graft.functions.TextFns.tokens(col("text")).as("toks"))
 
