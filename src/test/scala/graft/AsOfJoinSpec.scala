@@ -43,6 +43,21 @@ class AsOfJoinSpec extends AnyFunSuite {
       103L -> None))     // other keys' rows never leak
   }
 
+  test("same-(key,ts) right rows resolve to the struct-wise greatest, every run") {
+    // three right rows share (k=9, 10:00): the deterministic tiebreak
+    // must carry the greatest payload struct (rid=23) on all runs
+    val l = Seq((900L, 9L, ts("2024-01-01 10:30:00"))).toDF("lid", "k", "ts")
+    val r = Seq(
+      (21L, 9L, ts("2024-01-01 10:00:00")),
+      (23L, 9L, ts("2024-01-01 10:00:00")),
+      (22L, 9L, ts("2024-01-01 10:00:00"))).toDF("rid", "k", "ts")
+    (1 to 3).foreach { _ =>
+      val out = AsOfJoin.lastPrior(l, r, "k", "ts", struct(col("rid")))
+        .select(col("asof.rid")).collect()
+      assert(out.length == 1 && out.head.getLong(0) == 23L)
+    }
+  }
+
   test("left columns and row count are preserved") {
     val out = AsOfJoin.lastPrior(left, right, "k", "ts", struct(col("rid")))
     assert(out.count() == 4)
