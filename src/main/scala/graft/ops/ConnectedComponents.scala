@@ -68,8 +68,67 @@ object ConnectedComponents {
     und.unpersist() // the result reads from its own checkpoint only
     require(converged,
       s"label propagation did not converge in $maxIter iterations — " +
-        "component diameter exceeds the bound; raise maxIter (or switch " +
-        "to the large-star/small-star O(log n) variant for chain-shaped graphs)")
+        "component diameter exceeds the bound; raise maxIter or use " +
+        "runStar (O(log n) rounds, immune to chain-shaped components)")
     labels.select(col("v"), col("lbl").as("component"))
+  }
+
+  /** Alternating large-star/small-star connected components (the
+    * two-phase algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): converges in O(log n) ROUNDS
+    * regardless of component diameter — the variant for adversarial
+    * chain/path graphs where [[run]]'s one-hop flooding needs O(diameter)
+    * rounds. Same contract as [[run]].
+    *
+    * Each operation rewrites the edge set from every node's symmetric
+    * neighborhood, connecting neighbors to `m(u) = min(Γ(u) ∪ u)`:
+    * large-star moves the STRICTLY LARGER neighbors to m(u) (halving
+    * long tails), small-star the smaller-or-equal ones plus u itself
+    * (flattening toward the minimum). Both preserve connectivity and
+    * never bridge components (m(u) is in u's component by construction);
+    * alternating them contracts every component into a star rooted at
+    * its minimum. Per round: one groupBy + one join per star operation,
+    * hash partitioned on node id — the same bounded-dataflow shape as
+    * [[run]], just O(log n) of them. */
+  def runStar(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    // m(u) over the symmetric view; join back and re-point the selected
+    // neighbors at m; drop self-loops and duplicates
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = sym(e)
+      val m = nbrs.groupBy("u").agg(least(min(col("v")), min(col("u"))).as("m"))
+      val selected =
+        if (large) nbrs.filter(col("v") > col("u"))
+          .join(m, "u").select(col("v").as("u"), col("m").as("v"))
+        else nbrs.filter(col("v") <= col("u"))
+          .join(m, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(m.select(col("u"), col("m").as("v")))
+      selected.filter(col("u") =!= col("v")).distinct()
+    }
+    var cur = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = star(star(cur, large = true), large = false).localCheckpoint()
+      // converged when one large+small round is a no-op on the edge set
+      val changed = next.exceptAll(cur).limit(1).count() +
+        cur.exceptAll(next).limit(1).count()
+      cur.unpersist()
+      cur = next
+      converged = changed == 0L
+      i += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIter rounds")
+    // the converged set is a star per component: every node points at its
+    // minimum; the roots themselves label each member (and themselves).
+    // cur's checkpoint must stay live — the returned (lazy) plan reads it.
+    sym(cur).groupBy("u").agg(least(min(col("v")), min(col("u"))).as("m"))
+      .select(col("u").as("v"), col("m").as("component"))
   }
 }

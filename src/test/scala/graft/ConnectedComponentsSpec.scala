@@ -40,4 +40,32 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val c = components((star1 ++ star2 :+ (103L -> 202L)): _*)
     assert(c.values.toSet == Set(100L), s"bridged stars must share one label, got $c")
   }
+
+  private def starComponents(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.runStar(edges.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  test("runStar: a 60-node chain (diameter 59) converges in O(log n) rounds") {
+    // min-label propagation would need 60 one-hop rounds for this graph;
+    // the alternating star contraction collapses it within the default
+    // round budget and labels everything with the chain minimum
+    val chain = (1L until 60L).map(i => (i + 1) -> i)
+    val c = starComponents(chain)
+    assert(c.keySet == (1L to 60L).toSet)
+    assert(c.values.toSet == Set(1L), s"chain must collapse to min=1, got $c")
+  }
+
+  test("runStar ≡ run on randomized graphs") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(150)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val viaLabels = components(edges: _*)
+      val viaStars = starComponents(edges)
+      assert(viaLabels == viaStars,
+        s"disagreement: ${viaLabels.toSet.diff(viaStars.toSet)} vs ${viaStars.toSet.diff(viaLabels.toSet)}")
+    }
+  }
 }
