@@ -69,16 +69,17 @@ object ConnectedComponents {
     require(converged,
       s"label propagation did not converge in $maxIter iterations — " +
         "component diameter exceeds the bound; raise maxIter or use " +
-        "runStar (O(log n) rounds, immune to chain-shaped components)")
+        "runStar (polylog rounds independent of diameter)")
     labels.select(col("v"), col("lbl").as("component"))
   }
 
   /** Alternating large-star/small-star connected components (the
     * two-phase algorithm of Kiveris et al., "Connected Components in
-    * MapReduce and Beyond", SoCC'14): converges in O(log n) ROUNDS
-    * regardless of component diameter — the variant for adversarial
-    * chain/path graphs where [[run]]'s one-hop flooding needs O(diameter)
-    * rounds. Same contract as [[run]].
+    * MapReduce and Beyond", SoCC'14, the "Alternating"
+    * variant with a proven O(log² n) round bound, O(log n) observed in
+    * practice): rounds depend on graph SIZE, not diameter — the variant
+    * for adversarial chain/path graphs where [[run]]'s one-hop flooding
+    * needs O(diameter) rounds. Same contract as [[run]].
     *
     * Each operation rewrites the edge set from every node's symmetric
     * neighborhood, connecting neighbors to `m(u) = min(Γ(u) ∪ u)`:
@@ -89,7 +90,7 @@ object ConnectedComponents {
     * alternating them contracts every component into a star rooted at
     * its minimum. Per round: one groupBy + one join per star operation,
     * hash partitioned on node id — the same bounded-dataflow shape as
-    * [[run]], just O(log n) of them. */
+    * [[run]], in polylog-many rounds. */
   def runStar(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     def sym(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
@@ -116,9 +117,12 @@ object ConnectedComponents {
     var i = 0
     while (!converged && i < maxIter) {
       val next = star(star(cur, large = true), large = false).localCheckpoint()
-      // converged when one large+small round is a no-op on the edge set
-      val changed = next.exceptAll(cur).limit(1).count() +
-        cur.exceptAll(next).limit(1).count()
+      // converged when one large+small round is a no-op on the edge set;
+      // both sides are distinct, so equal counts + an empty one-direction
+      // anti-join imply set equality (one shuffle, not two exceptAlls)
+      val changed =
+        if (next.count() != cur.count()) 1L
+        else next.join(cur, Seq("u", "v"), "left_anti").limit(1).count()
       cur.unpersist()
       cur = next
       converged = changed == 0L

@@ -304,16 +304,21 @@ object AnalyticsQueries {
     * and never shuffled — the 100 TB shape. 8-gram md5s are the same
     * [[graft.functions.TextFns.kgramHashes]] stream winnowing uses. */
   private def p04(s: SparkSession, d: String): DataFrame = {
-    val withG8 = tokenizedDocs(s, d)
+    def g8Of(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"), col("lang"),
         array_distinct(graft.functions.TextFns.kgramHashes(col("toks"), 8)).as("g8"))
-    val benchHashes = withG8
-      .filter(pmod(col("doc_id"), lit(50)) === 0)
+    // the two sides come from SEPARATE pre-filtered scans: the bench
+    // slice is 1/50th and needs neither rebalance nor a second pass
+    // over the full corpus; only the train side pays the (rebalanced —
+    // single-file corpora arrive as one partition) full hashing pass
+    val benchHashes = g8Of(documents(s, d).filter(pmod(col("doc_id"), lit(50)) === 0))
       .select(explode(col("g8")).as("h"))
       .distinct()
-    withG8
-      .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    g8Of(graft.Tables.rebalance(s,
+        documents(s, d).filter(pmod(col("doc_id"), lit(50)) =!= 0)))
       .select(col("doc_id"), col("lang"), explode(col("g8")).as("h"))
       .join(broadcast(benchHashes), Seq("h"), "left_semi")
       .select(col("doc_id"), col("lang"))
@@ -322,15 +327,6 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_contaminated"))
       .orderBy("lang")
   }
-
-  /** Documents with the token array staged once (TextFns performance
-    * contract — lambdas must read the attribute, not recompute split).
-    * Rebalanced first: the single-file corpus otherwise runs all the
-    * downstream n-gram hashing on one core. */
-  private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
-    graft.Tables.rebalance(s, documents(s, d))
-      .select(col("doc_id"), col("lang"),
-        graft.functions.TextFns.tokens(col("text")).as("toks"))
 
   /** P2 — document-length histogram: 50-char buckets, top bucket open
     * (≥550 clamps to 11). Fixed bucket count ⇒ the aggregate state is

@@ -390,6 +390,10 @@ object Core {
     * the declared proof the engine's is real, not a DataFrame-only API. */
   private def q27(s: SparkSession, d: String): DataFrame = {
     graft.Catalog.registerAll(s, d)
+    // ROUND here is engine-identical only because o_totalprice carries
+    // exactly 2 decimals (TPC-H money), so ROUND(x,2) = x in both
+    // engines. A COMPUTED double (avg, sum×rate) must go through the
+    // oround/product-space parity rule instead — see Num.oround.
     s.sql(
       """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders o
         |WHERE o_totalprice > 3 * (SELECT AVG(o2.o_totalprice) FROM orders o2
