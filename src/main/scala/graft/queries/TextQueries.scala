@@ -31,6 +31,23 @@ object TextQueries {
         oround(avg(size(split(col("text"), " "))), 2).as("avg_tokens"))
       .orderBy("lang")
 
+  /** T8 — repetition ratio: the fraction of bigram OCCURRENCES that are
+    * repeats (1 − distinct/total), the cheap boilerplate/loop-generation
+    * signal corpus filters cut on (a templated or degenerate doc repeats
+    * its n-grams; clean prose doesn't). Top-50 most repetitive docs.
+    * Narrow per-row work; the only shuffle is the top-k. */
+  private def t08(s: SparkSession, d: String): DataFrame = {
+    val toks = col("toks")
+    val nBi = (size(toks) - 1).cast("double")
+    val nDist = size(TextFns.shinglesOf(toks, 2)).cast("double") // shinglesOf is distinct
+    graft.Tables.rebalance(s, documents(s, d))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), oround(lit(1.0) - nDist / nBi, 3).as("rep_ratio"))
+      .orderBy(col("rep_ratio").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** T2 — document quality score: 0.4·length + 0.3·(1−stopword ratio) +
     * 0.3·lexical diversity, the classic cheap pre-filter for training-data
     * curation. Arithmetic is all-double with left-assoc ordering, matching
@@ -226,6 +243,15 @@ object TextQueries {
       |SELECT doc_id, ROUND(avg(lp), 4) AS avg_logprob, count(*) AS n_bigrams
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private val ot08 =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |g AS (SELECT doc_id,
+      |    len(toks) - 1 AS n_bi,
+      |    len(list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1]))) AS n_dist
+      |  FROM t WHERE len(toks) >= 2)
+      |SELECT doc_id, ROUND(1.0 - n_dist::DOUBLE / n_bi, 3) AS rep_ratio
+      |FROM g ORDER BY rep_ratio DESC, doc_id LIMIT 50""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
@@ -233,5 +259,6 @@ object TextQueries {
     QueryDef("t04_token_stats", t04, Some(ot04)),
     QueryDef("t05_winnow_fingerprints", t05, Some(ot05)),
     QueryDef("t06_tfidf_top_terms", t06, Some(ot06)),
-    QueryDef("t07_bigram_lm_score", t07, Some(ot07)))
+    QueryDef("t07_bigram_lm_score", t07, Some(ot07)),
+    QueryDef("t08_repetition_ratio", t08, Some(ot08)))
 }
