@@ -100,6 +100,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream join: purchases matched to prior views within 30 min") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // the streaming analogue of the AS-OF/q23 shape: two live streams,
+    // inner-joined per user with a time-range condition; watermarks bound
+    // BOTH sides' join state so it can be evicted — the shape that holds
+    // at 100 TB/day, unlike an unbounded cache of either stream
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val p = purchases.toDF().toDF("p_user", "purchase_id", "pts")
+      .withWatermark("pts", "0 seconds")
+    val v = views.toDF().toDF("v_user", "view_id", "vts")
+      .withWatermark("vts", "0 seconds")
+    val joined = p.join(
+      v,
+      col("p_user") === col("v_user") &&
+        col("vts") <= col("pts") &&
+        col("vts") >= col("pts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("view_id"))
+    val query = joined.writeStream
+      .format("memory").queryName("ss_join").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      views.addData(
+        (1L, 100L, ts("2024-01-01 10:00:00")),
+        (1L, 101L, ts("2024-01-01 09:00:00")), // outside the 30-min window
+        (2L, 102L, ts("2024-01-01 10:05:00")))
+      purchases.addData(
+        (1L, 500L, ts("2024-01-01 10:10:00")),
+        (3L, 501L, ts("2024-01-01 10:10:00"))) // no views for user 3
+      query.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((500L, 100L)),
+        s"only the in-window view of the same user matches, got $got")
+    } finally {
+      query.stop(); query.awaitTermination()
+      spark.sql("DROP TABLE IF EXISTS ss_join")
+    }
+  }
+
   test("file source: readStream over a readings directory (production source path)") {
     val base = java.nio.file.Files.createTempDirectory("graft-filestream").toString
     val tagDim = Seq(("AA:BB:CC:DD:EE:01", "Kitchen")).toDF("mac", "name")
