@@ -200,6 +200,32 @@ object VectorQueries {
         lit(10L).as("k"), col("n_hits"),
         oround(col("n_hits").cast("double") / 10, 2).as("recall"))
 
+  /** V10 — BATCH ANN: many query vectors at once (vec_id < 5), each
+    * probing its own SRP bucket, top-3 per query via WindowGroupLimit —
+    * the realistic retrieval workload (requests arrive in batches, not
+    * one vector at a time). The query side stays a broadcast; the corpus
+    * is scanned ONCE for all queries (vs once per query in the
+    * loop-over-queries shape), and the per-query ranking shuffles only
+    * buckets' worth of scored candidates. */
+  private def v10(s: SparkSession, d: String): DataFrame = {
+    val b = corpus(s, d).select(
+      col("vec_id"), col("e"),
+      norm(col("e")).as("nrm"),
+      srpBucket(col("e"), 4).as("bucket"))
+    val q = b.filter(col("vec_id") < 5).select(
+      col("vec_id").as("qid"), col("e").as("qe"),
+      col("nrm").as("qn"), col("bucket").as("qb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    b.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        oround(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos_sim"))
+      .orderBy("qid", "rn")
+  }
+
   /** V4 — vector aggregate stats: per-label counts and mean L2 norm. */
   private def v04(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -303,6 +329,18 @@ object VectorQueries {
       |  ROUND(count(*)::DOUBLE / 10, 2) AS recall
       |FROM exact WHERE vec_id IN (SELECT vec_id FROM ann)""".stripMargin
 
+  private val ov10 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
+      |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n),
+      |q AS (SELECT vec_id qid, e qe, nrm qn, bucket qb FROM b WHERE vec_id < 5),
+      |scored AS (SELECT qid, b.vec_id,
+      |    ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) AS cos_sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) DESC, b.vec_id) rn
+      |  FROM b JOIN q ON b.bucket = q.qb AND b.vec_id != q.qid)
+      |SELECT qid, rn, vec_id, cos_sim FROM scored WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(ov01)),
     QueryDef("v02_srp_ann", v02, Some(ov02)),
@@ -312,5 +350,6 @@ object VectorQueries {
     QueryDef("v06_centroid_udaf", v06, Some(ov06)),
     QueryDef("v07_retrieval_join", v07, Some(ov07)),
     QueryDef("v08_int8_quantization", v08, Some(ov08)),
-    QueryDef("v09_recall_audit", v09, Some(ov09)))
+    QueryDef("v09_recall_audit", v09, Some(ov09)),
+    QueryDef("v10_batch_ann", v10, Some(ov10)))
 }
