@@ -122,8 +122,13 @@ object TextQueries {
 
   /** T6 — TF-IDF top terms per language: tf over (lang, term), idf over
     * document frequency, top-5 per lang via a ranking window. The tf and
-    * df aggregates are partial-aggregated shuffles bounded by |vocab|;
-    * the df side is vocabulary-sized and broadcast into the score join. */
+    * df aggregates are partial-aggregated shuffles bounded by |vocab|.
+    * The tf⋈df join is on `term` — both sides already hash-partitioned by
+    * their aggregate keys — and stays a shuffle join: df is
+    * vocabulary-sized (unbounded in the corpus), so forcing it into a
+    * driver broadcast would OOM at web scale. AQE may still choose
+    * broadcast when the measured size is small; the 1-row `nd` side is
+    * the only side we *pin* as broadcast. */
   private def t06(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
@@ -132,7 +137,7 @@ object TextQueries {
     // corpus size as a broadcast 1-row side — declarative, no driver action
     val nd = documents(s, d).agg(count(lit(1)).cast("double").as("n"))
     val scored = tf
-      .join(broadcast(df), Seq("term"))
+      .join(df, Seq("term"))
       .crossJoin(broadcast(nd))
       .select(
         col("lang"), col("term"),
@@ -148,8 +153,12 @@ object TextQueries {
   /** T7 — bigram language-model scoring: P(w2|w1) from corpus counts,
     * per-doc mean log-probability — the perplexity-style quality signal
     * for training-data curation. The bigram/unigram count tables are
-    * vocabulary-sized → broadcast into the scoring joins; the heavy side
-    * is one narrow pass + one bounded aggregate. */
+    * vocabulary²-sized — unbounded in the corpus — so they are NOT
+    * broadcast-hinted: on a web-scale corpus tens of GB of (w1,w2)
+    * counts through the driver is the classic broadcast OOM. The scoring
+    * joins key on (w1,w2)/(w1) and AQE picks broadcast only when the
+    * measured size is actually small. The localCheckpoint keeps the count
+    * tables computed ONCE (plan-asserted: one parquet scan total). */
   private def t07(s: SparkSession, d: String): DataFrame = {
     val t = graft.Tables.rebalance(s, documents(s, d))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
@@ -164,13 +173,13 @@ object TextQueries {
             element_at(col("toks"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     // localCheckpoint materializes the vocabulary-sized bigram counts
-    // ONCE — without it, broadcast(cb), cu's lineage and the probe join
-    // each re-execute the full corpus tokenize+explode (3 passes)
+    // ONCE — without it, cb, cu's lineage and the probe join each
+    // re-execute the full corpus tokenize+explode (3 passes)
     val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2")).localCheckpoint()
     val cu = cb.groupBy("w1").agg(sum("c2").as("c1"))
     bg
-      .join(broadcast(cb), Seq("w1", "w2"))
-      .join(broadcast(cu), Seq("w1"))
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
       .select(col("doc_id"), log(col("c2").cast("double") / col("c1")).as("lp"))
       .groupBy("doc_id")
       .agg(oround(avg("lp"), 4).as("avg_logprob"), count(lit(1)).as("n_bigrams"))

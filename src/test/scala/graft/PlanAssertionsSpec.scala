@@ -52,6 +52,35 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"filtered dimensions must broadcast, got:\n$plan")
   }
 
+  test("t07: bigram count table computes once; no forced vocab broadcast") {
+    val df = SparkEntry.queries("t07_bigram_lm_score")(spark, sf)
+    df.collect()
+    // AQE's toString echoes the pre-adaptive plan under "== Initial
+    // Plan ==" — count scans in the FINAL plan section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the probe side is the ONLY corpus scan — cb/cu read the
+    // localCheckpoint'd counts back as RDD scans, never re-tokenizing
+    val parquetScans = "Scan parquet".r.findAllIn(plan).length
+    assert(parquetScans == 1,
+      s"t07 must scan the corpus exactly once (counts via checkpoint), got $parquetScans in:\n$plan")
+    // the logical plan must carry no broadcast HINT on the unbounded
+    // vocabulary-sized sides (AQE may still *choose* broadcast at this
+    // tiny SF — that's fine; a forced hint is the driver-OOM scale bug)
+    val logical = df.queryExecution.analyzed.toString
+    assert(!logical.contains("ResolvedHint"),
+      s"t07 must not force-broadcast the vocab-sized count tables, got:\n$logical")
+  }
+
+  test("t06: no forced broadcast of the vocabulary-sized df table") {
+    val df = SparkEntry.queries("t06_tfidf_top_terms")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    // exactly one hint survives: the 1-row corpus-count side `nd`
+    assert(hints.size == 1,
+      s"t06 may broadcast only the 1-row nd side, found ${hints.size} hints")
+  }
+
   test("q02: the whole predicate reaches the parquet scan") {
     val df = SparkEntry.queries("q02_filter_count")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
