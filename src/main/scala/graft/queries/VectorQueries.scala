@@ -11,12 +11,15 @@ import graft.functions.VectorFns._
   * `embedding`, `label`).
   *
   * v01 is the exact brute-force baseline (one corpus pass per query — the
-  * correctness reference). v02 (SRP/LSH buckets) and v03 (IVF with the
-  * label as the coarse partition) are the 100 TB paths: both turn "scan
-  * the corpus" into "scan one bucket/partition", which is a partition-
-  * pruned fraction of the data once the corpus is written bucketed by the
-  * blocking key. The query side is always a 1-row broadcast — no shuffle
-  * of the corpus side.
+  * correctness reference). v02/v05 (SRP/LSH buckets) and v03 (IVF with
+  * the label as the coarse partition) are the 100 TB paths: both probe a
+  * PERSISTED corpus partitioned by the blocking key
+  * ([[graft.sources.VectorIndex]]), and the probe joins on the partition
+  * column — dynamic partition pruning opens only the probed directories,
+  * so "scan the corpus" really is "scan probes/2^bits (or
+  * nprobe/|labels|) of the data", plan-asserted in PlanAssertionsSpec.
+  * The query side is always a 1-row broadcast — no shuffle of the corpus
+  * side.
   */
 object VectorQueries {
 
@@ -40,18 +43,33 @@ object VectorQueries {
       .limit(10)
   }
 
-  /** V2 — SRP-bucketed ANN: 4-bit sign-projection bucket as the blocking
-    * key; only the query's bucket is scanned/ranked. At rest, partition
-    * the corpus by this bucket → the scan prunes to 1/2^bits of the data;
-    * recall is tunable via bits and multi-probe (flip one bit per probe). */
+  /** The SRP-bucket-partitioned corpus at rest
+    * ([[graft.sources.VectorIndex.ensureSrp]]), double-widened. The
+    * `pbucket` partition column is the blocking key: probes join on it,
+    * and dynamic partition pruning opens only the probed directories. */
+  private def srpCorpus(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graft.sources.VectorIndex.ensureSrp(s, d))
+      .select(
+        col("vec_id"), col("pbucket"),
+        toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+
+  /** The query vector arrives from OUTSIDE the index (the original row
+    * store) — at scale the index never scans itself to find the probe. */
+  private def queryVec(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qe"))
+      .select(col("qe"), norm(col("qe")).as("qn"))
+
+  /** V2 — SRP-bucketed ANN against the PERSISTED bucket-partitioned
+    * corpus: the probe joins on the partition column, so the scan is
+    * dynamically pruned to the query's one bucket — 1/2^bits of the
+    * data actually read, plan-asserted (PlanAssertionsSpec), not just
+    * narrated. Recall is tunable via bits and multi-probe (v05). */
   private def v02(s: SparkSession, d: String): DataFrame = {
-    val b = corpus(s, d).select(
-      col("vec_id"), col("e"),
-      norm(col("e")).as("nrm"),
-      srpBucket(col("e"), 4).as("bucket"))
-    val q = b.filter(col("vec_id") === 0)
-      .select(col("e").as("qe"), col("nrm").as("qn"), col("bucket").as("qb"))
-    b.join(broadcast(q), col("bucket") === col("qb"))
+    val q = queryVec(s, d)
+      .withColumn("qb", graft.sources.VectorIndex.pbucketOf(col("qe")))
+    srpCorpus(s, d).join(broadcast(q), col("pbucket") === col("qb"))
       .select(
         col("vec_id"),
         oround(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
@@ -59,34 +77,32 @@ object VectorQueries {
       .limit(10)
   }
 
-  /** V3 — IVF: per-label centroids (posexplode → per-(label,dim) avg →
-    * re-assembled vectors) as the coarse quantizer; probe the nearest
-    * centroid's partition only, exact re-rank inside it. The centroid
-    * table is tiny (|labels| rows) and broadcast. */
+  /** V3 — IVF against the PERSISTED index
+    * ([[graft.sources.VectorIndex.ensureIvf]]): the coarse quantizer
+    * (per-label centroids) is an offline artifact read back as a tiny
+    * table, not re-trained per query (through round 3 this posexploded
+    * the full corpus on every execution — correct, wrong at scale). The
+    * probe picks the nprobe=2 nearest centroids and joins them against
+    * the label-partitioned corpus; the join key is the partition column,
+    * so dynamic partition pruning opens only the 2 probed directories —
+    * nprobe/|labels| of the data read, exact re-rank inside. */
   private def v03(s: SparkSession, d: String): DataFrame = {
-    val c = corpus(s, d)
-    val cent = c
-      .select(col("label"), posexplode(col("e")).as(Seq("i", "x")))
-      .groupBy("label", "i")
-      .agg(avg("x").as("cx"))
-      .groupBy("label")
-      .agg(
-        transform(
-          sort_array(collect_list(struct(col("i"), col("cx")))),
-          p => p.getField("cx")).as("ce"))
-    val q = c.filter(col("vec_id") === 0).select(col("e").as("qe"))
-    val best = cent.crossJoin(broadcast(q))
+    val (centPath, corpPath) = graft.sources.VectorIndex.ensureIvf(s, d)
+    val q = queryVec(s, d)
+    val best = s.read.parquet(centPath).crossJoin(broadcast(q))
       .select(
         col("label"),
-        (dot(col("ce"), col("qe")) / (norm(col("ce")) * norm(col("qe")))).as("cs"))
+        (dot(col("ce"), col("qe")) / (norm(col("ce")) * col("qn"))).as("cs"))
       .orderBy(col("cs").desc, col("label"))
-      .limit(1)
+      .limit(2)
       .select(col("label").as("best_label"))
-    c.join(broadcast(best), col("label") === col("best_label"))
+    s.read.parquet(corpPath)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+      .join(broadcast(best), col("label") === col("best_label"))
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"),
-        oround(dot(col("e"), col("qe")) / (norm(col("e")) * norm(col("qe"))), 4).as("cos_sim"))
+        oround(dot(col("e"), col("qe")) / (norm(col("e")) * col("qn")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -98,21 +114,18 @@ object VectorQueries {
     * LSH at scale (more probes, not more data). Probes are a handful of
     * strings: broadcast, exploded, joined on the bucket key. */
   private def v05(s: SparkSession, d: String): DataFrame = {
-    val b = corpus(s, d).select(
-      col("vec_id"), col("e"),
-      norm(col("e")).as("nrm"),
-      srpBucket(col("e"), 4).as("bucket"))
-    val q = b.filter(col("vec_id") === 0)
-      .select(col("e").as("qe"), col("nrm").as("qn"), col("bucket").as("qb"))
+    val q = queryVec(s, d)
+      .withColumn("qb", srpBucket(col("qe"), 4))
     val flips = (1 to 4).map(j =>
       concat(
         substring(col("qb"), 1, j - 1),
         when(substring(col("qb"), j, 1) === "1", "0").otherwise("1"),
         substring(col("qb"), j + 1, 4 - j)))
     val probes = q
-      .select(col("qe"), col("qn"), explode(array(col("qb") +: flips: _*)).as("pb"))
+      .select(col("qe"), col("qn"), explode(array(col("qb") +: flips: _*)).as("pb0"))
+      .select(col("qe"), col("qn"), concat(lit("b"), col("pb0")).as("pb"))
       .distinct()
-    b.join(broadcast(probes), col("bucket") === col("pb"))
+    srpCorpus(s, d).join(broadcast(probes), col("pbucket") === col("pb"))
       .select(
         col("vec_id"),
         oround(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
@@ -226,6 +239,20 @@ object VectorQueries {
       .orderBy("qid", "rn")
   }
 
+  /** V11 — IVF recall audit: how much of the EXACT top-10 (v01) the
+    * persisted-index IVF probe (v03, nprobe=2) recovers — the same
+    * in-query error-budget check v09 runs for the SRP index. At scale
+    * this is the quality gate an offline index build publishes with the
+    * artifact: recall below target ⇒ rebuild with more probes/cells. */
+  private def v11(s: SparkSession, d: String): DataFrame =
+    v01(s, d).select(col("vec_id"))
+      .join(v03(s, d).select(col("vec_id").as("aid")),
+        col("vec_id") === col("aid"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(
+        lit(10L).as("k"), col("n_hits"),
+        oround(col("n_hits").cast("double") / 10, 2).as("recall"))
+
   /** V4 — vector aggregate stats: per-label counts and mean L2 norm. */
   private def v04(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -259,10 +286,10 @@ object VectorQueries {
       |q AS (SELECT e qe FROM n WHERE vec_id = 0),
       |best AS (SELECT label FROM cent, q
       |  ORDER BY list_sum(list_transform(list_zip(ce, qe), x -> x[1]*x[2]))
-      |           / (sqrt(list_sum(list_transform(ce, x->x*x))) * sqrt(list_sum(list_transform(qe, x->x*x)))) DESC, label LIMIT 1)
+      |           / (sqrt(list_sum(list_transform(ce, x->x*x))) * sqrt(list_sum(list_transform(qe, x->x*x)))) DESC, label LIMIT 2)
       |SELECT n.vec_id, ROUND(list_sum(list_transform(list_zip(n.e, q.qe), x -> x[1]*x[2]))
       |  / (sqrt(list_sum(list_transform(n.e, x->x*x))) * sqrt(list_sum(list_transform(q.qe, x->x*x)))), 4) AS cos_sim
-      |FROM n, q, best WHERE n.label = best.label ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+      |FROM n JOIN best ON n.label = best.label, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
   private val ov04 =
     """SELECT label, count(*) AS n,
@@ -341,6 +368,23 @@ object VectorQueries {
       |  FROM b JOIN q ON b.bucket = q.qb AND b.vec_id != q.qid)
       |SELECT qid, rn, vec_id, cos_sim FROM scored WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
+  private val ov11 =
+    """WITH n AS (SELECT vec_id, label, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |m AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm FROM n),
+      |q AS (SELECT e qe, nrm qn FROM m WHERE vec_id = 0),
+      |exact AS (SELECT vec_id FROM m, q
+      |  ORDER BY ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) DESC, vec_id LIMIT 10),
+      |cd AS (SELECT label, i, avg(e[i]) c FROM n, (SELECT unnest(generate_series(1,64)) i) GROUP BY label, i),
+      |cent AS (SELECT label, list(c ORDER BY i) ce FROM cd GROUP BY label),
+      |best AS (SELECT label FROM cent, q
+      |  ORDER BY list_sum(list_transform(list_zip(ce, qe), x -> x[1]*x[2]))
+      |           / (sqrt(list_sum(list_transform(ce, x->x*x))) * qn) DESC, label LIMIT 2),
+      |ivf AS (SELECT m.vec_id FROM m JOIN best ON m.label = best.label, q
+      |  ORDER BY ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) DESC, vec_id LIMIT 10)
+      |SELECT 10::BIGINT AS k, count(*) AS n_hits,
+      |  ROUND(count(*)::DOUBLE / 10, 2) AS recall
+      |FROM exact WHERE vec_id IN (SELECT vec_id FROM ivf)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(ov01)),
     QueryDef("v02_srp_ann", v02, Some(ov02)),
@@ -351,5 +395,6 @@ object VectorQueries {
     QueryDef("v07_retrieval_join", v07, Some(ov07)),
     QueryDef("v08_int8_quantization", v08, Some(ov08)),
     QueryDef("v09_recall_audit", v09, Some(ov09)),
-    QueryDef("v10_batch_ann", v10, Some(ov10)))
+    QueryDef("v10_batch_ann", v10, Some(ov10)),
+    QueryDef("v11_ivf_recall", v11, Some(ov11)))
 }

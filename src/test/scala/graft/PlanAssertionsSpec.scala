@@ -81,6 +81,24 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"t06 may broadcast only the 1-row nd side, found ${hints.size} hints")
   }
 
+  test("v03: IVF probe dynamically prunes the label-partitioned corpus") {
+    val plan = executedPlan("v03_ivf_centroid")
+    val scanLine = plan.split("\n").find(_.contains("ivf_corpus"))
+      .getOrElse(fail(s"no ivf_corpus scan in:\n$plan"))
+    assert(scanLine.contains("dynamicpruningexpression(label"),
+      s"the nprobe join must prune corpus partitions via DPP, got:\n$scanLine")
+  }
+
+  test("v02/v05: SRP probes dynamically prune the bucket-partitioned corpus") {
+    Seq("v02_srp_ann", "v05_srp_multiprobe").foreach { name =>
+      val plan = executedPlan(name)
+      val scanLine = plan.split("\n").find(_.contains("srp_corpus"))
+        .getOrElse(fail(s"no srp_corpus scan in:\n$plan"))
+      assert(scanLine.contains("dynamicpruningexpression(pbucket"),
+        s"$name: the bucket probe must prune corpus partitions via DPP, got:\n$scanLine")
+    }
+  }
+
   test("q02: the whole predicate reaches the parquet scan") {
     val df = SparkEntry.queries("q02_filter_count")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -73,11 +73,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(multi.size >= single.size || multi.size == 10)
   }
 
-  test("IVF probe returns vectors from exactly one coarse partition") {
+  test("IVF probe returns vectors from at most nprobe=2 coarse partitions") {
     val ann = SparkEntry.queries("v03_ivf_centroid")(spark, sf).collect().map(_.getLong(0))
     val labels = Tables.embeddings(spark, sf)
       .filter(col("vec_id").isin(ann: _*))
       .select("label").distinct().collect()
-    assert(labels.length == 1, "IVF re-rank stays within the probed partition")
+    assert(labels.length <= 2, "IVF re-rank stays within the probed partitions")
   }
 }
