@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** The full declared inventory. */
   val inventory: Seq[QueryDef] =
-    Core.defs ++ DedupQueries.defs ++ TextQueries.defs ++
+    Core.defs ++ SqlQueries.defs ++ DedupQueries.defs ++ TextQueries.defs ++
       VectorQueries.defs ++ MultimodalQueries.defs ++ AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

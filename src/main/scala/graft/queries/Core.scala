@@ -401,6 +401,47 @@ object Core {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Q28 — the q13 orders⋈lineitem edge with its AT-SCALE physical
+    * shape, runtime-filtered. At 100 TB neither fact side broadcasts:
+    * the join is a shuffle join, and the optimization that matters is
+    * the Spark 4 runtime bloom filter — built from one side's
+    * selective filter, applied to the other side BEFORE its shuffle,
+    * so rows whose key can't join never leave the scan stage. Here the
+    * rule injects two: lineitem's shipdate-filtered orderkeys prune
+    * the orders scan, and the BUILDING customers prune o_custkey. The
+    * conf overrides model scale on a local SF — the rule declines when
+    * a fact side is broadcastable-by-size (none is at 100 TB) or the
+    * probe scan is under the 10 GB floor (a 100 TB lineitem clears it
+    * on its own; the defaults are the right production values).
+    * Result ≡ q13: the bloom is pure physical pruning, same oracle. */
+  private def q28(s0: SparkSession, d: String): DataFrame = {
+    // cloned session: carries the demo threshold without leaking it
+    // into sibling queries (SQLConf is read when THIS DF executes)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // the rule only fires on a PROBABLY-SHUFFLE join: if either fact
+    // side is broadcastable-by-size it declines. At 100 TB neither fact
+    // clears the broadcast threshold on its own; model that here.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val cutoff = to_timestamp(lit("1998-06-01"))
+    val building = customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = orders(s, d).filter(col("o_orderdate") < cutoff)
+    val l = lineitem(s, d).filter(col("l_shipdate") > cutoff)
+    // o⋈l first: the bloom's creation side must be a selective
+    // filter directly over a scan (a join-shaped creation side
+    // disqualifies the rule); the dimension semi-join lands after
+    o.join(l.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(building), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(oround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
   /** Q26 — the COMPOSED reference-parity pipeline, oracle-checked end to
     * end: synthesize format-5 readings from events (5 sensors, 3
     * whitelisted), then run [[graft.etl.Pipeline.batch]] — whitelist
@@ -713,5 +754,6 @@ object Core {
     QueryDef("q24_sessionize", q24, Some(oq24)),
     QueryDef("q25_hash_sample", q25, Some(oq25)),
     QueryDef("q26_pipeline_parity", q26, Some(oq26)),
-    QueryDef("q27_sql_correlated", q27, Some(oq27)))
+    QueryDef("q27_sql_correlated", q27, Some(oq27)),
+    QueryDef("q28_runtime_bloom", q28, Some(oq13)))
 }

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-frontend family: queries that arrive as SQL TEXT, not DataFrame
+  * calls — the surface a BI tool or notebook user actually hits.
+  *
+  * q27 (Core) proved `spark.sql` + [[graft.Catalog]] works for one
+  * correlated subquery; these cover the rest of what a SQL user leans
+  * on: ranking/analytic window functions (q29), multi-step CTE chains
+  * (q30), correlated NOT EXISTS (q31 — must plan as an anti-join, not a
+  * per-row subquery), and IN-subqueries (q32 — a semi-join). The plan
+  * shapes are pinned in PlanAssertionsSpec.
+  *
+  * Each query's ONE SQL string is both what the engine executes and
+  * what the DuckDB oracle runs (the q27 identical-ANSI-text trick), so
+  * the check is end-to-end through the SQL parser — no DataFrame
+  * re-statement that could drift. The texts stay in the ANSI dialect
+  * subset both engines share; the one type trap is ranking functions
+  * (Int in Spark, BIGINT in DuckDB), normalized with explicit CASTs.
+  * Money sums round safely: o_totalprice carries exactly 2 decimals, so
+  * ROUND(SUM(...), 2) only strips float noise — a COMPUTED double with
+  * a live 3rd decimal would need the oround/product-space rule instead
+  * and could not use the shared-text form.
+  */
+object SqlQueries {
+
+  private def sql(text: String): (SparkSession, String) => DataFrame =
+    (s, d) => { graft.Catalog.registerAll(s, d); s.sql(text) }
+
+  /** Q29 — analytic window functions through SQL: per-customer order
+    * rank and partition count in one window pass (one shuffle on
+    * o_custkey serves both frames). */
+  private val q29Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+      |  CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+      |FROM orders
+      |ORDER BY o_custkey, rnk, o_orderkey LIMIT 200""".stripMargin
+
+  /** Q30 — a CTE chain: dimension join → fact aggregation → final
+    * ranking, each step named. Catalyst inlines the chain and plans it
+    * as one tree (broadcast dims, partial agg) — CTEs cost nothing. */
+  private val q30Sql =
+    """WITH cust_nat AS (
+      |  SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |),
+      |nat_orders AS (
+      |  SELECT n_name, count(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+      |  FROM orders JOIN cust_nat ON o_custkey = c_custkey
+      |  GROUP BY n_name
+      |)
+      |SELECT n_name, n_orders, revenue FROM nat_orders ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Q31 — correlated NOT EXISTS: customers with no order above the
+    * threshold. Must decorrelate to ONE anti-join (plan-asserted) — the
+    * naive per-customer subquery would be |customer| probes. */
+  private val q31Sql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+      |ORDER BY c_custkey LIMIT 100""".stripMargin
+
+  /** Q32 — IN-subquery: parts ever shipped at near-max quantity. Plans
+    * as a semi-join on the distinct subquery keys. */
+  private val q32Sql =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      |ORDER BY p_partkey LIMIT 100""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q29_sql_window", sql(q29Sql), Some(q29Sql)),
+    QueryDef("q30_sql_cte", sql(q30Sql), Some(q30Sql)),
+    QueryDef("q31_sql_not_exists", sql(q31Sql), Some(q31Sql)),
+    QueryDef("q32_sql_in_subquery", sql(q32Sql), Some(q32Sql)))
+}

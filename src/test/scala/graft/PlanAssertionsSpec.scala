@@ -99,6 +99,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
+  test("q28: runtime bloom filters prune the fact-join shuffle") {
+    val plan = executedPlan("q28_runtime_bloom")
+    assert(plan.contains("SortMergeJoin"),
+      s"the fact join must keep its at-scale shuffle shape, got:\n$plan")
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+      s"a runtime bloom filter must prune a fact scan pre-shuffle, got:\n$plan")
+  }
+
+  test("q31/q32: SQL-text subqueries decorrelate to anti/semi joins") {
+    val anti = executedPlan("q31_sql_not_exists")
+    assert(anti.contains("LeftAnti"),
+      s"NOT EXISTS must plan as one anti-join, got:\n$anti")
+    val semi = executedPlan("q32_sql_in_subquery")
+    assert(semi.contains("LeftSemi"),
+      s"IN-subquery must plan as one semi-join, got:\n$semi")
+    Seq(anti, semi).foreach(p =>
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"subquery must not fall back to a nested loop:\n$p"))
+  }
+
   test("q02: the whole predicate reaches the parquet scan") {
     val df = SparkEntry.queries("q02_filter_count")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
