@@ -83,7 +83,9 @@ object DedupQueries {
     * against ~2 s for this shape at sf0.1, same output. At 100 TB the
     * carried arrays widen the bucket shuffle 4×; if that dominates,
     * persist the shingle table and join back instead — the band/bucket
-    * skeleton is unchanged. A pair sharing several bands is scored once
+    * skeleton is unchanged (implemented as [[d07]]; the bench carries
+    * both so the switch point is a measurement, not a comment). A pair
+    * sharing several bands is scored once
     * per band and collapsed by the final distinct — duplicate scores of
     * the same pair are identical, so distinct-after-verify is exact. */
   private def d02(s: SparkSession, d: String): DataFrame =
@@ -128,6 +130,56 @@ object DedupQueries {
       .select(col("p.da").as("da"), col("p.db").as("db"),
         (col("p.ni").cast("double") / (col("p.na") + col("p.nb") - col("p.ni"))).as("jac"))
       .filter(col("jac") >= 0.8)
+  }
+
+  /** D7 — the SAME MinHash+LSH dedup as d02 in its at-scale JOIN-BACK
+    * shape, the documented escape hatch for when d02's carried shingle
+    * arrays dominate the band shuffle. The shingle table is persisted
+    * once (localCheckpoint standing in for the parquet artifact an
+    * indexing job would write); the 4× band explosion then carries ONLY
+    * (doc_id, band key) — a few longs per row instead of the array —
+    * candidate pairs are distinct'd BEFORE verification, and exactly the
+    * surviving pairs join back to the shingle table (twice, keyed on
+    * doc_id) for the exact-Jaccard check. Three shuffles + two joins vs
+    * d02's two shuffles + zero joins, but the big one (bands) is narrow.
+    * The switch point is measured, not guessed: at sf0.1 d02 = 1.6 s vs
+    * d07 = 3.4 s (the checkpoint barrier + two extra joins dominate
+    * while the ~100-element arrays are cheap to carry), so d02 is the
+    * default and the join-back becomes worth it only when per-doc
+    * shingle cardinality × band replication outweighs two corpus-wide
+    * joins — both stay benched so the crossover is re-measured per
+    * corpus. Oracle-identical to d02 by construction (same od02 text). */
+  private def d07(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d).localCheckpoint()
+    val withHs = sh.select(col("doc_id"), TextFns.shingleHashes(col("sh")).as("hs"))
+    val mh = (0 until 8).map(i =>
+      TextFns.minhashPerm(col("hs"), MhA(i), MhB(i), MhP).as(s"mh$i"))
+    val sig = withHs.select(col("doc_id") +: mh: _*)
+    val bandKeys = (0 until 4).map(b =>
+      concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+    val bands = sig.select(
+      col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bh")))
+    val pairs = bands
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - 1, lit(0))),
+          y => struct(x.as("da"), y.as("db")))))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sha"), col("shb"))).as("ni"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .select(col("da"), col("db"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .select(col("da"), col("db"), oround(col("jac"), 3).as("jaccard"))
+      .orderBy("da", "db")
   }
 
   /** D6 — duplicate CLUSTERS from the near-dup pairs: connected
@@ -309,5 +361,6 @@ object DedupQueries {
     QueryDef("d03_simhash_groups", d03, Some(od03)),
     QueryDef("d04_ngram_jaccard_topk", d04, Some(od04)),
     QueryDef("d05_embedding_near_dup", d05, Some(od05)),
-    QueryDef("d06_dup_components", d06, Some(od06)))
+    QueryDef("d06_dup_components", d06, Some(od06)),
+    QueryDef("d07_lsh_joinback", d07, Some(od02)))
 }
