@@ -442,6 +442,76 @@ object Core {
       .limit(20)
   }
 
+  /** Q33 — STREAMING REPLAY parity: the same synthesized readings as
+    * q26, driven through the Structured Streaming runtime instead of
+    * batch — file micro-batch source (`maxFilesPerTrigger=1`), the
+    * watermarked windowed aggregate, the `foreachBatch` dual sink with
+    * per-batch dynamic-overwrite partitions — then the sensor sink is
+    * read BACK and returned, so the DuckDB oracle pins what the
+    * streaming sink actually persisted, not just what a test observed.
+    *
+    * Determinism: append mode emits each (window, mac) exactly once,
+    * whenever the watermark passes it, so the UNION of all batch
+    * partitions is batch-split-independent. A far-future sentinel
+    * reading (null payload — dropped by decode, but event time still
+    * advances the watermark) rides in a SECOND source file with a later
+    * mtime, guaranteeing every real window flushes before the query
+    * drains; the sentinel's own window stays above the final watermark
+    * and never emits. Two traps, both load-bearing:
+    *
+    *  - the sentinel carries a VALID payload on a NON-whitelisted MAC,
+    *    not an invalid payload: Catalyst pushes the decode-validity
+    *    Filter BELOW the EventTimeWatermark node (it doesn't reference
+    *    the event-time column), so an invalid-payload row is discarded
+    *    before its event time ever registers in the watermark stats.
+    *    The whitelist is a semi-JOIN — joins are never pushed below
+    *    the watermark — so the valid-payload sentinel registers first,
+    *    then drops, holding no state;
+    *  - TWO sentinel files, because emission in micro-batch N uses the
+    *    watermark computed from batch N-1: the first advances the
+    *    watermark past every real window, the second drives the one
+    *    more micro-batch in which the last real window actually
+    *    flushes.
+    *
+    * `batch_id` is dropped on read-back: WHICH batch
+    * emitted a window depends on file ordering, the row set does not.
+    * Fresh source/checkpoint/sink dirs per run — replaying the replay
+    * is itself idempotent. */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Path}
+    val root = Files.createTempDirectory("graft_replay")
+    val src = Files.createDirectory(root.resolve("src"))
+    def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = root.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+      val dst = Files.copy(part, src.resolve(s"$name.parquet"))
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    val readings = synthReadings(s, d)
+    def sentinel(ts: String) = s.range(1).select(
+      lit("AA:BB:CC:DD:EE:99").as("mac"), // NOT in the whitelist
+      to_timestamp(lit(ts)).as("ts"),
+      unhex(graft.functions.Format5.encodeHex(
+        lit(0L), lit(0L), lit(0L), lit(0L), lit(0L), lit(0L), lit(0L))).as("payload"))
+    // distinct mtimes pin the file-source processing order: real data
+    // first, watermark-flush sentinels last
+    stage(readings, "batch0", 1000000000000L)
+    stage(sentinel("2030-01-01 00:00:00"), "batch1", 1000000060000L)
+    stage(sentinel("2030-02-01 00:00:00"), "batch2", 1000000120000L)
+    val stream = s.readStream.schema(readings.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val out = root.resolve("out").toString
+    val query = graft.etl.Pipeline.streaming(
+      stream, synthTags(s), out, root.resolve("ckp").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      watermark = "1 minute")
+    query.awaitTermination()
+    s.read.parquet(s"$out/sensor_data")
+      .drop("batch_id")
+      .orderBy("mac", "time")
+  }
+
   /** Q26 — the COMPOSED reference-parity pipeline, oracle-checked end to
     * end: synthesize format-5 readings from events (5 sensors, 3
     * whitelisted), then run [[graft.etl.Pipeline.batch]] — whitelist
@@ -450,12 +520,21 @@ object Core {
     * wrap-aware movement delta → name enrichment. The golden tests pin
     * hand-computed cases; this pins the whole dataflow against an
     * independent engine at 10k-event scale. */
-  private def q26(s: SparkSession, d: String): DataFrame = {
+  /** The synthetic tag dimension shared by q26 (batch parity) and q33
+    * (streaming replay parity). */
+  private def synthTags(s: SparkSession): DataFrame = {
     import s.implicits._
-    val tags = Seq(
+    Seq(
       ("AA:BB:CC:DD:EE:01", "Kitchen"),
       ("AA:BB:CC:DD:EE:02", "Sauna"),
       ("AA:BB:CC:DD:EE:03", "Garage")).toDF("mac", "name")
+  }
+
+  /** Deterministic format-5 readings synthesized from `events` (5
+    * sensors, 3 whitelisted) — the shared input of q26 and q33, so the
+    * batch and streaming runtimes are checked against the SAME oracle
+    * dataflow. */
+  private def synthReadings(s: SparkSession, d: String): DataFrame = {
     val payloadHex = graft.functions.Format5.encodeHex(
       tempRaw = oround(col("value") * 200, 0).cast("long"),
       humRaw = get_json_object(col("props"), "$.k").cast("long") * 400,
@@ -464,12 +543,17 @@ object Core {
       ayRaw = (col("event_id") % 1999) - 999,
       azRaw = (col("event_id") % 997) - 498,
       movementRaw = col("event_id"))
-    val readings = events(s, d)
+    events(s, d)
       .filter(get_json_object(col("props"), "$.k").isNotNull)
       .select(
         concat(lit("aa:bb:cc:dd:ee:0"), ((col("user_id") % 5) + 1).cast("string")).as("mac"),
         col("ts"),
         unhex(payloadHex).as("payload"))
+  }
+
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    val tags = synthTags(s)
+    val readings = synthReadings(s, d)
     graft.etl.Pipeline.batch(readings, tags)
       .select(
         col("time"), col("mac"), col("temperature"), col("humidity"),
@@ -680,6 +764,35 @@ object Core {
       |                          WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** oq33 = oq26's pipeline reduced to the SENSOR sink projection (the
+    * streaming dual sink's atmospheric vertical, OP-12). */
+  private val oq33 =
+    """WITH raw AS (
+      |  SELECT upper('aa:bb:cc:dd:ee:0' || ((user_id % 5) + 1)::VARCHAR) AS mac, ts,
+      |    ((round(value*200)::BIGINT % 65536) + 65536) % 65536 AS traw,
+      |    (json_extract(props,'$.k')::BIGINT * 400) % 65536 AS hraw,
+      |    (user_id * 100) % 65536 AS praw
+      |  FROM events WHERE json_extract(props,'$.k') IS NOT NULL
+      |    AND value IS NOT NULL AND user_id IS NOT NULL),
+      |dec AS (
+      |  SELECT mac, ts,
+      |    ROUND((CASE WHEN traw >= 32768 THEN traw-65536 ELSE traw END) * (0.005::DOUBLE), 2) AS t,
+      |    ROUND(LEAST(hraw * (0.0025::DOUBLE), 100.0::DOUBLE), 2) AS h,
+      |    ROUND((praw + 50000) / (100.0::DOUBLE), 2) AS p
+      |  FROM raw
+      |  WHERE mac IN ('AA:BB:CC:DD:EE:01','AA:BB:CC:DD:EE:02','AA:BB:CC:DD:EE:03')),
+      |w AS (SELECT *, epoch_us(ts) // 1800000000 AS wb FROM dec),
+      |agg AS (SELECT mac, wb,
+      |    ROUND(avg(t), 2) AS temperature, ROUND(avg(h), 2) AS humidity,
+      |    ROUND(avg(p), 2) AS pressure, count(*)::INT AS samples
+      |  FROM w GROUP BY mac, wb)
+      |SELECT mac, temperature, humidity, pressure,
+      |  to_timestamp((wb + 1) * 1800)::TIMESTAMP AS time,
+      |  CASE mac WHEN 'AA:BB:CC:DD:EE:01' THEN 'Kitchen'
+      |           WHEN 'AA:BB:CC:DD:EE:02' THEN 'Sauna'
+      |           ELSE 'Garage' END AS name, samples
+      |FROM agg ORDER BY mac, time""".stripMargin
+
   private val oq26 =
     """WITH raw AS (
       |  SELECT upper('aa:bb:cc:dd:ee:0' || ((user_id % 5) + 1)::VARCHAR) AS mac, ts,
@@ -755,5 +868,6 @@ object Core {
     QueryDef("q25_hash_sample", q25, Some(oq25)),
     QueryDef("q26_pipeline_parity", q26, Some(oq26)),
     QueryDef("q27_sql_correlated", q27, Some(oq27)),
-    QueryDef("q28_runtime_bloom", q28, Some(oq13)))
+    QueryDef("q28_runtime_bloom", q28, Some(oq13)),
+    QueryDef("q33_stream_replay", q33, Some(oq33)))
 }
