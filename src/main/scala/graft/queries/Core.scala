@@ -479,14 +479,20 @@ object Core {
     * is itself idempotent. */
   private def q33(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Path}
+    def rmTree(p: Path): Unit =
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); () })
     val root = Files.createTempDirectory("graft_replay")
     val src = Files.createDirectory(root.resolve("src"))
     def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
       val tmp = root.resolve(s"stage_$name")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+      val listing = Files.list(tmp)
+      val part = try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
+      finally listing.close()
       val dst = Files.copy(part, src.resolve(s"$name.parquet"))
       Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      rmTree(tmp) // the copied data file is the only survivor
     }
     val readings = synthReadings(s, d)
     def sentinel(ts: String) = s.range(1).select(
@@ -507,6 +513,11 @@ object Core {
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       watermark = "1 minute")
     query.awaitTermination()
+    // the stream has drained: source files and checkpoint are done with.
+    // The sink must OUTLIVE this call — the returned frame reads it
+    // lazily — so `out` is the one subtree left behind.
+    rmTree(src)
+    rmTree(root.resolve("ckp"))
     s.read.parquet(s"$out/sensor_data")
       .drop("batch_id")
       .orderBy("mac", "time")

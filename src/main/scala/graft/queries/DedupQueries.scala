@@ -67,6 +67,16 @@ object DedupQueries {
     24680L, 11111L, 77777L, 31415L)
   private val MhP = 1000000007L
 
+  /** The 8 MinHash signature components over a staged `hs` hash-array
+    * column, and the 4 two-row band keys over the resulting mh0..mh7 —
+    * the ONE definition d02 and d07 both band with (the two variants
+    * claim oracle-identity; a constant edited on only one side would
+    * silently de-sync them until the other's oracle run failed). */
+  private def minhashCols: Seq[Column] = (0 until 8).map(i =>
+    TextFns.minhashPerm(col("hs"), MhA(i), MhB(i), MhP).as(s"mh$i"))
+  private def bandKeyCols: Seq[Column] = (0 until 4).map(b =>
+    concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+
   /** D2 — MinHash + LSH banding: ONE md5 pass per shingle set, then 8
     * integer-permutation signature components (min of `(a*h+b) mod p`),
     * 4 bands of 2 rows; docs sharing a band key are candidates; candidates
@@ -100,16 +110,12 @@ object DedupQueries {
   private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val withHs = shingled(s, d)
       .select(col("doc_id"), col("sh"), TextFns.shingleHashes(col("sh")).as("hs"))
-    val mh = (0 until 8).map(i =>
-      TextFns.minhashPerm(col("hs"), MhA(i), MhB(i), MhP).as(s"mh$i"))
-    val sig = withHs.select(col("doc_id") +: col("sh") +: mh: _*)
+    val sig = withHs.select(col("doc_id") +: col("sh") +: minhashCols: _*)
     // band key = the two component values, delimited — no hashing needed,
     // the pair of longs IS the identity the band compares on
-    val bandKeys = (0 until 4).map(b =>
-      concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
     val bands = sig.select(
       col("doc_id"), col("sh"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bh")))
+      posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh")))
     val buckets = bands
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("sh").as("sh"))))
@@ -152,13 +158,9 @@ object DedupQueries {
   private def d07(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d).localCheckpoint()
     val withHs = sh.select(col("doc_id"), TextFns.shingleHashes(col("sh")).as("hs"))
-    val mh = (0 until 8).map(i =>
-      TextFns.minhashPerm(col("hs"), MhA(i), MhB(i), MhP).as(s"mh$i"))
-    val sig = withHs.select(col("doc_id") +: mh: _*)
-    val bandKeys = (0 until 4).map(b =>
-      concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+    val sig = withHs.select(col("doc_id") +: minhashCols: _*)
     val bands = sig.select(
-      col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bh")))
+      col("doc_id"), posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh")))
     val pairs = bands
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))

@@ -114,16 +114,9 @@ object VectorQueries {
     * LSH at scale (more probes, not more data). Probes are a handful of
     * strings: broadcast, exploded, joined on the bucket key. */
   private def v05(s: SparkSession, d: String): DataFrame = {
-    val q = queryVec(s, d)
-      .withColumn("qb", srpBucket(col("qe"), 4))
-    val flips = (1 to 4).map(j =>
-      concat(
-        substring(col("qb"), 1, j - 1),
-        when(substring(col("qb"), j, 1) === "1", "0").otherwise("1"),
-        substring(col("qb"), j + 1, 4 - j)))
-    val probes = q
-      .select(col("qe"), col("qn"), explode(array(col("qb") +: flips: _*)).as("pb0"))
-      .select(col("qe"), col("qn"), concat(lit("b"), col("pb0")).as("pb"))
+    val probes = queryVec(s, d)
+      .select(col("qe"), col("qn"),
+        explode(graft.sources.VectorIndex.multiProbeKeys(col("qe"))).as("pb"))
       .distinct()
     srpCorpus(s, d).join(broadcast(probes), col("pbucket") === col("pb"))
       .select(
@@ -205,8 +198,13 @@ object VectorQueries {
     * probe a production ANN index runs on sampled queries; recall below
     * target ⇒ add probes or bits. */
   private def v09(s: SparkSession, d: String): DataFrame =
-    v01(s, d).select(col("vec_id"))
-      .join(v05(s, d).select(col("vec_id").as("aid")),
+    recallAudit(v01(s, d), v05(s, d))
+
+  /** recall@10 of an ANN result vs the exact top-10 — the ONE
+    * definition both audits (v09 SRP, v11 IVF) measure with. */
+  private def recallAudit(exact: DataFrame, ann: DataFrame): DataFrame =
+    exact.select(col("vec_id"))
+      .join(ann.select(col("vec_id").as("aid")),
         col("vec_id") === col("aid"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
       .select(
@@ -245,13 +243,7 @@ object VectorQueries {
     * this is the quality gate an offline index build publishes with the
     * artifact: recall below target ⇒ rebuild with more probes/cells. */
   private def v11(s: SparkSession, d: String): DataFrame =
-    v01(s, d).select(col("vec_id"))
-      .join(v03(s, d).select(col("vec_id").as("aid")),
-        col("vec_id") === col("aid"), "left_semi")
-      .agg(count(lit(1)).as("n_hits"))
-      .select(
-        lit(10L).as("k"), col("n_hits"),
-        oround(col("n_hits").cast("double") / 10, 2).as("recall"))
+    recallAudit(v01(s, d), v03(s, d))
 
   /** V4 — vector aggregate stats: per-label counts and mean L2 norm. */
   private def v04(s: SparkSession, d: String): DataFrame =

@@ -1,8 +1,9 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
+import java.util.Comparator
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns._
@@ -56,6 +57,27 @@ object VectorIndex {
   private def built(dir: String): Boolean =
     Files.exists(Paths.get(dir, "_SUCCESS"))
 
+  /** Build into a process-private staging dir, then ATOMIC-rename onto
+    * the final path. The JVM-level `synchronized` on the ensure methods
+    * only serializes one process; Verify/Bench/forked-test JVMs can race
+    * the same /tmp cache — with the rename, a reader either sees no
+    * `_SUCCESS` (and builds its own staging copy) or a complete
+    * artifact, never a half-written directory. The rename loser simply
+    * discards its staging copy. */
+  private def buildAtomic(finalDir: String)(write: String => Unit): Unit = {
+    if (built(finalDir)) return
+    val staging = s"$finalDir.build-${ProcessHandle.current().pid()}"
+    write(staging)
+    try Files.move(
+      Paths.get(staging), Paths.get(finalDir), StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: FileAlreadyExistsException | _: java.nio.file.FileSystemException =>
+        // lost the race — a concurrent builder finished first; use theirs
+        Files.walk(Paths.get(staging)).sorted(Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   /** Build (once) and return (centroidsPath, corpusPath) for the IVF
     * index over `sfDir`'s embeddings. Synchronized: suites running in
     * parallel in one JVM must not race the build. */
@@ -63,7 +85,7 @@ object VectorIndex {
     val root = indexRoot(sfDir)
     val cent = s"$root/ivf_centroids"
     val corp = s"$root/ivf_corpus"
-    if (!built(cent) || !built(corp)) {
+    buildAtomic(cent) { dst =>
       val e = graft.Tables.embeddings(s, sfDir)
         .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
       // per-label mean vector: posexplode → per-(label,dim) avg → sorted
@@ -77,10 +99,12 @@ object VectorIndex {
             sort_array(collect_list(struct(col("i"), col("cx")))),
             p => p.getField("cx")).as("ce"))
         .coalesce(1)
-        .write.mode("overwrite").parquet(cent)
-      // the corpus at rest, one directory per coarse cell
+        .write.mode("overwrite").parquet(dst)
+    }
+    // the corpus at rest, one directory per coarse cell
+    buildAtomic(corp) { dst =>
       graft.Tables.embeddings(s, sfDir)
-        .write.partitionBy("label").mode("overwrite").parquet(corp)
+        .write.partitionBy("label").mode("overwrite").parquet(dst)
     }
     (cent, corp)
   }
@@ -91,10 +115,10 @@ object VectorIndex {
   def ensureSrp(s: SparkSession, sfDir: String): String = synchronized {
     val root = indexRoot(sfDir)
     val corp = s"$root/srp_corpus"
-    if (!built(corp)) {
+    buildAtomic(corp) { dst =>
       graft.Tables.embeddings(s, sfDir)
         .withColumn("pbucket", pbucketOf(toDouble(col("embedding"))))
-        .write.partitionBy("pbucket").mode("overwrite").parquet(corp)
+        .write.partitionBy("pbucket").mode("overwrite").parquet(dst)
     }
     corp
   }
@@ -102,6 +126,22 @@ object VectorIndex {
   /** The partition-safe SRP bucket key for a (double-widened) embedding
     * column — both the writer and every probe MUST derive the key through
     * this one definition or the partition join silently misses. */
-  def pbucketOf(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def pbucketOf(e: Column): Column =
     concat(lit("b"), srpBucket(e, SrpBits))
+
+  /** Multi-probe key set for a query embedding: its own bucket plus the
+    * SrpBits one-bit-flip neighbors, as partition-safe pbucket strings —
+    * the probe side of v05, derived from the SAME SrpBits/prefix
+    * definition as the writer (a probe building its own keys drifts the
+    * moment SrpBits changes, and the partition join then silently
+    * matches nothing). */
+  def multiProbeKeys(e: Column): Column = {
+    val qb = srpBucket(e, SrpBits)
+    val flips = (1 to SrpBits).map(j =>
+      concat(
+        substring(qb, 1, j - 1),
+        when(substring(qb, j, 1) === "1", "0").otherwise("1"),
+        substring(qb, j + 1, SrpBits - j)))
+    transform(array(qb +: flips: _*), b => concat(lit("b"), b))
+  }
 }
