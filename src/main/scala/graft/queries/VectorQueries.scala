@@ -214,21 +214,21 @@ object VectorQueries {
   /** V10 — BATCH ANN: many query vectors at once (vec_id < 5), each
     * probing its own SRP bucket, top-3 per query via WindowGroupLimit —
     * the realistic retrieval workload (requests arrive in batches, not
-    * one vector at a time). The query side stays a broadcast; the corpus
-    * is scanned ONCE for all queries (vs once per query in the
-    * loop-over-queries shape), and the per-query ranking shuffles only
-    * buckets' worth of scored candidates. */
+    * one vector at a time). The query batch stays a broadcast; the
+    * PERSISTED bucket-partitioned corpus is scanned ONCE for all
+    * queries (vs once per query in the loop-over-queries shape) and
+    * dynamic partition pruning opens only the ≤5 probed buckets — the
+    * per-query ranking then shuffles only buckets' worth of scored
+    * candidates. */
   private def v10(s: SparkSession, d: String): DataFrame = {
-    val b = corpus(s, d).select(
-      col("vec_id"), col("e"),
-      norm(col("e")).as("nrm"),
-      srpBucket(col("e"), 4).as("bucket"))
-    val q = b.filter(col("vec_id") < 5).select(
-      col("vec_id").as("qid"), col("e").as("qe"),
-      col("nrm").as("qn"), col("bucket").as("qb"))
+    val q = embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
+      .select(col("qid"), col("qe"), norm(col("qe")).as("qn"),
+        graft.sources.VectorIndex.pbucketOf(col("qe")).as("qb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
-    b.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+    srpCorpus(s, d)
+      .join(broadcast(q), col("pbucket") === col("qb") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         oround(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
       .withColumn("rn", row_number().over(w).cast("long"))

@@ -89,8 +89,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"the nprobe join must prune corpus partitions via DPP, got:\n$scanLine")
   }
 
-  test("v02/v05: SRP probes dynamically prune the bucket-partitioned corpus") {
-    Seq("v02_srp_ann", "v05_srp_multiprobe").foreach { name =>
+  test("v02/v05/v10: SRP probes dynamically prune the bucket-partitioned corpus") {
+    Seq("v02_srp_ann", "v05_srp_multiprobe", "v10_batch_ann").foreach { name =>
       val plan = executedPlan(name)
       val scanLine = plan.split("\n").find(_.contains("srp_corpus"))
         .getOrElse(fail(s"no srp_corpus scan in:\n$plan"))
