@@ -414,6 +414,34 @@ object AnalyticsQueries {
       |  ROUND(min(value), 2) AS min_value, ROUND(max(value), 2) AS max_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** P5 — stratified (per-language) sampling: the corpus-rebalancing op
+    * an LLM data pipeline runs to downweight a dominant language —
+    * per-stratum rates (en 5 %, others 20 %) applied via the same
+    * salted-md5 determinism as the train split: reproducible on any
+    * engine, stable under reshuffles, no RNG state, and composable with
+    * p01 (different salts ⇒ independent selections). One narrow pass +
+    * one bounded aggregate; at 100 TB the sample SELECTION is the
+    * filter `h < rate` pushed wherever the rows flow next — the audit
+    * here reports achieved-vs-target per stratum. */
+  private def p05(s: SparkSession, d: String): DataFrame = {
+    val h = pmod(
+      conv(substring(md5(concat(lit("sample:"), col("doc_id").cast("string")).cast("binary")), 1, 15),
+        16, 10).cast("long"),
+      lit(100L))
+    val rate = when(col("lang") === "en", lit(5L)).otherwise(lit(20L))
+    documents(s, d)
+      .select(col("lang"), h.as("h"), rate.as("r"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("h") < col("r"), 1L).otherwise(0L)).as("n_sampled"),
+        max("r").as("target_pct"))
+      .select(
+        col("lang"), col("n_total"), col("n_sampled"), col("target_pct"),
+        oround(col("n_sampled").cast("double") * 100 / col("n_total"), 2).as("achieved_pct"))
+      .orderBy("lang")
+  }
+
   private val op01 =
     """SELECT lang,
       |  CASE WHEN ('0x'||substr(md5('split:'||doc_id::VARCHAR),1,15))::BIGINT % 100 < 80 THEN 'train'
@@ -447,6 +475,17 @@ object AnalyticsQueries {
       |SELECT lang, split, count(*) AS n, ROUND(avg(quality), 3) AS avg_quality
       |FROM sp GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  private val op05Sql =
+    """WITH t AS (SELECT lang,
+      |  ('0x'||substr(md5('sample:'||doc_id::VARCHAR),1,15))::BIGINT % 100 AS h,
+      |  CASE WHEN lang = 'en' THEN 5 ELSE 20 END AS r
+      |  FROM documents)
+      |SELECT lang, count(*)::BIGINT AS n_total,
+      |  sum(CASE WHEN h < r THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+      |  max(r)::BIGINT AS target_pct,
+      |  ROUND(sum(CASE WHEN h < r THEN 1 ELSE 0 END)::DOUBLE * 100 / count(*), 2) AS achieved_pct
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   private val op04 =
     """WITH t AS (SELECT doc_id, lang, string_split(text,' ') toks FROM documents),
       |sh AS (SELECT doc_id, lang,
@@ -475,5 +514,6 @@ object AnalyticsQueries {
     QueryDef("p01_train_split", p01, Some(op01)),
     QueryDef("p02_len_histogram", p02, Some(op02)),
     QueryDef("p03_prep_funnel", p03, Some(op03)),
-    QueryDef("p04_decontaminate", p04, Some(op04)))
+    QueryDef("p04_decontaminate", p04, Some(op04)),
+    QueryDef("p05_stratified_sample", p05, Some(op05Sql)))
 }
