@@ -16,7 +16,8 @@ object SparkEntry {
   /** The full declared inventory. */
   val inventory: Seq[QueryDef] =
     Core.defs ++ SqlQueries.defs ++ DedupQueries.defs ++ TextQueries.defs ++
-      VectorQueries.defs ++ MultimodalQueries.defs ++ AnalyticsQueries.defs
+      ChunkQueries.defs ++ VectorQueries.defs ++ MultimodalQueries.defs ++
+      AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape (SURVEY §7 step 1) — scan → filter-free groupBy →

@@ -241,6 +241,22 @@ object AnalyticsQueries {
         oround(col("max_value"), 2).as("max_value"))
       .orderBy("event_type")
 
+  /** S2 — salted skewed join ([[graft.ops.Skew.saltedJoin]]): the fact
+    * side (events, hot user keys) is salted over 8 buckets and the
+    * dimension replicated 8×, so one hot key spreads across 8 reducers —
+    * the hand tool for a dimension too big to broadcast joining a fact
+    * with hot keys, where AQE's skew split cannot reach (it splits
+    * shuffle PARTITIONS, not a single key's build side). The oracle is
+    * the PLAIN join: salting must be a pure physical rewrite. */
+  private def s02(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skew.saltedJoin(
+        events(s, d),
+        customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "user_id", "c_custkey", col("event_id"), 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), oround(sum("value"), 2).as("sum_value"))
+      .orderBy("c_mktsegment")
+
   /** The ONE split-assignment definition (shared by p01 and the p03
     * funnel so the composed pipeline can never assign differently from
     * the standalone split query): md5("split:" + doc_id) mod 100 →
@@ -442,6 +458,11 @@ object AnalyticsQueries {
       .orderBy("lang")
   }
 
+  private val os02 =
+    """SELECT c_mktsegment, count(*) AS n, ROUND(sum(value), 2) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   private val op01 =
     """SELECT lang,
       |  CASE WHEN ('0x'||substr(md5('split:'||doc_id::VARCHAR),1,15))::BIGINT % 100 < 80 THEN 'train'
@@ -511,6 +532,7 @@ object AnalyticsQueries {
     QueryDef("j04_top_per_group", j04, Some(oj04)),
     QueryDef("j05_pivot_status", j05, Some(oj05)),
     QueryDef("s01_salted_agg", s01, Some(os01)),
+    QueryDef("s02_salted_join", s02, Some(os02)),
     QueryDef("p01_train_split", p01, Some(op01)),
     QueryDef("p02_len_histogram", p02, Some(op02)),
     QueryDef("p03_prep_funnel", p03, Some(op03)),

@@ -68,9 +68,38 @@ object SqlQueries {
       |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
       |ORDER BY p_partkey LIMIT 100""".stripMargin
 
+  /** Q34 — GROUPING SETS with GROUPING() disambiguation: the 4-set
+    * union (pair, each single, grand total) computed in ONE Expand+
+    * aggregate pass, not four scans. GROUPING() CASTs pin the flag type
+    * (TINYINT in Spark, BIGINT in DuckDB); NULLS FIRST pins the two
+    * engines' opposite default null order. o_totalprice carries exactly
+    * 2 decimals, so the shared-text ROUND is safe (header note). */
+  private val q34Sql =
+    """SELECT o_orderpriority AS pri, o_orderstatus AS st,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+      |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus), ())
+      |ORDER BY g_pri, g_st, pri NULLS FIRST, st NULLS FIRST""".stripMargin
+
+  /** Q35 — correlated LATERAL subquery with LIMIT: top-2 orders per
+    * customer, the SQL spelling of per-group top-N. Spark decorrelates
+    * the LIMIT-under-LATERAL into a ranked window join — same
+    * WindowGroupLimit shape as j04, arrived at from SQL text. */
+  private val q35Sql =
+    """SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS price
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c.c_custkey, price DESC, t.o_orderkey LIMIT 100""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q29_sql_window", sql(q29Sql), Some(q29Sql)),
     QueryDef("q30_sql_cte", sql(q30Sql), Some(q30Sql)),
     QueryDef("q31_sql_not_exists", sql(q31Sql), Some(q31Sql)),
-    QueryDef("q32_sql_in_subquery", sql(q32Sql), Some(q32Sql)))
+    QueryDef("q32_sql_in_subquery", sql(q32Sql), Some(q32Sql)),
+    QueryDef("q34_sql_grouping_sets", sql(q34Sql), Some(q34Sql)),
+    QueryDef("q35_sql_lateral", sql(q35Sql), Some(q35Sql)))
 }

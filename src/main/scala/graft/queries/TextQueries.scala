@@ -121,19 +121,24 @@ object TextQueries {
   }
 
   /** T6 — TF-IDF top terms per language: tf over (lang, term), idf over
-    * document frequency, top-5 per lang via a ranking window. The tf and
-    * df aggregates are partial-aggregated shuffles bounded by |vocab|.
-    * The tf⋈df join is on `term` — both sides already hash-partitioned by
-    * their aggregate keys — and stays a shuffle join: df is
-    * vocabulary-sized (unbounded in the corpus), so forcing it into a
-    * driver broadcast would OOM at web scale. AQE may still choose
-    * broadcast when the measured size is small; the 1-row `nd` side is
-    * the only side we *pin* as broadcast. */
+    * document frequency, top-5 per lang via a ranking window. ONE corpus
+    * pass: tf and the per-(lang, term) distinct-doc count come from the
+    * SAME aggregate, and df(term) = Σ_lang dfl — exact because each doc
+    * has exactly one lang, so the per-lang doc sets partition the
+    * corpus. (Through round 4 tf and df each re-scanned the corpus; the
+    * localCheckpoint pins the vocab-bounded aggregate so the df re-agg
+    * and the join read it, not the lineage.) The tf⋈df join is on
+    * `term` — df is vocabulary-sized (unbounded in the corpus), so
+    * forcing it into a driver broadcast would OOM at web scale; AQE may
+    * still choose broadcast when the measured size is small. The 1-row
+    * `nd` side is the only side we *pin* as broadcast. */
   private def t06(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
-    val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val tf = tok.groupBy("lang", "term")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("dfl"))
+      .localCheckpoint()
+    val df = tf.groupBy("term").agg(sum("dfl").as("df"))
     // corpus size as a broadcast 1-row side — declarative, no driver action
     val nd = documents(s, d).agg(count(lit(1)).cast("double").as("n"))
     val scored = tf
@@ -184,6 +189,64 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(oround(avg("lp"), 4).as("avg_logprob"), count(lit(1)).as("n_bigrams"))
       .orderBy("doc_id")
+  }
+
+  /** Word-boundary denylist — the scrub pattern t09 applies. On real
+    * data this is the PII alternation (emails, phone shapes, id
+    * numbers); this corpus is digit-free synthetic prose, so the
+    * denylist stands in for the pattern while the operator shape —
+    * match, count, replace in one narrow pass — is the real one. */
+  private val denyPat = "\\b(customer|spark|vector)\\b"
+
+  /** T9 — denylist scrub (the PII-redaction shape): replace every
+    * denylisted term with a mask token and report per-language reach —
+    * docs touched, total redactions, mean bytes removed. Match counting
+    * and replacement run in the SAME projection, so the corpus is read
+    * once, narrow, no shuffle until the |langs|-bounded aggregate; at
+    * 100 TB the scrubbed text would flow straight to the sink while
+    * these counters ride along as the audit. */
+  private def t09(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("lang"),
+        length(col("text")).as("len0"),
+        length(regexp_replace(col("text"), denyPat, "[X]")).as("len1"),
+        size(regexp_extract_all(col("text"), lit(denyPat), lit(0))).as("nhit"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nhit") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum("nhit").as("n_redactions"),
+        oround(avg(col("len0") - col("len1")), 2).as("avg_len_drop"))
+      .orderBy("lang")
+
+  /** T10 — vocabulary coverage curve: what fraction of all token
+    * occurrences the top-N vocabulary covers — the curve that sizes a
+    * tokenizer vocab (or a stopword list) against a corpus. The ranked
+    * running sum is a single-partition window, which is exactly right
+    * here: its input is the |vocab|-bounded term-count table, not the
+    * corpus — the heavy lifting happened in the map-side-combined
+    * aggregate below it. */
+  private def t10(s: SparkSession, d: String): DataFrame = {
+    val byFreq = Window.orderBy(col("c").desc, col("term"))
+    val cum = byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("c"))
+      .select(
+        col("term"), col("c"),
+        row_number().over(byFreq).cast("long").as("rank"),
+        sum("c").over(cum).as("cum"),
+        sum("c").over(whole).as("total"))
+      .filter(col("rank").isin(1L, 5L, 10L, 20L, 30L))
+      .select(
+        col("rank"), col("term"),
+        col("cum").cast("long").as("cum_tokens"),
+        oround(col("cum").cast("double") / col("total"), 4).as("coverage"))
+      .orderBy("rank")
   }
 
   // ------------------------------------------------------------------
@@ -261,6 +324,29 @@ object TextQueries {
       |SELECT doc_id, ROUND(1.0 - n_dist::DOUBLE / n_bi, 3) AS rep_ratio
       |FROM g ORDER BY rep_ratio DESC, doc_id LIMIT 50""".stripMargin
 
+  private val ot09 =
+    """WITH r AS (SELECT lang, length(text) len0,
+      |  length(regexp_replace(text, '\b(customer|spark|vector)\b', '[X]', 'g')) len1,
+      |  len(regexp_extract_all(text, '\b(customer|spark|vector)\b')) nhit
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  sum(CASE WHEN nhit > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_hit,
+      |  sum(nhit)::BIGINT AS n_redactions,
+      |  ROUND(avg(len0 - len1), 2) AS avg_len_drop
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val ot10 =
+    """WITH tok AS (SELECT unnest(string_split(text,' ')) term FROM documents),
+      |tc AS (SELECT term, count(*) c FROM tok GROUP BY term),
+      |rk AS (SELECT term, c,
+      |        row_number() OVER (ORDER BY c DESC, term) rn,
+      |        sum(c) OVER (ORDER BY c DESC, term ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+      |        sum(c) OVER () total
+      |      FROM tc)
+      |SELECT rn AS rank, term, cum::BIGINT AS cum_tokens,
+      |  ROUND(cum::DOUBLE / total, 4) AS coverage
+      |FROM rk WHERE rn IN (1, 5, 10, 20, 30) ORDER BY rn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
@@ -269,5 +355,7 @@ object TextQueries {
     QueryDef("t05_winnow_fingerprints", t05, Some(ot05)),
     QueryDef("t06_tfidf_top_terms", t06, Some(ot06)),
     QueryDef("t07_bigram_lm_score", t07, Some(ot07)),
-    QueryDef("t08_repetition_ratio", t08, Some(ot08)))
+    QueryDef("t08_repetition_ratio", t08, Some(ot08)),
+    QueryDef("t09_denylist_scrub", t09, Some(ot09)),
+    QueryDef("t10_vocab_coverage", t10, Some(ot10)))
 }

@@ -245,6 +245,40 @@ object VectorQueries {
   private def v11(s: SparkSession, d: String): DataFrame =
     recallAudit(v01(s, d), v03(s, d))
 
+  /** V12 — batch-ANN recall audit: per-query recall@3 of v10's batched
+    * SRP probe against the exact per-query top-3 (brute force, no
+    * self-match). v09/v11 audit a single query; this one audits the
+    * BATCH shape and reports recall per query id — the per-query
+    * breakdown is what localizes a bad bucket (one query's recall
+    * collapsing flags its bucket's split, not the whole index). The
+    * exact side is one corpus scan against the 5-row broadcast batch;
+    * the join back to the ANN hits is 15 rows against 15. */
+  private def v12(s: SparkSession, d: String): DataFrame = {
+    val q = embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
+      .select(col("qid"), col("qe"), norm(col("qe")).as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = corpus(s, d).withColumn("nrm", norm(col("e")))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        oround(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"))
+    val ann = v10(s, d).select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    exact
+      .join(ann,
+        col("qid") === col("aqid") && col("vec_id") === col("avid"), "left_outer")
+      .groupBy("qid")
+      .agg(count(col("avid")).as("n_hits"))
+      .select(
+        col("qid"), lit(3L).as("k"), col("n_hits"),
+        oround(col("n_hits").cast("double") / 3, 2).as("recall"))
+      .orderBy("qid")
+  }
+
   /** V4 — vector aggregate stats: per-label counts and mean L2 norm. */
   private def v04(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -377,6 +411,27 @@ object VectorQueries {
       |  ROUND(count(*)::DOUBLE / 10, 2) AS recall
       |FROM exact WHERE vec_id IN (SELECT vec_id FROM ivf)""".stripMargin
 
+  private val ov12 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
+      |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n),
+      |q AS (SELECT vec_id qid, e qe, nrm qn, bucket qb FROM b WHERE vec_id < 5),
+      |exact AS (SELECT qid, vec_id FROM (
+      |  SELECT qid, b.vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY
+      |      ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) DESC, b.vec_id) rn
+      |  FROM b, q WHERE b.vec_id != q.qid) WHERE rn <= 3),
+      |ann AS (SELECT qid, vec_id FROM (
+      |  SELECT qid, b.vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY
+      |      ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) DESC, b.vec_id) rn
+      |  FROM b JOIN q ON b.bucket = q.qb AND b.vec_id != q.qid) WHERE rn <= 3)
+      |SELECT exact.qid, 3::BIGINT AS k, count(ann.vec_id) AS n_hits,
+      |  ROUND(count(ann.vec_id)::DOUBLE / 3, 2) AS recall
+      |FROM exact LEFT JOIN ann ON exact.qid = ann.qid AND exact.vec_id = ann.vec_id
+      |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(ov01)),
     QueryDef("v02_srp_ann", v02, Some(ov02)),
@@ -388,5 +443,6 @@ object VectorQueries {
     QueryDef("v08_int8_quantization", v08, Some(ov08)),
     QueryDef("v09_recall_audit", v09, Some(ov09)),
     QueryDef("v10_batch_ann", v10, Some(ov10)),
-    QueryDef("v11_ivf_recall", v11, Some(ov11)))
+    QueryDef("v11_ivf_recall", v11, Some(ov11)),
+    QueryDef("v12_batch_recall", v12, Some(ov12)))
 }
