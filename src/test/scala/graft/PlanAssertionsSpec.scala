@@ -119,6 +119,63 @@ class PlanAssertionsSpec extends AnyFunSuite {
         s"subquery must not fall back to a nested loop:\n$p"))
   }
 
+  test("t06: tf and df derive from ONE corpus scan (checkpointed aggregate)") {
+    val df = SparkEntry.queries("t06_tfidf_top_terms")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the only parquet scan left is nd's zero-column count — tf and the
+    // df re-aggregate both read the localCheckpoint'd (lang,term) table
+    val parquetScans = "Scan parquet".r.findAllIn(plan).length
+    assert(parquetScans == 1,
+      s"t06 must scan the corpus once (tf+df via checkpoint), got $parquetScans in:\n$plan")
+    assert("Scan ExistingRDD".r.findAllIn(plan).length >= 2,
+      s"tf and df must both read the checkpointed aggregate, got:\n$plan")
+  }
+
+  test("q34: four grouping sets compute in ONE Expand + aggregate pass") {
+    val plan = executedPlan("q34_sql_grouping_sets").split("== Initial Plan ==")(0)
+    assert("Expand".r.findAllIn(plan).length == 1,
+      s"grouping sets must plan as a single Expand, got:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"four grouping sets must not mean four scans, got:\n$plan")
+  }
+
+  test("q35: LATERAL-with-LIMIT decorrelates to WindowGroupLimit, no nested loop") {
+    val plan = executedPlan("q35_sql_lateral")
+    assert(plan.contains("WindowGroupLimit"),
+      s"the correlated LIMIT must plan as per-group top-N, got:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the lateral join must not fall back to a per-row nested loop, got:\n$plan")
+  }
+
+  test("AQE splits skewed partitions of a shuffled join (scale-demo confs)") {
+    // cloned session: thresholds shrunk so sf0.001 partitions count as
+    // skewed — the point is executing the split path, not the numbers
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "0")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // skew splits happen at map-output granularity: a single-file scan is
+    // ONE mapper, whose block can never split — fan the maps out first
+    val e = Tables.events(s, sf).repartition(16)
+    val a = e.select(org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("value"))
+    val b = e.select(org.apache.spark.sql.functions.col("user_id").as("u2"),
+      org.apache.spark.sql.functions.col("event_id"))
+    // no downstream agg: skew splitting declines when it would force an
+    // extra shuffle (forceOptimizeSkewedJoin=false), so keep the join last
+    val j = a.join(b, a("user_id") === b("u2"))
+    assert(j.count() > 0)
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"),
+      s"the demo join must stay a shuffled join, got:\n$plan")
+    assert(plan.contains("skewed"),
+      s"AQE must mark the shuffle read as skew-split, got:\n$plan")
+  }
+
   test("q02: the whole predicate reaches the parquet scan") {
     val df = SparkEntry.queries("q02_filter_count")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
