@@ -183,11 +183,48 @@ object MultimodalQueries {
       |SELECT doc_id, frame_no, md5(substr(text, ((frame_no-1)*16+1)::INT, 16)) AS frame_hash
       |FROM fr WHERE frame_no % 4 = 1 ORDER BY doc_id, frame_no""".stripMargin
 
+  /** M6 — the mapPartitions media-feature path
+    * ([[graft.multimodal.MediaFeatures]]) under the ORACLE, not just its
+    * unit tests: per-kind feature aggregates over the stub codec. The
+    * stub derives every feature from payload byte arithmetic, and the
+    * corpus is ASCII, so the oracle can re-derive the identical numbers
+    * from character codes — pinning the whole imperative seam (schema,
+    * encoder round-trip, per-partition batching, null-payload guard)
+    * to an engine-independent result. A real codec deployment keeps
+    * this plumbing and loses only the oracle (no SQL decodes JPEG). */
+  private def m06(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.MediaFeatures
+      .extract(graft.multimodal.MediaFeatures.fromDocuments(s, d))
+      .toDF()
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        oround(avg("n_bytes"), 2).as("avg_bytes"),
+        oround(avg("width"), 2).as("avg_w"),
+        oround(avg("height"), 2).as("avg_h"),
+        oround(avg("mean_luma"), 4).as("avg_luma"))
+      .orderBy("kind")
+
+  private val om06 =
+    """WITH m AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END kind,
+      |  length(text) nb,
+      |  16 + length(text) % 64 AS w,
+      |  16 + (length(text) // 64) % 64 AS h,
+      |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |    list_sum(list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))))::DOUBLE
+      |      / length(text) / 255 END AS luma
+      |  FROM documents)
+      |SELECT kind, count(*) AS n, ROUND(avg(nb), 2) AS avg_bytes, ROUND(avg(w), 2) AS avg_w,
+      |  ROUND(avg(h), 2) AS avg_h, ROUND(avg(luma), 4) AS avg_luma
+      |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("m01_json_multikey", m01, Some(om01)),
     QueryDef("m02_binary_metadata", m02, Some(om02)),
     QueryDef("m03_format5_decode", m03, Some(om03)),
     QueryDef("m04_frame_sample", m04, Some(om04)),
     // same oracle as m03: the native expression must be indistinguishable
-    QueryDef("m05_format5_native", m05, Some(om03)))
+    QueryDef("m05_format5_native", m05, Some(om03)),
+    QueryDef("m06_media_features", m06, Some(om06)))
 }
