@@ -44,7 +44,7 @@ object ChunkQueries {
     * into and how many are distinct (a doc whose chunks collapse is
     * internally repetitive — the chunk-level twin of t08). */
   private def c01(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    graft.Tables.rebalance(s, documents(s, d))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), chunkHashes(col("toks")).as("hs"))
       .select(
@@ -59,8 +59,10 @@ object ChunkQueries {
     * documents, not occurrences). The top shared chunks are the
     * boilerplate a corpus cleaner strips even when no two whole docs are
     * equal. One explode + one hash-keyed shuffle carrying (hash) only. */
+  // rebalance (here and c01): the single-file corpus would otherwise run
+  // the per-chunk md5 stream — the family's expensive stage — on one core
   private def c02(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    graft.Tables.rebalance(s, documents(s, d))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(array_distinct(chunkHashes(col("toks")))).as("h"))
       .groupBy("h")

@@ -220,11 +220,17 @@ object VectorQueries {
     * dynamic partition pruning opens only the ≤5 probed buckets — the
     * per-query ranking then shuffles only buckets' worth of scored
     * candidates. */
-  private def v10(s: SparkSession, d: String): DataFrame = {
-    val q = embeddings(s, d).filter(col("vec_id") < 5)
+  /** The ONE batch-query definition shared by v10 (the serving path)
+    * and v12 (its recall audit) — the audit must measure exactly the
+    * query set the index serves. */
+  private def queryBatch(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
-      .select(col("qid"), col("qe"), norm(col("qe")).as("qn"),
-        graft.sources.VectorIndex.pbucketOf(col("qe")).as("qb"))
+      .select(col("qid"), col("qe"), norm(col("qe")).as("qn"))
+
+  private def v10(s: SparkSession, d: String): DataFrame = {
+    val q = queryBatch(s, d)
+      .withColumn("qb", graft.sources.VectorIndex.pbucketOf(col("qe")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
     srpCorpus(s, d)
@@ -254,9 +260,7 @@ object VectorQueries {
     * exact side is one corpus scan against the 5-row broadcast batch;
     * the join back to the ANN hits is 15 rows against 15. */
   private def v12(s: SparkSession, d: String): DataFrame = {
-    val q = embeddings(s, d).filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
-      .select(col("qid"), col("qe"), norm(col("qe")).as("qn"))
+    val q = queryBatch(s, d)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
     val exact = corpus(s, d).withColumn("nrm", norm(col("e")))

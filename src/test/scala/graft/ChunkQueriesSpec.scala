@@ -35,9 +35,12 @@ class ChunkQueriesSpec extends AnyFunSuite {
     perLang.foreach { case (lang, rows) =>
       assert(rows.map(_.getLong(3)).sum == truth(lang),
         s"$lang: binned tokens must equal corpus tokens (none lost, none double-binned)")
+      // bin 0 always exists (the first doc starts at offset 0) and bins
+      // strictly increase; a doc longer than 512 tokens may legitimately
+      // SKIP bins (it spans them), so contiguity is not an invariant
       val ids = rows.map(_.getLong(1)).sorted
-      assert(ids.head == 0 && ids.zipWithIndex.forall { case (b, i) => b == i },
-        s"$lang: bins must be contiguous from 0, got ${ids.mkString(",")}")
+      assert(ids.head == 0 && ids.distinct.length == ids.length,
+        s"$lang: bins must start at 0 and not repeat, got ${ids.mkString(",")}")
     }
     assert(perLang.nonEmpty)
   }
