@@ -280,6 +280,19 @@ object AnalyticsQueries {
       .orderBy("lang", "split")
   }
 
+  /** t02's quality formula over a materialized token array — the ONE
+    * definition the composed pipelines (p03, p06) score with (t02's
+    * stopword list, t02's weights), so the funnels can never drift from
+    * the standalone quality query. */
+  private def qualityOf(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, w => w.isin("the", "a", "and", "of"))).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    lit(0.4) * least(nTok / 60.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - nStop / nTok) +
+      lit(0.3) * (nDistinct / nTok)
+  }
+
   /** P3 — the preprocessing funnel a training corpus actually runs,
     * composed end to end: quality score (t02's formula) → threshold
     * filter (drops ~40% of this corpus) → exact-dedup keeping the first
@@ -288,11 +301,6 @@ object AnalyticsQueries {
     * pass until the dedup's single hash-partitioned shuffle; the final
     * aggregate is bounded by |langs| × 3. */
   private def p03(s: SparkSession, d: String): DataFrame = {
-    val toks = col("toks")
-    val nTok = size(toks).cast("double")
-    // t02's stopword list (TextQueries) — shared formula, shared constants
-    val nStop = size(filter(toks, w => w.isin("the", "a", "and", "of"))).cast("double")
-    val nDistinct = size(array_distinct(toks)).cast("double")
     val firstPerContent = Window
       .partitionBy(md5(col("text").cast("binary")))
       .orderBy("doc_id")
@@ -300,9 +308,7 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("lang"), col("text"),
         graft.functions.TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"), col("text"),
-        (lit(0.4) * least(nTok / 60.0, lit(1.0)) +
-          lit(0.3) * (lit(1.0) - nStop / nTok) +
-          lit(0.3) * (nDistinct / nTok)).as("quality"))
+        qualityOf(col("toks")).as("quality"))
       .filter(col("quality") >= 0.73)
       .withColumn("rn", row_number().over(firstPerContent))
       .filter(col("rn") === 1)
@@ -342,6 +348,54 @@ object AnalyticsQueries {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_contaminated"))
       .orderBy("lang")
+  }
+
+  /** P6 — the corpus BUILD, composed end to end in one declarative
+    * dataflow: quality filter (t02's formula via [[qualityOf]]) →
+    * exact-dedup (first doc per content hash) → benchmark
+    * decontamination (p04's 8-gram check) → deterministic split
+    * ([[splitOf]]) → per-split doc/token/quality stats. This is the
+    * whole pipeline a pretraining corpus runs, as ONE oracle-checked
+    * query. Scale shape: the benchmark 8-gram set collapses to a 1-row
+    * collect_set broadcast and the contamination test is per-row
+    * `arrays_overlap` — unlike p04's explode+semi-join there is NO
+    * second pass and NO corpus-side 8-gram shuffle; the only wide op
+    * in the whole build is the dedup's one hash-partitioned window. */
+  private def p06(s: SparkSession, d: String): DataFrame = {
+    val firstPerContent = Window
+      .partitionBy(md5(col("text").cast("binary")))
+      .orderBy("doc_id")
+    // benchmark sets are small by nature (p04): 1 row, one array
+    val benchSet = documents(s, d).filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(explode(array_distinct(
+        graft.functions.TextFns.kgramHashes(col("toks"), 8))).as("h"))
+      .agg(collect_set("h").as("bh"))
+    graft.Tables.rebalance(s,
+        documents(s, d).filter(pmod(col("doc_id"), lit(50)) =!= 0))
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        qualityOf(col("toks")).as("quality"))
+      .filter(col("quality") >= 0.73)
+      .withColumn("rn", row_number().over(firstPerContent))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("toks"), col("quality"),
+        when(size(col("toks")) >= 8,
+          array_distinct(graft.functions.TextFns.kgramHashes(col("toks"), 8)))
+          .otherwise(array().cast("array<string>")).as("g8"))
+      .crossJoin(broadcast(benchSet))
+      .filter(!arrays_overlap(col("g8"), col("bh")))
+      .select(
+        splitOf(col("doc_id")).as("split"),
+        size(col("toks")).cast("long").as("nt"), col("quality"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        oround(avg("quality"), 3).as("avg_quality"))
+      .orderBy("split")
   }
 
   /** P2 — document-length histogram: 50-char buckets, top bucket open
@@ -518,6 +572,40 @@ object AnalyticsQueries {
       |hits AS (SELECT DISTINCT train.doc_id, train.lang FROM train JOIN bench ON train.h = bench.h)
       |SELECT lang, count(*) AS n_contaminated FROM hits GROUP BY lang ORDER BY lang""".stripMargin
 
+  private val op06 =
+    """WITH q AS (SELECT doc_id, lang, text,
+      |  len(string_split(text,' ')) n_tok_i,
+      |  len(string_split(text,' '))::DOUBLE n_tok,
+      |  len(list_filter(string_split(text,' '), w -> w IN ('the','a','and','of')))::DOUBLE n_stop,
+      |  len(list_distinct(string_split(text,' ')))::DOUBLE n_distinct
+      |  FROM documents WHERE doc_id % 50 != 0),
+      |s AS (SELECT doc_id, lang, text, n_tok_i,
+      |  0.4 * LEAST(n_tok / 60.0, 1.0) + 0.3 * (1.0 - n_stop / n_tok) + 0.3 * (n_distinct / n_tok) AS quality
+      |  FROM q),
+      |f AS (SELECT * FROM s WHERE quality >= 0.73),
+      |dd AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn FROM f),
+      |k AS (SELECT doc_id, lang, text, n_tok_i, quality FROM dd WHERE rn = 1),
+      |tg AS (SELECT doc_id, string_split(text,' ') toks FROM documents WHERE doc_id % 50 = 0),
+      |bg AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-7),
+      |    i -> md5(toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]))) g8
+      |  FROM tg WHERE len(toks) >= 8),
+      |bench AS (SELECT DISTINCT h FROM (SELECT unnest(g8) h FROM bg)),
+      |kt AS (SELECT doc_id, string_split(text,' ') toks FROM k),
+      |kgl AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-7),
+      |    i -> md5(toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]))) g8
+      |  FROM kt WHERE len(toks) >= 8),
+      |kg AS (SELECT doc_id, unnest(g8) h FROM kgl),
+      |contam AS (SELECT DISTINCT kg.doc_id FROM kg JOIN bench ON kg.h = bench.h),
+      |clean AS (SELECT * FROM k WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      |sp AS (SELECT n_tok_i, quality,
+      |  CASE WHEN ('0x'||substr(md5('split:'||doc_id::VARCHAR),1,15))::BIGINT % 100 < 80 THEN 'train'
+      |       WHEN ('0x'||substr(md5('split:'||doc_id::VARCHAR),1,15))::BIGINT % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM clean)
+      |SELECT split, count(*) AS n_docs, sum(n_tok_i)::BIGINT AS n_tokens,
+      |  ROUND(avg(quality), 3) AS avg_quality
+      |FROM sp GROUP BY split ORDER BY split""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_lag_delta", w01, Some(ow01)),
     QueryDef("w02_moving_avg", w02, Some(ow02)),
@@ -537,5 +625,6 @@ object AnalyticsQueries {
     QueryDef("p02_len_histogram", p02, Some(op02)),
     QueryDef("p03_prep_funnel", p03, Some(op03)),
     QueryDef("p04_decontaminate", p04, Some(op04)),
-    QueryDef("p05_stratified_sample", p05, Some(op05Sql)))
+    QueryDef("p05_stratified_sample", p05, Some(op05Sql)),
+    QueryDef("p06_corpus_build", p06, Some(op06)))
 }

@@ -62,4 +62,41 @@ object Layout {
       .write
       .mode("overwrite")
       .parquet(path)
+
+  /** Compact a small-files directory into size-targeted files — the
+    * maintenance pass every long-lived 100 TB table needs: streaming
+    * sinks and fine-grained partition writes accrete thousands of tiny
+    * files, and each one costs a task launch, a footer read, and a
+    * metastore entry on every subsequent scan. Sizing from the ACTUAL
+    * bytes on disk (not a guessed file count) keeps the output at
+    * `targetBytes` per file as the input grows. The rewrite goes
+    * through a staging directory and a rename, so a reader never sees
+    * a half-compacted table, and the source is only replaced after the
+    * staged write succeeded.
+    *
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): (Int, Int) = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close() // Files.list leaks the directory fd unless closed
+    }
+    val dir = Paths.get(path)
+    val before = parquetFiles(dir)
+    val totalBytes = before.map(Files.size).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val staging = Paths.get(path + ".compact-staging")
+    spark.read.parquet(path).repartition(nOut).write.mode("overwrite")
+      .parquet(staging.toString)
+    // replace source only after the staged write fully succeeded
+    val old = Paths.get(path + ".compact-old")
+    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+    val walk = Files.walk(old)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    finally walk.close()
+    (before.size, parquetFiles(dir).size)
+  }
 }

@@ -71,6 +71,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(spans.map(_._3).sum == Tables.events(spark, sf).count())
   }
 
+  test("compact rewrites a small-files directory to size-targeted files, losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    // accrete the small-files pathology: 64 single-row-group fragments
+    Tables.orders(spark, sf).repartition(64).write.parquet(dir)
+    val original = spark.read.parquet(dir).orderBy("o_orderkey").collect()
+
+    val (before, after) = Layout.compact(spark, dir, targetBytes = 1L << 20)
+    assert(before >= 64, s"fixture must start fragmented, had $before files")
+    assert(after < before && after >= 1, s"compaction must shrink the file count, got $before -> $after")
+    // lossless: same rows, and the directory stays readable in place
+    val compacted = spark.read.parquet(dir).orderBy("o_orderkey").collect()
+    assert(compacted.sameElements(original), "compaction must preserve every row")
+    // no staging/backup litter left behind
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".compact-staging")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".compact-old")))
+  }
+
   test("date-partitioned events scan prunes to the filtered days") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     Layout.writeDatePartitioned(Tables.events(spark, sf), "ts", dir)
