@@ -398,6 +398,35 @@ object AnalyticsQueries {
       .orderBy("split")
   }
 
+  /** U1 — incremental aggregate maintenance (the materialized-view
+    * pattern): yesterday's aggregate is never recomputed — its ALGEBRAIC
+    * partials (sum, count) merge with the delta's partials, and avg
+    * derives from the merged pair (avg itself does not merge). The
+    * oracle is the single-pass aggregate over everything, proving
+    * merge(partial(history), partial(delta)) ≡ agg(history ∪ delta).
+    * At 100 TB this is how a daily rollup absorbs a day of data:
+    * O(|delta| + |groups|) work instead of O(|history|) — the partials
+    * table IS the stored view. */
+  private def u01(s: SparkSession, d: String): DataFrame = {
+    val cutoff = to_timestamp(lit("2024-01-15"))
+    def partial(df: DataFrame) = df.groupBy("event_type")
+      .agg(sum("value").as("s"), count("value").as("c"))
+    partial(events(s, d).filter(col("ts") < cutoff))
+      .unionByName(partial(events(s, d).filter(col("ts") >= cutoff)))
+      .groupBy("event_type")
+      .agg(sum("s").as("s"), sum("c").as("c"))
+      .select(
+        col("event_type"), col("c").as("n"),
+        oround(col("s"), 2).as("sum_value"),
+        oround(col("s") / col("c"), 2).as("avg_value"))
+      .orderBy("event_type")
+  }
+
+  private val ou01 =
+    """SELECT event_type, count(value) AS n, ROUND(sum(value), 2) AS sum_value,
+      |  ROUND(sum(value) / count(value), 2) AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** P2 — document-length histogram: 50-char buckets, top bucket open
     * (≥550 clamps to 11). Fixed bucket count ⇒ the aggregate state is
     * bounded regardless of corpus size. */
@@ -626,5 +655,6 @@ object AnalyticsQueries {
     QueryDef("p03_prep_funnel", p03, Some(op03)),
     QueryDef("p04_decontaminate", p04, Some(op04)),
     QueryDef("p05_stratified_sample", p05, Some(op05Sql)),
-    QueryDef("p06_corpus_build", p06, Some(op06)))
+    QueryDef("p06_corpus_build", p06, Some(op06)),
+    QueryDef("u01_incremental_agg", u01, Some(ou01)))
 }

@@ -357,6 +357,52 @@ object DedupQueries {
       |FROM (SELECT v, component FROM lbl WHERE v <> component)
       |GROUP BY component ORDER BY component""".stripMargin
 
+  /** D8 — SimHash near-dup at Hamming distance ≤ 3 via banded
+    * multi-index blocking (Manku et al., WWW '07 — the canonical
+    * web-scale simhash scheme): the 16-bit signature splits into 4
+    * bands of 4 bits, and two signatures within Hamming 3 differ in at
+    * most 3 bands, so they agree EXACTLY on at least one band
+    * (pigeonhole) — candidates are an equi-join on (band index, band
+    * value), never all-pairs, and the Hamming verify runs only inside
+    * band buckets. d03 groups identical signatures; this finds the
+    * neighborhood around them (hd 1–3). The 4× band explosion carries
+    * two longs per row; at more bits, bands widen and the same shape
+    * holds (64-bit simhash = 4×16-bit bands for hd ≤ 3). */
+  private def d08(s: SparkSession, d: String): DataFrame = {
+    val k = tokenized(s, d)
+      .select(col("doc_id"), transform(col("toks"), w => TextFns.hash60(w)).as("hs"))
+      .select(col("doc_id"), TextFns.simhash16(col("hs")).as("simhash"))
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("j"))
+      .select(col("doc_id"), col("simhash"), col("j"),
+        call_function("shiftright", col("simhash"), col("j") * 4)
+          .bitwiseAND(lit(15L)).as("band"))
+    val a = k.toDF("da", "sa", "ja", "ba")
+    val b = k.toDF("db", "sb", "jb", "bb")
+    a.join(b,
+        col("ja") === col("jb") && col("ba") === col("bb") && col("da") < col("db"))
+      .select(col("da"), col("db"), col("sa"), col("sb"))
+      .distinct() // a pair sharing several bands must count once
+      .select(col("da"), col("db"),
+        call_function("bit_count", col("sa").bitwiseXOR(col("sb")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3 && col("hamming") > 0)
+      .orderBy("hamming", "da", "db")
+      .limit(50)
+  }
+
+  private val od08 =
+    """WITH t AS (SELECT doc_id, list_transform(string_split(text,' '), w -> ('0x'||substr(md5(w),1,15))::BIGINT) hs FROM documents),
+      |sh AS (SELECT doc_id, list_sum(list_transform(generate_series(0,15), j ->
+      |   CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+      |   THEN (1::BIGINT << j) ELSE 0 END))::BIGINT simhash FROM t),
+      |k AS (SELECT doc_id, simhash, j, (simhash >> (4*j)) & 15 AS band
+      |      FROM sh, (SELECT unnest(generate_series(0,3)) j)),
+      |pairs AS (SELECT DISTINCT a.doc_id da, b.doc_id db, a.simhash sa, b.simhash sb
+      |  FROM k a JOIN k b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id),
+      |ham AS (SELECT da, db, bit_count(xor(sa, sb)) hd FROM pairs)
+      |SELECT da, db, hd::BIGINT AS hamming FROM ham WHERE hd <= 3 AND hd > 0
+      |ORDER BY hd, da, db LIMIT 50""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_fingerprint_blocks", d01, Some(od01)),
     QueryDef("d02_minhash_lsh_pairs", d02, Some(od02)),
@@ -364,5 +410,6 @@ object DedupQueries {
     QueryDef("d04_ngram_jaccard_topk", d04, Some(od04)),
     QueryDef("d05_embedding_near_dup", d05, Some(od05)),
     QueryDef("d06_dup_components", d06, Some(od06)),
-    QueryDef("d07_lsh_joinback", d07, Some(od02)))
+    QueryDef("d07_lsh_joinback", d07, Some(od02)),
+    QueryDef("d08_simhash_hamming", d08, Some(od08)))
 }
