@@ -422,6 +422,30 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** P7 — deterministic stratified interleave: the data-MIXING order a
+    * training run reads the corpus in — round-robin across language
+    * strata (one from each lang, repeat), pinned by per-stratum rank +
+    * stratum name. Total order (rn, lang) is range-partitionable, so
+    * at 100 TB the interleaved stream writes as range-clustered shards
+    * with no single ordering point; the probe here is the first 30
+    * rows via TakeOrderedAndProject. Composes with p05 (sampling) and
+    * p01 (split) through the same determinism discipline: no RNG,
+    * reshuffle-stable, identical on any engine. */
+  private def p07(s: SparkSession, d: String): DataFrame = {
+    val perLang = Window.partitionBy("lang").orderBy("doc_id")
+    documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        row_number().over(perLang).cast("long").as("pos"))
+      .select(col("pos"), col("lang"), col("doc_id"))
+      .orderBy("pos", "lang")
+      .limit(30)
+  }
+
+  private val op07 =
+    """WITH r AS (SELECT lang, doc_id,
+      |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) rn FROM documents)
+      |SELECT rn AS pos, lang, doc_id FROM r ORDER BY pos, lang LIMIT 30""".stripMargin
+
   private val ou01 =
     """SELECT event_type, count(value) AS n, ROUND(sum(value), 2) AS sum_value,
       |  ROUND(sum(value) / count(value), 2) AS avg_value
@@ -656,5 +680,6 @@ object AnalyticsQueries {
     QueryDef("p04_decontaminate", p04, Some(op04)),
     QueryDef("p05_stratified_sample", p05, Some(op05Sql)),
     QueryDef("p06_corpus_build", p06, Some(op06)),
+    QueryDef("p07_interleave", p07, Some(op07)),
     QueryDef("u01_incremental_agg", u01, Some(ou01)))
 }
