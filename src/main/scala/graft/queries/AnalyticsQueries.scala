@@ -325,22 +325,34 @@ object AnalyticsQueries {
     * so the hash side BROADCASTS: the corpus is scanned once, narrow,
     * and never shuffled — the 100 TB shape. 8-gram md5s are the same
     * [[graft.functions.TextFns.kgramHashes]] stream winnowing uses. */
+  /** The decontamination constants — ONE definition for p04 and p06 (the
+    * same no-drift rule as [[qualityOf]]/[[splitOf]]): the benchmark
+    * stand-in slice, the n-gram width, and the per-doc distinct 8-gram
+    * stream (empty for docs too short to have one — the when() guard
+    * also keeps `sequence` from seeing a negative bound). */
+  private def isBenchDoc(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(docId, lit(50)) === 0
+
+  private def g8OfToks(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(toks) >= 8,
+      array_distinct(graft.functions.TextFns.kgramHashes(toks, 8)))
+      .otherwise(array().cast("array<string>"))
+
   private def p04(s: SparkSession, d: String): DataFrame = {
     def g8Of(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), col("lang"),
         graft.functions.TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), col("lang"),
-        array_distinct(graft.functions.TextFns.kgramHashes(col("toks"), 8)).as("g8"))
+      .select(col("doc_id"), col("lang"), g8OfToks(col("toks")).as("g8"))
+      .filter(size(col("g8")) > 0)
     // the two sides come from SEPARATE pre-filtered scans: the bench
     // slice is 1/50th and needs neither rebalance nor a second pass
     // over the full corpus; only the train side pays the (rebalanced —
     // single-file corpora arrive as one partition) full hashing pass
-    val benchHashes = g8Of(documents(s, d).filter(pmod(col("doc_id"), lit(50)) === 0))
+    val benchHashes = g8Of(documents(s, d).filter(isBenchDoc(col("doc_id"))))
       .select(explode(col("g8")).as("h"))
       .distinct()
     g8Of(graft.Tables.rebalance(s,
-        documents(s, d).filter(pmod(col("doc_id"), lit(50)) =!= 0)))
+        documents(s, d).filter(!isBenchDoc(col("doc_id")))))
       .select(col("doc_id"), col("lang"), explode(col("g8")).as("h"))
       .join(broadcast(benchHashes), Seq("h"), "left_semi")
       .select(col("doc_id"), col("lang"))
@@ -366,14 +378,12 @@ object AnalyticsQueries {
       .partitionBy(md5(col("text").cast("binary")))
       .orderBy("doc_id")
     // benchmark sets are small by nature (p04): 1 row, one array
-    val benchSet = documents(s, d).filter(pmod(col("doc_id"), lit(50)) === 0)
+    val benchSet = documents(s, d).filter(isBenchDoc(col("doc_id")))
       .select(graft.functions.TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 8)
-      .select(explode(array_distinct(
-        graft.functions.TextFns.kgramHashes(col("toks"), 8))).as("h"))
+      .select(explode(g8OfToks(col("toks"))).as("h"))
       .agg(collect_set("h").as("bh"))
     graft.Tables.rebalance(s,
-        documents(s, d).filter(pmod(col("doc_id"), lit(50)) =!= 0))
+        documents(s, d).filter(!isBenchDoc(col("doc_id"))))
       .select(col("doc_id"), col("text"),
         graft.functions.TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("text"), col("toks"),
@@ -382,9 +392,7 @@ object AnalyticsQueries {
       .withColumn("rn", row_number().over(firstPerContent))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("toks"), col("quality"),
-        when(size(col("toks")) >= 8,
-          array_distinct(graft.functions.TextFns.kgramHashes(col("toks"), 8)))
-          .otherwise(array().cast("array<string>")).as("g8"))
+        g8OfToks(col("toks")).as("g8"))
       .crossJoin(broadcast(benchSet))
       .filter(!arrays_overlap(col("g8"), col("bh")))
       .select(
@@ -411,8 +419,11 @@ object AnalyticsQueries {
     val cutoff = to_timestamp(lit("2024-01-15"))
     def partial(df: DataFrame) = df.groupBy("event_type")
       .agg(sum("value").as("s"), count("value").as("c"))
+    // the partition must be EXHAUSTIVE or merge ≢ recompute: a NULL ts
+    // fails both `< cutoff` and `>= cutoff`, so the delta side takes
+    // the complement (incl. NULLs), not the symmetric predicate
     partial(events(s, d).filter(col("ts") < cutoff))
-      .unionByName(partial(events(s, d).filter(col("ts") >= cutoff)))
+      .unionByName(partial(events(s, d).filter(!(col("ts") < cutoff) || col("ts").isNull)))
       .groupBy("event_type")
       .agg(sum("s").as("s"), sum("c").as("c"))
       .select(

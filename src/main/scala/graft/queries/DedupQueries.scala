@@ -207,10 +207,17 @@ object DedupQueries {
     * buckets; wider Hamming radii would probe bit-flipped buckets the same
     * way). Nested higher-order folds — zero UDFs, zero extra shuffles
     * beyond the final groupBy. */
-  private def d03(s: SparkSession, d: String): DataFrame =
+  /** The ONE (doc_id, simhash) signature table — d03's exact groups
+    * and d08's Hamming neighborhoods must agree on what a signature is
+    * (same discipline as minhashCols for d02/d07). */
+  private def simhashed(s: SparkSession, d: String): DataFrame =
     tokenized(s, d)
       .select(col("doc_id"), transform(col("toks"), w => TextFns.hash60(w)).as("hs"))
-      .groupBy(TextFns.simhash16(col("hs")).as("simhash"))
+      .select(col("doc_id"), TextFns.simhash16(col("hs")).as("simhash"))
+
+  private def d03(s: SparkSession, d: String): DataFrame =
+    simhashed(s, d)
+      .groupBy("simhash")
       .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
       .filter(col("n") > 1)
       .orderBy("simhash")
@@ -369,9 +376,11 @@ object DedupQueries {
     * two longs per row; at more bits, bands widen and the same shape
     * holds (64-bit simhash = 4×16-bit bands for hd ≤ 3). */
   private def d08(s: SparkSession, d: String): DataFrame = {
-    val k = tokenized(s, d)
-      .select(col("doc_id"), transform(col("toks"), w => TextFns.hash60(w)).as("hs"))
-      .select(col("doc_id"), TextFns.simhash16(col("hs")).as("simhash"))
+    // localCheckpoint: the self-join would otherwise recompute the
+    // tokenize→hash60→simhash fold on BOTH sides (lambda exprIds defeat
+    // ReuseExchange — the d04/d07 lesson); the checkpointed table is two
+    // longs per doc
+    val k = simhashed(s, d).localCheckpoint()
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("j"))
       .select(col("doc_id"), col("simhash"), col("j"),
         call_function("shiftright", col("simhash"), col("j") * 4)

@@ -63,40 +63,76 @@ object Layout {
       .mode("overwrite")
       .parquet(path)
 
-  /** Compact a small-files directory into size-targeted files — the
+  /** Compact a small-files table into size-targeted files — the
     * maintenance pass every long-lived 100 TB table needs: streaming
     * sinks and fine-grained partition writes accrete thousands of tiny
     * files, and each one costs a task launch, a footer read, and a
-    * metastore entry on every subsequent scan. Sizing from the ACTUAL
-    * bytes on disk (not a guessed file count) keeps the output at
-    * `targetBytes` per file as the input grows. The rewrite goes
-    * through a staging directory and a rename, so a reader never sees
-    * a half-compacted table, and the source is only replaced after the
-    * staged write succeeded.
+    * metastore entry on every subsequent scan. Partition directories
+    * (`key=value/`) are recursed into and compacted IN PLACE — each
+    * leaf rewrites independently, preserving the partition layout (and
+    * bounding the blast radius of any one failure to one partition).
+    * Sizing is from the ACTUAL bytes on disk per leaf, so output stays
+    * at `targetBytes`/file as the table grows.
     *
-    * Returns (filesBefore, filesAfter). */
+    * Each leaf rewrite goes through a staging directory and two
+    * renames; the unreadable window is the instant between them (a
+    * true atomic swap needs a metastore pointer or RENAME_EXCHANGE —
+    * at deployment, route readers through the catalog). Stale staging
+    * from a dead run is cleaned up; a stale backup dir means the
+    * previous run died MID-SWAP and the call refuses until an operator
+    * restores it (the data is intact in `<path>.compact-old`).
+    *
+    * Streaming-sink directories (`_spark_metadata` commit log) are
+    * refused: the log names the files it committed, and rewriting them
+    * would break the sink's exactly-once read contract.
+    *
+    * Returns (filesBefore, filesAfter) summed over leaves. */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): (Int, Int) = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    def parquetFiles(p: Path): Seq[Path] = {
+    def ls(p: Path): Seq[Path] = {
       val s = Files.list(p)
-      try s.iterator().asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+      try s.iterator().asScala.toSeq
       finally s.close() // Files.list leaks the directory fd unless closed
     }
-    val dir = Paths.get(path)
-    val before = parquetFiles(dir)
-    val totalBytes = before.map(Files.size).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val staging = Paths.get(path + ".compact-staging")
-    spark.read.parquet(path).repartition(nOut).write.mode("overwrite")
-      .parquet(staging.toString)
-    // replace source only after the staged write fully succeeded
-    val old = Paths.get(path + ".compact-old")
-    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
-    val walk = Files.walk(old)
-    try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    finally walk.close()
-    (before.size, parquetFiles(dir).size)
+    def compactLeaf(dir: Path): (Int, Int) = {
+      val before = ls(dir).filter(_.getFileName.toString.endsWith(".parquet"))
+      if (before.size <= 1) return (before.size, before.size) // nothing to gain
+      val totalBytes = before.map(Files.size).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      val staging = dir.resolveSibling(dir.getFileName.toString + ".compact-staging")
+      val old = dir.resolveSibling(dir.getFileName.toString + ".compact-old")
+      if (Files.exists(old))
+        throw new IllegalStateException(
+          s"$old exists: a previous compaction died mid-swap; restore it to $dir first")
+      deleteTree(staging) // stale staging from a dead run is safe to drop
+      spark.read.parquet(dir.toString).repartition(nOut).write.mode("overwrite")
+        .parquet(staging.toString)
+      // replace source only after the staged write fully succeeded
+      Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+      deleteTree(old)
+      (before.size, ls(dir).count(_.getFileName.toString.endsWith(".parquet")))
+    }
+    def deleteTree(p: Path): Unit =
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally walk.close()
+      }
+    def walk(dir: Path): (Int, Int) = {
+      val entries = ls(dir)
+      if (entries.exists(_.getFileName.toString == "_spark_metadata"))
+        throw new IllegalArgumentException(
+          s"$dir is a streaming-sink directory (_spark_metadata names its files); " +
+            "compacting it would break the exactly-once read contract")
+      val partDirs = entries.filter(p =>
+        Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      if (partDirs.nonEmpty) {
+        val results = partDirs.map(walk)
+        (results.map(_._1).sum, results.map(_._2).sum)
+      } else compactLeaf(dir)
+    }
+    walk(Paths.get(path).toAbsolutePath.normalize)
   }
 }

@@ -88,6 +88,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".compact-old")))
   }
 
+  test("compact recurses into partition directories and preserves the layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/t"
+    Tables.events(spark, sf)
+      .withColumn("p_date", to_date(col("ts")))
+      .repartition(8).write.partitionBy("p_date").parquet(dir)
+    val original = spark.read.parquet(dir).orderBy("event_id").collect()
+
+    val (before, after) = Layout.compact(spark, dir, targetBytes = 1L << 20)
+    assert(before > after, s"fragmented partitions must shrink, got $before -> $after")
+    // the partition directories survive (pruning keeps working), and the
+    // data is intact INCLUDING the partition column
+    val dirs = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        val r = s.iterator()
+        var n = 0
+        while (r.hasNext) { if (r.next.getFileName.toString.startsWith("p_date=")) n += 1 }
+        n
+      } finally s.close()
+    }
+    assert(dirs > 1, "partition directories must survive compaction")
+    val compacted = spark.read.parquet(dir).orderBy("event_id").collect()
+    assert(compacted.sameElements(original), "partitioned compaction must preserve every row")
+  }
+
   test("date-partitioned events scan prunes to the filtered days") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     Layout.writeDatePartitioned(Tables.events(spark, sf), "ts", dir)
