@@ -176,6 +176,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"AQE must mark the shuffle read as skew-split, got:\n$plan")
   }
 
+  test("p06: contamination check is per-row — no corpus-side join or extra scan") {
+    val df = SparkEntry.queries("p06_corpus_build")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val parquetScans = "Scan parquet".r.findAllIn(plan).length
+    assert(parquetScans == 2,
+      s"p06 must scan documents exactly twice (bench slice + corpus), got $parquetScans in:\n$plan")
+    // the 8-gram test rides the corpus pass as arrays_overlap against the
+    // 1-row broadcast set — never a corpus-side equi-join on exploded grams
+    Seq("SortMergeJoin", "ShuffledHashJoin").foreach(j =>
+      assert(!plan.contains(j), s"p06 contamination must not shuffle-join the corpus, found $j"))
+    assert(plan.contains("arrays_overlap"),
+      s"the contamination predicate must be the per-row set test, got:\n$plan")
+  }
+
+  test("d08: banded Hamming candidates come from an equi-join, never all-pairs") {
+    val plan = executedPlan("d08_simhash_hamming")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"band blocking must keep the pair join an equi-join, got:\n$plan")
+    // both sides read the checkpointed signature table, not the corpus
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(finalPlan).isEmpty,
+      s"the self-join must read the checkpointed signatures, not re-scan the corpus:\n$finalPlan")
+  }
+
   test("q02: the whole predicate reaches the parquet scan") {
     val df = SparkEntry.queries("q02_filter_count")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
