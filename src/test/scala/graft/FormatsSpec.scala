@@ -62,4 +62,51 @@ class FormatsSpec extends AnyFunSuite {
       .select(col("mac"), col("ts"), unhex(col("payload_hex")).as("payload"))
     assert(run(fromCsv) == expected)
   }
+
+  test("schema evolution: mergeSchema unifies old and new file generations") {
+    // a long-lived at-rest table gains a column mid-life; readers must
+    // see ONE unified schema with NULLs for pre-evolution files
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq(("AA", 1.0)).toDF("mac", "temperature").write.parquet(s"$dir/t")
+    Seq(("BB", 2.0, 77L)).toDF("mac", "temperature", "battery_mv")
+      .write.mode("append").parquet(s"$dir/t")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.sorted.toSeq == Seq("battery_mv", "mac", "temperature"))
+    val rows = merged.orderBy("mac").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("battery_mv")),
+      "pre-evolution rows must read the new column as NULL")
+    assert(rows(1).getLong(rows(1).fieldIndex("battery_mv")) == 77L)
+  }
+
+  test("corrupt text records: PERMISSIVE quarantines, DROPMALFORMED drops (OP-05 at the source)") {
+    // the reference drops malformed payloads rather than nulling them
+    // (/root/reference/src/bluetooth/scanner.rs:36-45); at the SOURCE
+    // layer the same policy is the reader's mode choice
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/in.json"),
+      java.util.Arrays.asList(
+        """{"mac":"AA","v":1}""",
+        """{"mac":"BB","v":not-json}""",
+        """{"mac":"CC","v":3}"""))
+    // cache first: Spark refuses queries whose referenced columns are
+    // ONLY the internal corrupt-record column on a raw file scan
+    val permissive = spark.read
+      .schema("mac STRING, v LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .json(s"$dir/in.json")
+      .cache()
+    try {
+      assert(permissive.count() == 3, "PERMISSIVE must keep every record")
+      assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 1,
+        "the malformed record must be quarantined, not silently dropped")
+    } finally permissive.unpersist()
+    val dropped = spark.read
+      .schema("mac STRING, v LONG")
+      .option("mode", "DROPMALFORMED")
+      .json(s"$dir/in.json")
+    assert(dropped.collect().map(_.getString(0)).sorted.toSeq == Seq("AA", "CC"),
+      "DROPMALFORMED must implement the reference's drop-not-null policy")
+  }
 }
