@@ -533,6 +533,76 @@ object Core {
       .orderBy("mac", "time")
   }
 
+  /** Q36 — STATEFUL streaming under the oracle: the real `events` table
+    * replayed through [[graft.streaming.Sessionize]]
+    * (`flatMapGroupsWithState`, event-time timeouts) into a parquet
+    * sink, read back, and aggregated to exactly q24's batch shape —
+    * the oracle IS q24's SQL, so the custom-state runtime is pinned to
+    * the declarative window definition by an independent engine. q33
+    * pins the WINDOWED streaming path; this pins the custom-state one.
+    *
+    * Replay mechanics (the q33 lessons): two far-future sentinel files
+    * for a non-real user — the first advances the watermark past every
+    * real session's (last + gap) timeout, the second triggers the
+    * batch whose START watermark reflects it (timeouts in batch N fire
+    * on the watermark computed after batch N-1), so every real session
+    * closes and emits before AvailableNow drains. The sentinel user is
+    * filtered from the result. */
+  private def q36(s0: SparkSession, d: String): DataFrame = {
+    // cloned session, few shuffle partitions: per-user session state is
+    // tiny and 32 state-store tasks per micro-batch are pure overhead
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import java.nio.file.{Files, Path}
+    def rmTree(p: Path): Unit =
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); () })
+    val root = Files.createTempDirectory("graft_sessions")
+    val src = Files.createDirectory(root.resolve("src"))
+    def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = root.resolve(s"stage_$name")
+      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
+      finally listing.close()
+      val dst = Files.copy(part, src.resolve(s"$name.parquet"))
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      rmTree(tmp)
+    }
+    val real = events(s, d).select(col("user_id"), col("ts"), col("event_id"))
+    def sentinel(ts: String, id: Long) = s.range(1).select(
+      lit(-1L).as("user_id"), to_timestamp(lit(ts)).as("ts"), lit(id).as("event_id"))
+    stage(real, "batch0", 1000000000000L)
+    stage(sentinel("2030-01-01 00:00:00", -1L), "batch1", 1000000060000L)
+    stage(sentinel("2030-02-01 00:00:00", -2L), "batch2", 1000000120000L)
+    import s.implicits._
+    val stream = s.readStream.schema("user_id LONG, ts TIMESTAMP, event_id LONG")
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .withWatermark("ts", "1 minute")
+      .as[graft.streaming.Sessionize.Event]
+    val out = root.resolve("out").toString
+    val query = graft.streaming.Sessionize.sessions(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", root.resolve("ckp").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    rmTree(src)
+    rmTree(root.resolve("ckp"))
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0) // drop the watermark-advancing sentinel
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .select(
+        col("user_id"), col("n_sessions"), col("n_events"),
+        oround(col("n_events").cast("double") / col("n_sessions"), 4)
+          .as("avg_events_per_session"))
+      .orderBy("user_id")
+  }
+
   /** Q26 — the COMPOSED reference-parity pipeline, oracle-checked end to
     * end: synthesize format-5 readings from events (5 sensors, 3
     * whitelisted), then run [[graft.etl.Pipeline.batch]] — whitelist
@@ -890,5 +960,8 @@ object Core {
     QueryDef("q26_pipeline_parity", q26, Some(oq26)),
     QueryDef("q27_sql_correlated", q27, Some(oq27)),
     QueryDef("q28_runtime_bloom", q28, Some(oq13)),
-    QueryDef("q33_stream_replay", q33, Some(oq33)))
+    QueryDef("q33_stream_replay", q33, Some(oq33)),
+    // same oracle as q24: the custom-state streaming sessionizer must be
+    // indistinguishable from the declarative batch definition
+    QueryDef("q36_stream_sessions", q36, Some(oq24)))
 }
