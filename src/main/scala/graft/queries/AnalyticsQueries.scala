@@ -101,6 +101,27 @@ object AnalyticsQueries {
       .limit(200)
   }
 
+  /** W6 — Spark's NATIVE `session_window` (gap-merge grouping, the
+    * batch twin of the streaming sessionizers q24/q36 but expressed as
+    * one built-in grouping expression, zero custom code): events whose
+    * 30-minute-gap windows overlap merge into one session; the window
+    * end is last-event + gap, so `sess_end − sess_start` is the padded
+    * session span. One shuffle on (user_id, merged window) with partial
+    * aggregation — the operator Spark ships precisely so sessionization
+    * never needs a per-user sort + scan. The oracle re-derives sessions
+    * as gaps-and-islands; Spark merges while next.ts < prev.ts + gap
+    * (STRICT), so the oracle splits on gap >= 1800 s. */
+  private def w06(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"))
+      .orderBy("user_id", "sess_start")
+
   /** A1 — HLL++ audit: approx_count_distinct (default 5% rsd) next to the
     * exact distinct count; `within_10pct` asserts the sketch honors 2×
     * its error budget. At 100 TB the sketch is the ONLY viable per-key
@@ -223,6 +244,35 @@ object AnalyticsQueries {
         coalesce(col("O"), lit(0L)).as("O"),
         coalesce(col("P"), lit(0L)).as("P"))
       .orderBy("o_orderpriority")
+
+  /** J6 — the bucketed fact⋈fact join AS A RESULT SET (LayoutSpec pins
+    * the exchange-free plan shape; this puts the same at-rest layout
+    * under the DuckDB oracle): per-customer revenue across
+    * orders⋈lineitem, both sides read from the orderkey-bucketed tables
+    * ([[graft.sources.Layout.ensureBucketedFacts]]). Both scans arrive
+    * hash-distributed by the join key, so the dominant 100 TB shuffle —
+    * repartitioning two fact tables for one join — never happens; the
+    * only exchange left is the |customers|-sized aggregate. The oracle
+    * is the PLAIN join on the raw parquet: bucketing must be a pure
+    * physical property, invisible in the result. */
+  private def j06(s: SparkSession, d: String): DataFrame = {
+    val (o, l) = graft.sources.Layout.ensureBucketedFacts(s, d)
+    s.table(l)
+      .join(s.table(o), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        // price carries 2 decimals and discount 2 — summed EXACTLY in
+        // integer (cent × basis-point) space, so the result is
+        // order-independent: a double sum over the join's nondeterministic
+        // row order lands on .xx5 midpoints for ~1/1000 customers and
+        // flips the rounded cent vs the oracle
+        (sum(
+          round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+          / 10000.0).as("revenue"))
+      .orderBy("o_custkey")
+  }
 
   /** S1 — salted two-phase aggregation ([[graft.ops.Skew.twoPhaseAgg]])
     * over a 5-key distribution (≈2000 rows/key — exactly the hot-key
@@ -457,6 +507,42 @@ object AnalyticsQueries {
       |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) rn FROM documents)
       |SELECT rn AS pos, lang, doc_id FROM r ORDER BY pos, lang LIMIT 30""".stripMargin
 
+  /** P8 — temperature-based language mixing (α = 0.5): the sampling
+    * weights a multilingual training run uses to up-weight low-resource
+    * languages — p_l ∝ n_l^α, renormalized, with the expected post-mix
+    * document count per language. The corpus is touched ONCE (one
+    * partially-aggregated count per lang); the window normalization runs
+    * over the |langs|-row aggregate, the same legitimately-bounded
+    * single-partition pattern as t10. */
+  private def p08(s: SparkSession, d: String): DataFrame = {
+    val g = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("w", pow(col("n"), 0.5))
+      .select(
+        col("lang"),
+        col("n").cast("long").as("n_docs"),
+        oround(col("w") / sum("w").over(g), 6).as("p_sample"),
+        oround(col("w") / sum("w").over(g) * sum("n").over(g), 1).as("expected_n"))
+      .orderBy("lang")
+  }
+
+  private val oj06 =
+    """SELECT o_custkey, count(DISTINCT o_orderkey) AS n_orders,
+      |  sum(ROUND(l_extendedprice * 100)::BIGINT
+      |      * (100 - ROUND(l_discount * 100)::BIGINT))::BIGINT::DOUBLE / 10000 AS revenue
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  private val op08 =
+    """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+      |t AS (SELECT lang, n, pow(n, 0.5) AS w FROM c)
+      |SELECT lang, n::BIGINT AS n_docs, ROUND(w / sum(w) OVER (), 6) AS p_sample,
+      |  ROUND((w / sum(w) OVER ()) * sum(n) OVER (), 1) AS expected_n
+      |FROM t ORDER BY lang""".stripMargin
+
   private val ou01 =
     """SELECT event_type, count(value) AS n, ROUND(sum(value), 2) AS sum_value,
       |  ROUND(sum(value) / count(value), 2) AS avg_value
@@ -501,6 +587,19 @@ object AnalyticsQueries {
       |  ORDER BY epoch_us(ts) // 1000000
       |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 2) AS sum_10min
       |FROM events ORDER BY event_id LIMIT 200""".stripMargin
+
+  private val ow06 =
+    """WITH o AS (SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM o)
+      |SELECT user_id, min(ts)::TIMESTAMP AS sess_start,
+      |  (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS sess_end, count(*) AS n_events
+      |FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start""".stripMargin
 
   private val oa01 =
     """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_10pct
@@ -676,6 +775,7 @@ object AnalyticsQueries {
     QueryDef("w03_cumulative", w03, Some(ow03)),
     QueryDef("w04_rank_tiles", w04, Some(ow04)),
     QueryDef("w05_range_frame", w05, Some(ow05)),
+    QueryDef("w06_session_window", w06, Some(ow06)),
     QueryDef("a01_hll_audit", a01, Some(oa01)),
     QueryDef("a02_quantile_audit", a02, Some(oa02)),
     QueryDef("j01_anti_join", j01, Some(oj01)),
@@ -683,6 +783,7 @@ object AnalyticsQueries {
     QueryDef("j03_full_outer", j03, Some(oj03)),
     QueryDef("j04_top_per_group", j04, Some(oj04)),
     QueryDef("j05_pivot_status", j05, Some(oj05)),
+    QueryDef("j06_bucketed_join", j06, Some(oj06)),
     QueryDef("s01_salted_agg", s01, Some(os01)),
     QueryDef("s02_salted_join", s02, Some(os02)),
     QueryDef("p01_train_split", p01, Some(op01)),
@@ -692,5 +793,6 @@ object AnalyticsQueries {
     QueryDef("p05_stratified_sample", p05, Some(op05Sql)),
     QueryDef("p06_corpus_build", p06, Some(op06)),
     QueryDef("p07_interleave", p07, Some(op07)),
+    QueryDef("p08_temperature_mix", p08, Some(op08)),
     QueryDef("u01_incremental_agg", u01, Some(ou01)))
 }

@@ -95,11 +95,33 @@ object SqlQueries {
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       |ORDER BY c.c_custkey, price DESC, t.o_orderkey LIMIT 100""".stripMargin
 
+  /** Q37 — WITH RECURSIVE (new in Spark 4): a date spine over a fixed
+    * reporting window, left-joined against daily order aggregates — the
+    * gap-filling idiom every time-series report needs (days with zero
+    * orders must appear as 0, which no plain GROUP BY can produce).
+    * The recursion generates 31 driver-side rows and terminates on the
+    * date bound; the fact side is aggregated BEFORE the join, so the
+    * spine join touches |days| × |days|, never the fact table — at
+    * 100 TB the only big input is the pre-aggregated daily CTE. */
+  private val q37Sql =
+    """WITH RECURSIVE days AS (
+      |  SELECT DATE '1996-01-01' AS d
+      |  UNION ALL SELECT d + INTERVAL 1 DAY FROM days WHERE d < DATE '1996-01-31'),
+      |daily AS (
+      |  SELECT o_orderdate AS d, count(*) AS n, sum(o_totalprice) AS amt
+      |  FROM orders
+      |  WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-01-31'
+      |  GROUP BY 1)
+      |SELECT CAST(days.d AS TIMESTAMP) AS d, COALESCE(n, 0) AS n_orders,
+      |  ROUND(COALESCE(amt, 0), 2) AS revenue
+      |FROM days LEFT JOIN daily ON days.d = daily.d ORDER BY d""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q29_sql_window", sql(q29Sql), Some(q29Sql)),
     QueryDef("q30_sql_cte", sql(q30Sql), Some(q30Sql)),
     QueryDef("q31_sql_not_exists", sql(q31Sql), Some(q31Sql)),
     QueryDef("q32_sql_in_subquery", sql(q32Sql), Some(q32Sql)),
     QueryDef("q34_sql_grouping_sets", sql(q34Sql), Some(q34Sql)),
-    QueryDef("q35_sql_lateral", sql(q35Sql), Some(q35Sql)))
+    QueryDef("q35_sql_lateral", sql(q35Sql), Some(q35Sql)),
+    QueryDef("q37_sql_recursive", sql(q37Sql), Some(q37Sql)))
 }

@@ -283,6 +283,46 @@ object VectorQueries {
       .orderBy("qid")
   }
 
+  /** V13 — one distributed Lloyd (k-means) iteration, k=3, cosine
+    * assignment: the clustering step an embedding-pipeline runs to build
+    * its own coarse quantizer (v03 consumes exactly such centroids).
+    * Scale shape: the seed set is collapsed to a ONE-ROW array and
+    * broadcast, each corpus row picks its nearest seed inside a single
+    * projection (`array_max` over the per-seed (cos, −sid) structs — no
+    * explode, no per-row shuffle), and the new centroids come from the
+    * mergeable [[graft.functions.VectorCentroid]] partials — so the only
+    * shuffle carries k buffers per partition, never the corpus. The
+    * whole iteration is one pass; iterating to convergence is a driver
+    * loop over this same plan with the seed artifact swapped. */
+  private def v13(s: SparkSession, d: String): DataFrame = {
+    val m = graft.Tables.rebalance(s, embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val seeds = m.filter(col("vec_id") <= 2)
+      .select(struct(col("vec_id").as("sid"), col("e").as("se"), col("nrm").as("sn")).as("sd"))
+      .groupBy()
+      .agg(sort_array(collect_list(col("sd"))).as("seeds"))
+    val centroid = udaf(
+      new graft.functions.VectorCentroid(),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    m.crossJoin(broadcast(seeds))
+      // struct ordering = (cos, -sid): ties on cosine resolve to the
+      // smallest seed id, matching the oracle's ORDER BY cs DESC, sid
+      .withColumn("scored", transform(col("seeds"), sd =>
+        struct(
+          (dot(col("e"), sd.getField("se")) / (col("nrm") * sd.getField("sn"))).as("cs"),
+          (-sd.getField("sid")).as("nsid"))))
+      .withColumn("best", array_max(col("scored")))
+      .select(col("vec_id"), col("embedding"), (-col("best").getField("nsid")).as("cluster_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), centroid(col("embedding")).as("c"))
+      .select(
+        col("cluster_id"), col("n_members"),
+        oround(sqrt(aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x)), 4)
+          .as("centroid_norm"))
+      .orderBy("cluster_id")
+  }
+
   /** V4 — vector aggregate stats: per-label counts and mean L2 norm. */
   private def v04(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -415,6 +455,23 @@ object VectorQueries {
       |  ROUND(count(*)::DOUBLE / 10, 2) AS recall
       |FROM exact WHERE vec_id IN (SELECT vec_id FROM ivf)""".stripMargin
 
+  private val ov13 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |m AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm FROM n),
+      |seeds AS (SELECT vec_id AS sid, e AS se, nrm AS sn FROM m WHERE vec_id <= 2),
+      |scored AS (SELECT m.vec_id, m.e, sid,
+      |    list_sum(list_transform(list_zip(m.e, se), x->x[1]*x[2]))/(m.nrm*sn) AS cs
+      |  FROM m, seeds),
+      |asg AS (SELECT vec_id, e, sid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid) AS rk FROM scored),
+      |a AS (SELECT vec_id, e, sid FROM asg WHERE rk = 1),
+      |d AS (SELECT sid, i, avg(e[i]) AS c
+      |  FROM a, (SELECT unnest(generate_series(1,64)) AS i) GROUP BY sid, i),
+      |cn AS (SELECT sid, sqrt(sum(c*c)) AS cnorm FROM d GROUP BY sid),
+      |sz AS (SELECT sid, count(*) AS n_members FROM a GROUP BY sid)
+      |SELECT sz.sid AS cluster_id, n_members, ROUND(cnorm, 4) AS centroid_norm
+      |FROM sz JOIN cn ON sz.sid = cn.sid ORDER BY cluster_id""".stripMargin
+
   private val ov12 =
     """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
       |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
@@ -448,5 +505,6 @@ object VectorQueries {
     QueryDef("v09_recall_audit", v09, Some(ov09)),
     QueryDef("v10_batch_ann", v10, Some(ov10)),
     QueryDef("v11_ivf_recall", v11, Some(ov11)),
-    QueryDef("v12_batch_recall", v12, Some(ov12)))
+    QueryDef("v12_batch_recall", v12, Some(ov12)),
+    QueryDef("v13_kmeans_step", v13, Some(ov13)))
 }

@@ -34,6 +34,34 @@ object Layout {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Materialize (once per JVM) the orderkey-bucketed orders⋈lineitem
+    * fact pair for `sfDir` and return the two table names. Bucket
+    * metadata lives in the catalog, not the files, so bucketed tables
+    * MUST go through `saveAsTable`; this session's catalog is in-memory,
+    * so each process builds its own copy — at deployment the metastore
+    * persists and the build is a one-time indexing job, exactly like
+    * [[graft.sources.VectorIndex]]'s artifacts. Table names carry the
+    * pid so concurrent Verify/Bench/test JVMs sharing a warehouse dir
+    * never collide on a managed-table location. */
+  def ensureBucketedFacts(s: SparkSession, sfDir: String, buckets: Int = 8): (String, String) =
+    synchronized {
+      // pid (cross-JVM isolation) + sfDir hash (one JVM may query
+      // several scale factors — each gets its own table pair)
+      val tag = java.lang.Long.toHexString(ProcessHandle.current().pid()) +
+        "_" + java.lang.Integer.toHexString(sfDir.hashCode).replace('-', 'm')
+      val (o, l) = (s"graft_orders_bkt_$tag", s"graft_lineitem_bkt_$tag")
+      if (!s.catalog.tableExists(o))
+        writeBucketed(
+          graft.Tables.orders(s, sfDir).select("o_orderkey", "o_custkey"),
+          o, "o_orderkey", buckets)
+      if (!s.catalog.tableExists(l))
+        writeBucketed(
+          graft.Tables.lineitem(s, sfDir)
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          l, "l_orderkey", buckets)
+      (o, l)
+    }
+
   /** Write an event table partitioned by the date of `tsCol` — queries
     * filtering on `p_date` scan only the matching directories. */
   def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =

@@ -132,6 +132,41 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"tf and df must both read the checkpointed aggregate, got:\n$plan")
   }
 
+  test("j06: the oracle-checked bucketed join needs no fact-side exchange") {
+    // same shape LayoutSpec pins, but through the query's own artifact
+    // path (Layout.ensureBucketedFacts) — broadcast disabled because at
+    // this sf the planner would broadcast and hide the exchange the
+    // bucketing removes
+    val (o, l) = graft.sources.Layout.ensureBucketedFacts(spark, sf)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(l).join(
+        spark.table(o),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed fact join must plan with zero exchanges, got:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("v13: Lloyd assignment is shuffle-free; only the k-row centroid agg shuffles") {
+    val df = SparkEntry.queries("v13_kmeans_step")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // assignment must stay a per-row projection over the broadcast seed
+    // array — a shuffled join here would repartition the whole corpus
+    Seq("SortMergeJoin", "ShuffledHashJoin").foreach(j =>
+      assert(!plan.contains(j), s"v13 assignment must not shuffle the corpus, found $j in:\n$plan"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"the only hash exchange is the k-row centroid aggregate, got $exchanges in:\n$plan")
+  }
+
   test("q34: four grouping sets compute in ONE Expand + aggregate pass") {
     val plan = executedPlan("q34_sql_grouping_sets").split("== Initial Plan ==")(0)
     assert("Expand".r.findAllIn(plan).length == 1,
