@@ -103,6 +103,21 @@ object TextFns {
   def fingerprint(text: Column, k: Int = 5): Column =
     fingerprintOf(tokens(text), text, k)
 
+  /** t02's document quality score over a staged token-array column —
+    * 0.4·length + 0.3·(1−stopword ratio) + 0.3·lexical diversity. THE
+    * one definition every consumer (the standalone t02 query, the t11
+    * classifier features, the p03/p06 funnels) scores with, so none of
+    * them can drift from the others. Arithmetic is all-double with
+    * left-assoc ordering, matching the DuckDB oracles bit for bit. */
+  def qualityOf(toks: Column): Column = {
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, w => w.isin("the", "a", "and", "of"))).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    lit(0.4) * least(nTok / 60.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - nStop / nTok) +
+      lit(0.3) * (nDistinct / nTok)
+  }
+
   /** Jaccard similarity of two already-distinct string arrays. Union size
     * is |a|+|b|−|a∩b| (identical formula in the DuckDB oracle — avoids
     * relying on the two engines' union-dedup semantics agreeing). */

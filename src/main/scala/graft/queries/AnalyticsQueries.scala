@@ -334,14 +334,8 @@ object AnalyticsQueries {
     * definition the composed pipelines (p03, p06) score with (t02's
     * stopword list, t02's weights), so the funnels can never drift from
     * the standalone quality query. */
-  private def qualityOf(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks, w => w.isin("the", "a", "and", "of"))).cast("double")
-    val nDistinct = size(array_distinct(toks)).cast("double")
-    lit(0.4) * least(nTok / 60.0, lit(1.0)) +
-      lit(0.3) * (lit(1.0) - nStop / nTok) +
-      lit(0.3) * (nDistinct / nTok)
-  }
+  private def qualityOf(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.TextFns.qualityOf(toks)
 
   /** P3 — the preprocessing funnel a training corpus actually runs,
     * composed end to end: quality score (t02's formula) → threshold
@@ -483,6 +477,34 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** U2 — MERGEABLE-SKETCH maintenance, u01's pattern for the aggregate
+    * no partial sum can carry: distinct users per event type. Per-day
+    * DataSketches HLL partials (`hll_sketch_agg` — the binary buffers a
+    * materialized view persists per partition) are re-merged with
+    * `hll_union_agg` and estimated, so refreshing the view after a new
+    * day lands touches ONE day of raw data plus |days| tiny sketches —
+    * never the full history. The oracle sees the exact distinct count
+    * plus the audit verdict (estimate within 2× the sketch's error
+    * budget), the a01 discipline: approximation internals stay engine-
+    * side, the CONTRACT is checked. */
+  private def u02(s: SparkSession, d: String): DataFrame = {
+    val partials = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = partials
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .join(merged, Seq("event_type"))
+      .select(
+        col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * lit(0.1))
+          .as("sketch_ok"))
+      .orderBy("event_type")
+  }
+
   /** P7 — deterministic stratified interleave: the data-MIXING order a
     * training run reads the corpus in — round-robin across language
     * strata (one from each lang, repeat), pinned by per-stratum rank +
@@ -542,6 +564,10 @@ object AnalyticsQueries {
       |SELECT lang, n::BIGINT AS n_docs, ROUND(w / sum(w) OVER (), 6) AS p_sample,
       |  ROUND((w / sum(w) OVER ()) * sum(n) OVER (), 1) AS expected_n
       |FROM t ORDER BY lang""".stripMargin
+
+  private val ou02 =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS sketch_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   private val ou01 =
     """SELECT event_type, count(value) AS n, ROUND(sum(value), 2) AS sum_value,
@@ -794,5 +820,6 @@ object AnalyticsQueries {
     QueryDef("p06_corpus_build", p06, Some(op06)),
     QueryDef("p07_interleave", p07, Some(op07)),
     QueryDef("p08_temperature_mix", p08, Some(op08)),
-    QueryDef("u01_incremental_agg", u01, Some(ou01)))
+    QueryDef("u01_incremental_agg", u01, Some(ou01)),
+    QueryDef("u02_sketch_union", u02, Some(ou02)))
 }

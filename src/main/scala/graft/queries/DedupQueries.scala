@@ -412,6 +412,67 @@ object DedupQueries {
       |SELECT da, db, hd::BIGINT AS hamming FROM ham WHERE hd <= 3 AND hd > 0
       |ORDER BY hd, da, db LIMIT 50""".stripMargin
 
+  /** Single-column band key (band index prefixed onto d02/d07's
+    * [[bandKeyCols]] value) per (doc, band) — the join-key form the
+    * persisted signature index is bucketed on. */
+  private def keyedBands(s: SparkSession, d: String): DataFrame = {
+    val withHs = shingled(s, d)
+      .select(col("doc_id"), col("sh"), TextFns.shingleHashes(col("sh")).as("hs"))
+    withHs.select(col("doc_id") +: col("sh") +: minhashCols: _*)
+      .select(col("doc_id"), col("sh"),
+        posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh")))
+      .select(col("doc_id"), col("sh"),
+        concat_ws(":", col("band"), col("bh")).as("bk"))
+  }
+
+  /** D9 — INCREMENTAL dedup: a delta batch (doc_id ≡ 4 mod 5, ~20% —
+    * standing in for "today's crawl") deduplicated against the PERSISTED
+    * signature index of the history corpus, without ever rescanning
+    * history text. This is the shape that makes dedup sustainable at
+    * 100 TB: the history index — (band key, doc_id, shingle set), built
+    * once by an indexing job ([[graft.sources.Layout.ensureBucketedArtifact]],
+    * bucketed+sorted by band key) — is the only thing the daily job
+    * touches besides the delta itself. The join shuffles ONLY the
+    * delta's band rows (the index side reads pre-bucketed, plan-asserted
+    * exchange-free); Jaccard verification happens on the joined row
+    * (the index carries the shingle set precisely so verification needs
+    * no second lookup); a pair matching in several bands is collapsed by
+    * the pair-level max — identical scores, so the collapse is exact. */
+  private def d09(s: SparkSession, d: String): DataFrame = {
+    val idxT = graft.sources.Layout.ensureBucketedArtifact(s, "lsh_sig", d, "bk")(
+      keyedBands(s, d).filter(col("doc_id") % 5 =!= 4))
+    val idx = s.table(idxT)
+      .select(col("bk"), col("doc_id").as("dup_of"), col("sh").as("shh"))
+    keyedBands(s, d).filter(col("doc_id") % 5 === 4)
+      .select(col("bk"), col("doc_id").as("new_id"), col("sh").as("shn"))
+      .join(idx, Seq("bk"))
+      .select(col("new_id"), col("dup_of"),
+        TextFns.jaccard(col("shn"), col("shh")).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .groupBy("new_id", "dup_of")
+      .agg(max(col("jac")).as("jac"))
+      .select(col("new_id"), col("dup_of"), oround(col("jac"), 3).as("jaccard"))
+      .orderBy("new_id", "dup_of")
+  }
+
+  private val od09 =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])) sh
+      |      FROM t WHERE len(toks) >= 2),
+      |hsed AS (SELECT doc_id, sh, list_transform(sh, x -> ('0x'||substr(md5(x),1,7))::BIGINT) hs FROM s),
+      |sig AS (SELECT doc_id, [$mhList] mh FROM hsed),
+      |bands AS (SELECT doc_id, b, mh[2*b-1]::VARCHAR || ':' || mh[2*b]::VARCHAR bh
+      |          FROM sig, (SELECT unnest(generate_series(1,4)) b)),
+      |cand AS (SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS dup_of
+      |         FROM bands n JOIN bands h ON n.b = h.b AND n.bh = h.bh
+      |         WHERE n.doc_id % 5 = 4 AND h.doc_id % 5 <> 4),
+      |j AS (SELECT new_id, dup_of,
+      |        len(list_intersect(sa.sh, sb.sh))::DOUBLE
+      |          / (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh))) jac
+      |      FROM cand JOIN s sa ON cand.new_id = sa.doc_id JOIN s sb ON cand.dup_of = sb.doc_id)
+      |SELECT new_id, dup_of, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.8
+      |ORDER BY new_id, dup_of""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_fingerprint_blocks", d01, Some(od01)),
     QueryDef("d02_minhash_lsh_pairs", d02, Some(od02)),
@@ -420,5 +481,6 @@ object DedupQueries {
     QueryDef("d05_embedding_near_dup", d05, Some(od05)),
     QueryDef("d06_dup_components", d06, Some(od06)),
     QueryDef("d07_lsh_joinback", d07, Some(od02)),
-    QueryDef("d08_simhash_hamming", d08, Some(od08)))
+    QueryDef("d08_simhash_hamming", d08, Some(od08)),
+    QueryDef("d09_incremental_dedup", d09, Some(od09)))
 }

@@ -116,6 +116,21 @@ object SqlQueries {
       |  ROUND(COALESCE(amt, 0), 2) AS revenue
       |FROM days LEFT JOIN daily ON days.d = daily.d ORDER BY d""".stripMargin
 
+  /** Q38 — set operations: the audience-segmentation idiom (who is in A
+    * and B but not C) as INTERSECT / EXCEPT chain. Both set ops plan as
+    * aggregated joins (left-semi for INTERSECT, left-anti for EXCEPT)
+    * over distinct'd inputs — each leg keeps its own pushed-down filter,
+    * so at 100 TB three filtered key-projections shuffle, never whole
+    * tables. Parenthesized so standard INTERSECT-binds-tighter
+    * precedence (identical in both engines) is never even exercised. */
+  private val q38Sql =
+    """(SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      | INTERSECT
+      | SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      |ORDER BY k""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q29_sql_window", sql(q29Sql), Some(q29Sql)),
     QueryDef("q30_sql_cte", sql(q30Sql), Some(q30Sql)),
@@ -123,5 +138,6 @@ object SqlQueries {
     QueryDef("q32_sql_in_subquery", sql(q32Sql), Some(q32Sql)),
     QueryDef("q34_sql_grouping_sets", sql(q34Sql), Some(q34Sql)),
     QueryDef("q35_sql_lateral", sql(q35Sql), Some(q35Sql)),
-    QueryDef("q37_sql_recursive", sql(q37Sql), Some(q37Sql)))
+    QueryDef("q37_sql_recursive", sql(q37Sql), Some(q37Sql)),
+    QueryDef("q38_sql_set_ops", sql(q38Sql), Some(q38Sql)))
 }

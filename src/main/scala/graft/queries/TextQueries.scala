@@ -52,22 +52,14 @@ object TextQueries {
     * 0.3·lexical diversity, the classic cheap pre-filter for training-data
     * curation. Arithmetic is all-double with left-assoc ordering, matching
     * the oracle bit for bit before the final round. */
-  private def t02(s: SparkSession, d: String): DataFrame = {
-    val toks = col("toks") // staged once; lambdas read the attribute
-    val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks, w => w.isin(stopwords: _*))).cast("double")
-    val nDistinct = size(array_distinct(toks)).cast("double")
+  private def t02(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
-        oround(
-          lit(0.4) * least(nTok / 60.0, lit(1.0)) +
-            lit(0.3) * (lit(1.0) - nStop / nTok) +
-            lit(0.3) * (nDistinct / nTok), 3).as("quality"))
+        oround(TextFns.qualityOf(col("toks")), 3).as("quality"))
       .orderBy("doc_id")
       .limit(100)
-  }
 
   /** T3 — heuristic language ID (stopword-ratio n-gram heuristic) with a
     * confusion matrix against the labeled `lang`. */
@@ -249,6 +241,34 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** T11 — quality-CLASSIFIER inference: a fixed-weight logistic model
+    * over t02's features ([[graft.functions.TextFns.qualityOf]] is the
+    * shared feature definition), scored per document and summarized as
+    * per-language keep/drop rates — the fastText-style model-based
+    * filter pass of a training-data pipeline, expressed as pure column
+    * arithmetic. At 100 TB this is the ideal operator: one narrow
+    * codegen'd pass over the corpus (no shuffle until the |langs|-row
+    * aggregate), because the "model" is weights inside the projection,
+    * not a per-row UDF call out to a runtime. Swapping in a bigger
+    * linear model is adding terms to the same expression; anything
+    * non-linear graduates to [[graft.multimodal.MediaFeatures]]'
+    * mapPartitions seam with the same aggregate downstream. */
+  private def t11(s: SparkSession, d: String): DataFrame = {
+    // w·quality + b, steepness 8 centered at quality 0.6 — fixed
+    // published weights, the inference contract (training is offline)
+    val score = lit(1.0) / (lit(1.0) + exp(-(lit(8.0) * col("quality") - lit(4.8))))
+    graft.Tables.rebalance(s, documents(s, d))
+      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("lang"), TextFns.qualityOf(col("toks")).as("quality"))
+      .select(col("lang"), score.as("score"))
+      .groupBy("lang")
+      .agg(
+        count(when(col("score") > 0.5, 1)).as("n_kept"),
+        count(when(col("score") <= 0.5, 1)).as("n_dropped"),
+        oround(avg("score"), 4).as("avg_score"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------------
 
   private val ot01 =
@@ -347,6 +367,22 @@ object TextQueries {
       |  ROUND(cum::DOUBLE / total, 4) AS coverage
       |FROM rk WHERE rn IN (1, 5, 10, 20, 30) ORDER BY rn""".stripMargin
 
+  private val ot11 =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') toks FROM documents),
+      |f AS (SELECT doc_id, lang,
+      |    len(toks)::DOUBLE AS n_tok,
+      |    len(list_filter(toks, w -> w IN ('the','a','and','of')))::DOUBLE AS n_stop,
+      |    len(list_distinct(toks))::DOUBLE AS n_dist
+      |  FROM t),
+      |q AS (SELECT doc_id, lang,
+      |    0.4*least(n_tok/60.0, 1.0) + 0.3*(1.0 - n_stop/n_tok) + 0.3*(n_dist/n_tok) AS quality
+      |  FROM f),
+      |s AS (SELECT doc_id, lang, 1.0/(1.0+exp(-(8.0*quality - 4.8))) AS score FROM q)
+      |SELECT lang, count(*) FILTER (score > 0.5) AS n_kept,
+      |  count(*) FILTER (score <= 0.5) AS n_dropped,
+      |  ROUND(avg(score), 4) AS avg_score
+      |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
@@ -357,5 +393,6 @@ object TextQueries {
     QueryDef("t07_bigram_lm_score", t07, Some(ot07)),
     QueryDef("t08_repetition_ratio", t08, Some(ot08)),
     QueryDef("t09_denylist_scrub", t09, Some(ot09)),
-    QueryDef("t10_vocab_coverage", t10, Some(ot10)))
+    QueryDef("t10_vocab_coverage", t10, Some(ot10)),
+    QueryDef("t11_quality_classifier", t11, Some(ot11)))
 }

@@ -44,23 +44,28 @@ object Layout {
     * pid so concurrent Verify/Bench/test JVMs sharing a warehouse dir
     * never collide on a managed-table location. */
   def ensureBucketedFacts(s: SparkSession, sfDir: String, buckets: Int = 8): (String, String) =
-    synchronized {
-      // pid (cross-JVM isolation) + sfDir hash (one JVM may query
-      // several scale factors — each gets its own table pair)
-      val tag = java.lang.Long.toHexString(ProcessHandle.current().pid()) +
-        "_" + java.lang.Integer.toHexString(sfDir.hashCode).replace('-', 'm')
-      val (o, l) = (s"graft_orders_bkt_$tag", s"graft_lineitem_bkt_$tag")
-      if (!s.catalog.tableExists(o))
-        writeBucketed(
-          graft.Tables.orders(s, sfDir).select("o_orderkey", "o_custkey"),
-          o, "o_orderkey", buckets)
-      if (!s.catalog.tableExists(l))
-        writeBucketed(
-          graft.Tables.lineitem(s, sfDir)
-            .select("l_orderkey", "l_extendedprice", "l_discount"),
-          l, "l_orderkey", buckets)
-      (o, l)
-    }
+    (ensureBucketedArtifact(s, "orders_bkt", sfDir, "o_orderkey", buckets)(
+      graft.Tables.orders(s, sfDir).select("o_orderkey", "o_custkey")),
+      ensureBucketedArtifact(s, "lineitem_bkt", sfDir, "l_orderkey", buckets)(
+        graft.Tables.lineitem(s, sfDir)
+          .select("l_orderkey", "l_extendedprice", "l_discount")))
+
+  /** Materialize (once per JVM) a DERIVED bucketed artifact table —
+    * `build` evaluated lazily, written bucketed+sorted by `key` — and
+    * return its name: the ensureBucketedFacts discipline generalized to
+    * computed artifacts (signature indexes, pre-joined projections).
+    * Table names carry the pid (concurrent Verify/Bench/test JVMs
+    * sharing a warehouse dir never collide on a managed-table location)
+    * plus the sfDir hash (one JVM may query several scale factors). */
+  def ensureBucketedArtifact(
+      s: SparkSession, name: String, sfDir: String, key: String, buckets: Int = 8)(
+      build: => DataFrame): String = synchronized {
+    val tag = java.lang.Long.toHexString(ProcessHandle.current().pid()) +
+      "_" + java.lang.Integer.toHexString(sfDir.hashCode).replace('-', 'm')
+    val t = s"graft_${name}_$tag"
+    if (!s.catalog.tableExists(t)) writeBucketed(build, t, key, buckets)
+    t
+  }
 
   /** Write an event table partitioned by the date of `tsCol` — queries
     * filtering on `p_date` scan only the matching directories. */

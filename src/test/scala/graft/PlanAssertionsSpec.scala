@@ -167,6 +167,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"the only hash exchange is the k-row centroid aggregate, got $exchanges in:\n$plan")
   }
 
+  test("d09: only the delta shuffles — the history index reads pre-bucketed") {
+    // broadcast disabled: at this sf the tiny delta would broadcast and
+    // hide the exchange structure the bucketed index removes
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("d09_incremental_dedup")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // delta band rows + the pair-collapse aggregate; a third hash
+      // exchange would mean the index side is being reshuffled
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 2,
+        s"expected exactly the delta + pair-agg exchanges, got $exchanges in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q34: four grouping sets compute in ONE Expand + aggregate pass") {
     val plan = executedPlan("q34_sql_grouping_sets").split("== Initial Plan ==")(0)
     assert("Expand".r.findAllIn(plan).length == 1,
