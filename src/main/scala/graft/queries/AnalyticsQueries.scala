@@ -245,6 +245,22 @@ object AnalyticsQueries {
         coalesce(col("P"), lit(0L)).as("P"))
       .orderBy("o_orderpriority")
 
+  /** J7 — UNPIVOT (melt), the inverse reshape of j05's pivot, applied to
+    * j05's own output so the two queries share one definition: the wide
+    * (priority × status-count) matrix back to long (priority, status, n)
+    * — the shape metric stores and plotting layers consume. Physically an
+    * `Expand` (3 output rows per input row) over the already-aggregated
+    * |priorities|-row table: zero additional shuffle, and the zeros the
+    * pivot materialized for absent combinations survive the roundtrip
+    * (the oracle re-derives them with a priorities × statuses spine). */
+  private def j07(s: SparkSession, d: String): DataFrame =
+    j05(s, d)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")),
+        "o_orderstatus", "n_orders")
+      .orderBy("o_orderpriority", "o_orderstatus")
+
   /** J6 — the bucketed fact⋈fact join AS A RESULT SET (LayoutSpec pins
     * the exchange-free plan shape; this puts the same at-rest layout
     * under the DuckDB oracle): per-customer revenue across
@@ -668,6 +684,17 @@ object AnalyticsQueries {
       |  count(*) FILTER (o_orderstatus = 'P') AS P
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  private val oj07 =
+    """WITH g AS (SELECT o_orderpriority, o_orderstatus, count(*) n
+      |           FROM orders GROUP BY 1, 2),
+      |p AS (SELECT DISTINCT o_orderpriority FROM orders),
+      |st AS (SELECT unnest(['F','O','P']) AS o_orderstatus)
+      |SELECT p.o_orderpriority, st.o_orderstatus, coalesce(n, 0) AS n_orders
+      |FROM p CROSS JOIN st
+      |LEFT JOIN g ON g.o_orderpriority = p.o_orderpriority
+      |           AND g.o_orderstatus = st.o_orderstatus
+      |ORDER BY 1, 2""".stripMargin
+
   private val os01 =
     """SELECT event_type, ROUND(sum(value), 2) AS sum_value, count(value) AS n,
       |  ROUND(min(value), 2) AS min_value, ROUND(max(value), 2) AS max_value
@@ -810,6 +837,7 @@ object AnalyticsQueries {
     QueryDef("j04_top_per_group", j04, Some(oj04)),
     QueryDef("j05_pivot_status", j05, Some(oj05)),
     QueryDef("j06_bucketed_join", j06, Some(oj06)),
+    QueryDef("j07_unpivot", j07, Some(oj07)),
     QueryDef("s01_salted_agg", s01, Some(os01)),
     QueryDef("s02_salted_join", s02, Some(os02)),
     QueryDef("p01_train_split", p01, Some(op01)),
