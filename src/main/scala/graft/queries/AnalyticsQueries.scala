@@ -500,9 +500,10 @@ object AnalyticsQueries {
     * `hll_union_agg` and estimated, so refreshing the view after a new
     * day lands touches ONE day of raw data plus |days| tiny sketches —
     * never the full history. The oracle sees the exact distinct count
-    * plus the audit verdict (estimate within 2× the sketch's error
-    * budget), the a01 discipline: approximation internals stay engine-
-    * side, the CONTRACT is checked. */
+    * plus the audit verdict (estimate within a01's flat 10% bound —
+    * generous vs the default-lgK sketch's ~1.6% RSE, chosen so the
+    * audit never flakes), the a01 discipline: approximation internals
+    * stay engine-side, the CONTRACT is checked. */
   private def u02(s: SparkSession, d: String): DataFrame = {
     val partials = events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -631,12 +632,12 @@ object AnalyticsQueries {
       |FROM events ORDER BY event_id LIMIT 200""".stripMargin
 
   private val ow06 =
-    """WITH o AS (SELECT user_id, ts,
+    """WITH o AS (SELECT user_id, ts, event_id,
       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
       |           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (SELECT user_id, ts,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
       |  FROM o)
       |SELECT user_id, min(ts)::TIMESTAMP AS sess_start,

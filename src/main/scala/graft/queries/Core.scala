@@ -478,24 +478,61 @@ object Core {
     * Fresh source/checkpoint/sink dirs per run — replaying the replay
     * is itself idempotent. */
   private def q33(s0: SparkSession, d: String): DataFrame = {
-    // cloned session: the replay's windowed state is sensors × windows —
-    // tiny — so 32 state-store partitions per micro-batch are pure
-    // overhead (3 batches × 2 sinks × 32 task launches + store commits).
-    // 8 keeps the replay's wall-clock dominated by real work. Output is
-    // partition-count-independent (append emits each window once).
-    val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val r = new Replay(s0, "graft_replay")
+    val s = r.session
+    val readings = synthReadings(s, d)
+    def sentinel(ts: String) = s.range(1).select(
+      lit("AA:BB:CC:DD:EE:99").as("mac"), // NOT in the whitelist
+      to_timestamp(lit(ts)).as("ts"),
+      unhex(graft.functions.Format5.encodeHex(
+        lit(0L), lit(0L), lit(0L), lit(0L), lit(0L), lit(0L), lit(0L))).as("payload"))
+    r.stage(readings, "batch0", 1000000000000L)
+    r.stage(sentinel("2030-01-01 00:00:00"), "batch1", 1000000060000L)
+    r.stage(sentinel("2030-02-01 00:00:00"), "batch2", 1000000120000L)
+    val stream = s.readStream.schema(readings.schema)
+      .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
+    val query = graft.etl.Pipeline.streaming(
+      stream, synthTags(s), r.outDir, r.ckpDir,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      watermark = "1 minute")
+    query.awaitTermination()
+    r.cleanup()
+    s.read.parquet(s"${r.outDir}/sensor_data")
+      .drop("batch_id")
+      .orderBy("mac", "time")
+  }
+
+  /** File-source replay harness shared by q33 and q36 — ONE copy of the
+    * replay mechanics those queries learned the hard way:
+    *  - a CLONED session with 8 shuffle partitions (streaming state per
+    *    replay is tiny — sensors × windows, or one struct per active
+    *    user — so 32 state-store tasks per micro-batch are pure
+    *    overhead: task launches + store commits, no data);
+    *  - `stage` writes with repartition(1), NOT coalesce(1): coalesce
+    *    folds the whole upstream synthesis into the single writer task,
+    *    the shuffle keeps per-row work parallel and serializes only the
+    *    write;
+    *  - distinct mtimes pin the file-source processing order (real data
+    *    first, watermark-flush sentinels last) via copy-then-FileTime;
+    *  - `cleanup` after the drain removes source + checkpoint but must
+    *    leave the sink: the returned frame reads it lazily. */
+  private final class Replay(s0: SparkSession, prefix: String) {
     import java.nio.file.{Files, Path}
-    def rmTree(p: Path): Unit =
+    val session: SparkSession = {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s
+    }
+    private val root = Files.createTempDirectory(prefix)
+    private val src = Files.createDirectory(root.resolve("src"))
+    val srcDir: String = src.toString
+    val outDir: String = root.resolve("out").toString
+    val ckpDir: String = root.resolve("ckp").toString
+    private def rmTree(p: Path): Unit =
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => { Files.deleteIfExists(f); () })
-    val root = Files.createTempDirectory("graft_replay")
-    val src = Files.createDirectory(root.resolve("src"))
     def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
       val tmp = root.resolve(s"stage_$name")
-      // repartition(1), NOT coalesce(1): coalesce folds the whole
-      // upstream synthesis into the single writer task; the shuffle
-      // keeps the per-row encode parallel and serializes only the write
       df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
       val listing = Files.list(tmp)
       val part = try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
@@ -504,33 +541,10 @@ object Core {
       Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
       rmTree(tmp) // the copied data file is the only survivor
     }
-    val readings = synthReadings(s, d)
-    def sentinel(ts: String) = s.range(1).select(
-      lit("AA:BB:CC:DD:EE:99").as("mac"), // NOT in the whitelist
-      to_timestamp(lit(ts)).as("ts"),
-      unhex(graft.functions.Format5.encodeHex(
-        lit(0L), lit(0L), lit(0L), lit(0L), lit(0L), lit(0L), lit(0L))).as("payload"))
-    // distinct mtimes pin the file-source processing order: real data
-    // first, watermark-flush sentinels last
-    stage(readings, "batch0", 1000000000000L)
-    stage(sentinel("2030-01-01 00:00:00"), "batch1", 1000000060000L)
-    stage(sentinel("2030-02-01 00:00:00"), "batch2", 1000000120000L)
-    val stream = s.readStream.schema(readings.schema)
-      .option("maxFilesPerTrigger", "1").parquet(src.toString)
-    val out = root.resolve("out").toString
-    val query = graft.etl.Pipeline.streaming(
-      stream, synthTags(s), out, root.resolve("ckp").toString,
-      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      watermark = "1 minute")
-    query.awaitTermination()
-    // the stream has drained: source files and checkpoint are done with.
-    // The sink must OUTLIVE this call — the returned frame reads it
-    // lazily — so `out` is the one subtree left behind.
-    rmTree(src)
-    rmTree(root.resolve("ckp"))
-    s.read.parquet(s"$out/sensor_data")
-      .drop("batch_id")
-      .orderBy("mac", "time")
+    def cleanup(): Unit = {
+      rmTree(src)
+      rmTree(root.resolve("ckp"))
+    }
   }
 
   /** Q36 — STATEFUL streaming under the oracle: the real `events` table
@@ -549,50 +563,30 @@ object Core {
     * closes and emits before AvailableNow drains. The sentinel user is
     * filtered from the result. */
   private def q36(s0: SparkSession, d: String): DataFrame = {
-    // cloned session, few shuffle partitions: per-user session state is
-    // tiny and 32 state-store tasks per micro-batch are pure overhead
-    val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    import java.nio.file.{Files, Path}
-    def rmTree(p: Path): Unit =
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { Files.deleteIfExists(f); () })
-    val root = Files.createTempDirectory("graft_sessions")
-    val src = Files.createDirectory(root.resolve("src"))
-    def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val tmp = root.resolve(s"stage_$name")
-      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-      val listing = Files.list(tmp)
-      val part = try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
-      finally listing.close()
-      val dst = Files.copy(part, src.resolve(s"$name.parquet"))
-      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-      rmTree(tmp)
-    }
+    val r = new Replay(s0, "graft_sessions")
+    val s = r.session
     val real = events(s, d).select(col("user_id"), col("ts"), col("event_id"))
     def sentinel(ts: String, id: Long) = s.range(1).select(
       lit(-1L).as("user_id"), to_timestamp(lit(ts)).as("ts"), lit(id).as("event_id"))
-    stage(real, "batch0", 1000000000000L)
-    stage(sentinel("2030-01-01 00:00:00", -1L), "batch1", 1000000060000L)
-    stage(sentinel("2030-02-01 00:00:00", -2L), "batch2", 1000000120000L)
+    r.stage(real, "batch0", 1000000000000L)
+    r.stage(sentinel("2030-01-01 00:00:00", -1L), "batch1", 1000000060000L)
+    r.stage(sentinel("2030-02-01 00:00:00", -2L), "batch2", 1000000120000L)
     import s.implicits._
     val stream = s.readStream.schema("user_id LONG, ts TIMESTAMP, event_id LONG")
-      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
       .withWatermark("ts", "1 minute")
       .as[graft.streaming.Sessionize.Event]
-    val out = root.resolve("out").toString
     val query = graft.streaming.Sessionize.sessions(stream)
       .writeStream
       .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", root.resolve("ckp").toString)
+      .option("path", r.outDir)
+      .option("checkpointLocation", r.ckpDir)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    rmTree(src)
-    rmTree(root.resolve("ckp"))
-    s.read.parquet(out)
+    r.cleanup()
+    s.read.parquet(r.outDir)
       .filter(col("user_id") >= 0) // drop the watermark-advancing sentinel
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))

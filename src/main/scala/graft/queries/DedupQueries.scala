@@ -108,9 +108,7 @@ object DedupQueries {
     * D6 (cluster formation): (da < db, exact Jaccard ≥ 0.8), possibly
     * repeated when a pair collides in several bands. */
   private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val withHs = shingled(s, d)
-      .select(col("doc_id"), col("sh"), TextFns.shingleHashes(col("sh")).as("hs"))
-    val sig = withHs.select(col("doc_id") +: col("sh") +: minhashCols: _*)
+    val sig = sigWithSh(s, d)
     // band key = the two component values, delimited — no hashing needed,
     // the pair of longs IS the identity the band compares on
     val bands = sig.select(
@@ -415,14 +413,23 @@ object DedupQueries {
   /** Single-column band key (band index prefixed onto d02/d07's
     * [[bandKeyCols]] value) per (doc, band) — the join-key form the
     * persisted signature index is bucketed on. */
-  private def keyedBands(s: SparkSession, d: String): DataFrame = {
-    val withHs = shingled(s, d)
-      .select(col("doc_id"), col("sh"), TextFns.shingleHashes(col("sh")).as("hs"))
-    withHs.select(col("doc_id") +: col("sh") +: minhashCols: _*)
+  private def keyedBands(s: SparkSession, d: String): DataFrame =
+    sigWithSh(s, d)
       .select(col("doc_id"), col("sh"),
         posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh")))
       .select(col("doc_id"), col("sh"),
         concat_ws(":", col("band"), col("bh")).as("bk"))
+
+  /** The staged (doc_id, sh, mh0..mh7) signature table — hs staged
+    * before the permutations and the mh columns staged before any band
+    * key reads them (the lambda-CSE staging discipline) — the ONE copy
+    * d02/d06 ([[lshVerifiedPairs]]) and d09 ([[keyedBands]]) derive
+    * from. d07 deliberately re-stages its own narrow variant (no `sh`
+    * carried) off its checkpointed shingle table. */
+  private def sigWithSh(s: SparkSession, d: String): DataFrame = {
+    val withHs = shingled(s, d)
+      .select(col("doc_id"), col("sh"), TextFns.shingleHashes(col("sh")).as("hs"))
+    withHs.select(col("doc_id") +: col("sh") +: minhashCols: _*)
   }
 
   /** D9 — INCREMENTAL dedup: a delta batch (doc_id ≡ 4 mod 5, ~20% —

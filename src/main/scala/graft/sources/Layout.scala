@@ -60,8 +60,12 @@ object Layout {
   def ensureBucketedArtifact(
       s: SparkSession, name: String, sfDir: String, key: String, buckets: Int = 8)(
       build: => DataFrame): String = synchronized {
+    // the bucket spec is part of the cache identity: same name re-requested
+    // with a different key/count must build a NEW table, not silently
+    // serve one bucketed the wrong way
     val tag = java.lang.Long.toHexString(ProcessHandle.current().pid()) +
-      "_" + java.lang.Integer.toHexString(sfDir.hashCode).replace('-', 'm')
+      "_" + java.lang.Integer.toHexString((sfDir, key, buckets).hashCode)
+        .replace('-', 'm')
     val t = s"graft_${name}_$tag"
     if (!s.catalog.tableExists(t)) writeBucketed(build, t, key, buckets)
     t
