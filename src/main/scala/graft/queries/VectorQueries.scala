@@ -323,6 +323,57 @@ object VectorQueries {
       .orderBy("cluster_id")
   }
 
+  /** V14 — product-quantization (PQ) audit, the missing half of the
+    * IVF-PQ architecture (v03 is the IVF coarse stage; PQ is how the
+    * residuals get 32× smaller at 100 TB): each 64-dim vector splits
+    * into 8 subvectors of 8 dims, each subvector snaps to its nearest
+    * of 3 codebook entries (the vec_id ≤ 2 seed trick, per-block), and
+    * the per-block minimum L2² IS that block's reconstruction error —
+    * so the audit (per-label mean/max reconstruction MSE) needs no
+    * materialized reconstruction at all. Scale shape: codebooks are a
+    * broadcast one-row array, encoding is a single nested-lambda
+    * projection over staged columns (no explode — 8×3 subvector
+    * distances inside one row), and the only shuffle is the |labels|-row
+    * audit aggregate. A production encoder keeps exactly this plan and
+    * writes the 8 byte codes instead of the error. */
+  private def v14(s: SparkSession, d: String): DataFrame = {
+    val m = graft.Tables.rebalance(s, embeddings(s, d))
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+    val seeds = m.filter(col("vec_id") <= 2)
+      .select(struct(col("vec_id").as("sid"), col("e").as("se")).as("sd"))
+      .groupBy()
+      .agg(sort_array(collect_list(col("sd"))).as("seeds"))
+    m.crossJoin(broadcast(seeds))
+      .withColumn("mse",
+        aggregate(
+          transform(sequence(lit(0), lit(7)), b =>
+            array_min(transform(col("seeds"), sd =>
+              aggregate(
+                zip_with(
+                  slice(col("e"), b * 8 + 1, lit(8)),
+                  slice(sd.getField("se"), b * 8 + 1, lit(8)),
+                  (x, y) => (x - y) * (x - y)),
+                lit(0.0), (acc, v) => acc + v)))),
+          lit(0.0), (acc, v) => acc + v) / 64.0)
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        oround(avg("mse"), 6).as("avg_mse"),
+        oround(max("mse"), 6).as("max_mse"))
+      .orderBy("label")
+  }
+
+  private val ov14 =
+    """WITH n AS (SELECT vec_id, label, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |seeds AS (SELECT vec_id sid, e se FROM n WHERE vec_id <= 2),
+      |blk AS (SELECT v.vec_id, v.label, b,
+      |   (SELECT min(list_sum(list_transform(list_zip(v.e[b*8+1 : b*8+8], s.se[b*8+1 : b*8+8]),
+      |        p -> (p[1]-p[2])*(p[1]-p[2])))) FROM seeds s) AS d
+      | FROM n v, (SELECT unnest(generate_series(0,7)) b)),
+      |mse AS (SELECT vec_id, label, sum(d)/64 AS m FROM blk GROUP BY 1,2)
+      |SELECT label, count(*) AS n_vectors, ROUND(avg(m),6) AS avg_mse, ROUND(max(m),6) AS max_mse
+      |FROM mse GROUP BY label ORDER BY label""".stripMargin
+
   /** V4 — vector aggregate stats: per-label counts and mean L2 norm. */
   private def v04(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -506,5 +557,6 @@ object VectorQueries {
     QueryDef("v10_batch_ann", v10, Some(ov10)),
     QueryDef("v11_ivf_recall", v11, Some(ov11)),
     QueryDef("v12_batch_recall", v12, Some(ov12)),
-    QueryDef("v13_kmeans_step", v13, Some(ov13)))
+    QueryDef("v13_kmeans_step", v13, Some(ov13)),
+    QueryDef("v14_pq_audit", v14, Some(ov14)))
 }
