@@ -154,6 +154,31 @@ object AnalyticsQueries {
         (abs(col("p50a") - col("p50x")) <= 10.0).as("within_tol"))
       .orderBy("event_type")
 
+  /** A3 — daily quantile-DRIFT monitor, the data-quality alarm a
+    * production feed runs every ingest cycle: per-day exact median of
+    * the metric, day-over-day delta, alert when |delta| exceeds the
+    * band. One partially-aggregated shuffle on day builds the
+    * |days|-row series; the lag window then runs single-partition over
+    * that bounded aggregate (the t10 discipline — global windows only
+    * ever over already-aggregated small tables). At 100 TB the exact
+    * percentile swaps for approx_percentile (a02 licenses the error)
+    * with the identical downstream drift logic. */
+  private def a03(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("day")
+    events(s, d)
+      .filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        oround(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        count(lit(1)).as("n"))
+      .select(
+        col("day").cast("timestamp").as("day"), col("p50"), col("n"),
+        oround(col("p50") - lag("p50", 1).over(w), 4).as("drift"),
+        coalesce(abs(col("p50") - lag("p50", 1).over(w)) > 3.0, lit(false))
+          .as("alert"))
+      .orderBy("day")
+  }
+
   /** J1 — anti join: customers with no URGENT order, counted per market
     * segment. LeftAnti short-circuits on first match and ships only the
     * (filtered) order keys — never materializes the non-matches. */
@@ -568,6 +593,57 @@ object AnalyticsQueries {
       .orderBy("lang")
   }
 
+  /** P9 — per-SOURCE curation rollup, the crawl-source reputation table
+    * a corpus pipeline maintains: per source, document count, exact-dup
+    * count/rate (content-hash distinct), mean quality and the count
+    * clearing p03's 0.73 keep threshold — the numbers that decide which
+    * sources get up-weighted, capped, or dropped. ONE corpus scan into
+    * one map-side-combined aggregate on source (countDistinct adds its
+    * partial phase); every definition is shared — [[qualityOf]] and the
+    * p03 threshold — so this report can never disagree with the funnel
+    * it summarizes. */
+  private def p09(s: SparkSession, d: String): DataFrame =
+    graft.Tables.rebalance(s, documents(s, d))
+      .select(col("source"), col("text"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .select(
+        col("source"),
+        md5(col("text").cast("binary")).as("h"),
+        qualityOf(col("toks")).as("quality"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dups"),
+        oround(
+          (count(lit(1)) - countDistinct(col("h"))).cast("double") / count(lit(1)), 4)
+          .as("dup_rate"),
+        oround(avg("quality"), 4).as("avg_quality"),
+        count(when(col("quality") >= 0.73, 1)).as("n_quality_kept"))
+      .orderBy("source")
+
+  private val op09 =
+    """WITH t AS (SELECT doc_id, source, text, string_split(text,' ') toks FROM documents),
+      |q AS (SELECT doc_id, source, md5(text) h,
+      |    0.4*least(len(toks)::DOUBLE/60.0, 1.0)
+      |      + 0.3*(1.0 - len(list_filter(toks, w -> w IN ('the','a','and','of')))::DOUBLE/len(toks))
+      |      + 0.3*(len(list_distinct(toks))::DOUBLE/len(toks)) AS quality
+      |  FROM t)
+      |SELECT source, count(*) AS n_docs,
+      |  (count(*) - count(DISTINCT h)) AS n_dups,
+      |  ROUND((count(*) - count(DISTINCT h))::DOUBLE / count(*), 4) AS dup_rate,
+      |  ROUND(avg(quality), 4) AS avg_quality,
+      |  count(*) FILTER (quality >= 0.73) AS n_quality_kept
+      |FROM q GROUP BY source ORDER BY source""".stripMargin
+
+  private val oa03 =
+    """WITH d AS (SELECT ts::DATE AS day, value FROM events WHERE ts IS NOT NULL),
+      |m AS (SELECT day, ROUND(quantile_cont(value, 0.5), 4) AS p50, count(*) AS n
+      |      FROM d GROUP BY day)
+      |SELECT day::TIMESTAMP AS day, p50, n,
+      |  ROUND(p50 - lag(p50) OVER (ORDER BY day), 4) AS drift,
+      |  COALESCE(abs(p50 - lag(p50) OVER (ORDER BY day)) > 3.0, FALSE) AS alert
+      |FROM m ORDER BY day""".stripMargin
+
   private val oj06 =
     """SELECT o_custkey, count(DISTINCT o_orderkey) AS n_orders,
       |  sum(ROUND(l_extendedprice * 100)::BIGINT
@@ -832,6 +908,7 @@ object AnalyticsQueries {
     QueryDef("w06_session_window", w06, Some(ow06)),
     QueryDef("a01_hll_audit", a01, Some(oa01)),
     QueryDef("a02_quantile_audit", a02, Some(oa02)),
+    QueryDef("a03_quantile_drift", a03, Some(oa03)),
     QueryDef("j01_anti_join", j01, Some(oj01)),
     QueryDef("j02_banded_range_join", j02, Some(oj02)),
     QueryDef("j03_full_outer", j03, Some(oj03)),
@@ -849,6 +926,7 @@ object AnalyticsQueries {
     QueryDef("p06_corpus_build", p06, Some(op06)),
     QueryDef("p07_interleave", p07, Some(op07)),
     QueryDef("p08_temperature_mix", p08, Some(op08)),
+    QueryDef("p09_source_stats", p09, Some(op09)),
     QueryDef("u01_incremental_agg", u01, Some(ou01)),
     QueryDef("u02_sketch_union", u02, Some(ou02)))
 }
