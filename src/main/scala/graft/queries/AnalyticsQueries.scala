@@ -547,6 +547,56 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** U3 — SCD TYPE-2 versioning: the change log of a mutable attribute
+    * (each user's event_type, standing in for any dimension attribute)
+    * collapsed into validity intervals — consecutive same-value runs
+    * become one version row with [valid_from, valid_to) and an
+    * is_current flag, the shape every warehouse dimension keeps history
+    * in. Run boundaries are value CHANGES (gaps-and-islands on
+    * inequality — q24's time-gap twin): lag detects the change, a
+    * running sum numbers the run, one aggregate per run, lead closes
+    * the interval. Everything shuffles ONCE on user_id (all four window
+    * passes and the aggregate share the partition key); the total order
+    * (ts, event_id) makes every boundary deterministic. */
+  private def u03(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val byStart = Window.partitionBy("user_id").orderBy("valid_from")
+    events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .withColumn("chg",
+        when(!(lag("event_type", 1).over(w) <=> col("event_type")), 1).otherwise(0))
+      .withColumn("run",
+        sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run", "event_type")
+      .agg(min("ts").as("valid_from"), count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"), col("event_type"), col("valid_from"),
+        lead("valid_from", 1).over(byStart).as("valid_to"),
+        col("n_events"))
+      .select(
+        col("user_id"), col("event_type"), col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("n_events"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  private val ou03 =
+    """WITH e AS (SELECT user_id, ts, event_type, event_id FROM events WHERE ts IS NOT NULL),
+      |c AS (SELECT user_id, ts, event_type, event_id,
+      |   CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END chg
+      |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (SELECT user_id, ts, event_type, event_id,
+      |   sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run
+      |   FROM c),
+      |v AS (SELECT user_id, run, event_type, min(ts) valid_from, count(*) n_events FROM r GROUP BY 1,2,3),
+      |f AS (SELECT user_id, event_type, valid_from, n_events,
+      |   lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) valid_to
+      |   FROM v)
+      |SELECT user_id, event_type, valid_from::TIMESTAMP AS valid_from,
+      |  valid_to::TIMESTAMP AS valid_to, (valid_to IS NULL) AS is_current, n_events
+      |FROM f ORDER BY user_id, valid_from""".stripMargin
+
   /** P7 — deterministic stratified interleave: the data-MIXING order a
     * training run reads the corpus in — round-robin across language
     * strata (one from each lang, repeat), pinned by per-stratum rank +
@@ -928,5 +978,6 @@ object AnalyticsQueries {
     QueryDef("p08_temperature_mix", p08, Some(op08)),
     QueryDef("p09_source_stats", p09, Some(op09)),
     QueryDef("u01_incremental_agg", u01, Some(ou01)),
-    QueryDef("u02_sketch_union", u02, Some(ou02)))
+    QueryDef("u02_sketch_union", u02, Some(ou02)),
+    QueryDef("u03_scd2_versions", u03, Some(ou03)))
 }

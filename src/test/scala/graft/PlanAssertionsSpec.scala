@@ -186,6 +186,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("u03: all four window passes + the run aggregate share ONE user_id exchange") {
+    // the (user_id, run, event_type) aggregate runs on user_id-partitioned
+    // data without reshuffling (grouping keys ⊇ partitioning keys), and
+    // the lead window re-sorts within the same partitioning — a second
+    // hash exchange would mean that co-location was lost
+    val df = SparkEntry.queries("u03_scd2_versions")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"SCD2 must shuffle once on user_id, got $exchanges in:\n$plan")
+  }
+
   test("q34: four grouping sets compute in ONE Expand + aggregate pass") {
     val plan = executedPlan("q34_sql_grouping_sets").split("== Initial Plan ==")(0)
     assert("Expand".r.findAllIn(plan).length == 1,
