@@ -694,6 +694,56 @@ object AnalyticsQueries {
       |  COALESCE(abs(p50 - lag(p50) OVER (ORDER BY day)) > 3.0, FALSE) AS alert
       |FROM m ORDER BY day""".stripMargin
 
+  /** P10 — the temperature mix EXECUTED: p08 computes the α=0.5
+    * sampling weights; this query drives p05's deterministic-hash
+    * sampler with them, materializing a half-corpus mix where
+    * low-resource languages are up-weighted. Per-lang keep rates (in
+    * basis points, integer-compared against a 10000-bucket md5 hash)
+    * derive from the weight table — at scale that |langs|-row table is
+    * a maintained artifact; here it computes in-query and broadcasts
+    * into the one narrow sampling pass. Same determinism discipline as
+    * p01/p05: no RNG, reshuffle-stable, identical on any engine; the
+    * realized n_sampled converges on target_n as n_l grows (hash
+    * uniformity), which the result exhibits rather than asserts. */
+  private def p10(s: SparkSession, d: String): DataFrame = {
+    val g = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = documents(s, d)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("w", pow(col("n").cast("double"), 0.5))
+      .withColumn("target",
+        floor(floor(sum("n").over(g) / 2) * (col("w") / sum("w").over(g)))
+          .cast("long"))
+      .withColumn("r_bp",
+        least(floor(col("target") * lit(10000.0) / col("n")).cast("long"), lit(10000L)))
+      .select(col("lang"), col("n").as("n_total"), col("target"), col("r_bp"))
+    val h = pmod(
+      conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string")).cast("binary")), 1, 15),
+        16, 10).cast("long"),
+      lit(10000L))
+    documents(s, d)
+      .select(col("lang"), h.as("h"))
+      .join(broadcast(rates), Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        max("n_total").as("n_total"),
+        max("target").as("target_n"),
+        sum(when(col("h") < col("r_bp"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
+  private val op10 =
+    """WITH c AS (SELECT lang, count(*)::BIGINT n FROM documents GROUP BY lang),
+      |t AS (SELECT lang, n, pow(n::DOUBLE, 0.5) w FROM c),
+      |r AS (SELECT lang, n,
+      |   floor(floor(sum(n) OVER () / 2) * (w / sum(w) OVER ()))::BIGINT AS target
+      | FROM t),
+      |rr AS (SELECT lang, n, target, least(floor(target * 10000.0 / n)::BIGINT, 10000) r_bp FROM r),
+      |h AS (SELECT lang, ('0x'||substr(md5('mix:'||doc_id::VARCHAR),1,15))::BIGINT % 10000 AS h FROM documents)
+      |SELECT h.lang, max(n) AS n_total, max(target) AS target_n,
+      |  sum(CASE WHEN h.h < r_bp THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+      |FROM h JOIN rr ON h.lang = rr.lang GROUP BY h.lang ORDER BY h.lang""".stripMargin
+
   private val oj06 =
     """SELECT o_custkey, count(DISTINCT o_orderkey) AS n_orders,
       |  sum(ROUND(l_extendedprice * 100)::BIGINT
@@ -977,6 +1027,7 @@ object AnalyticsQueries {
     QueryDef("p07_interleave", p07, Some(op07)),
     QueryDef("p08_temperature_mix", p08, Some(op08)),
     QueryDef("p09_source_stats", p09, Some(op09)),
+    QueryDef("p10_temperature_sample", p10, Some(op10)),
     QueryDef("u01_incremental_agg", u01, Some(ou01)),
     QueryDef("u02_sketch_union", u02, Some(ou02)),
     QueryDef("u03_scd2_versions", u03, Some(ou03)))
