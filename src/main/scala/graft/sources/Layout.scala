@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** At-rest layout utilities — the storage half of the 100 TB design.
@@ -99,6 +99,50 @@ object Layout {
       .write
       .mode("overwrite")
       .parquet(path)
+
+  /** Write `df` Z-ORDER clustered on two numeric columns: each row's
+    * 16-bit-normalized (a, b) coordinates are bit-interleaved into one
+    * Morton code, and the data is range-partitioned + sorted on that
+    * code. Every output file then covers a small BOUNDING BOX in BOTH
+    * dimensions (a range-cluster on `a` alone leaves each file spanning
+    * the full `b` range), so parquet footer min/max skip files for
+    * predicates on either column or both — the multi-dimensional
+    * complement of [[writeRangeClustered]], and the at-rest layout for
+    * the two-predicate scan pattern (user × time, key × metric) a
+    * single clustering column cannot serve. Normalization bounds come
+    * from one tiny min/max aggregate of the input (at deployment:
+    * maintained table stats). LayoutSpec measures the property rather
+    * than trusting the math: per-file extents of BOTH columns shrink
+    * vs the single-column layout. */
+  def writeZOrdered(
+      df: DataFrame, a: String, b: String, files: Int, path: String): Unit = {
+    val r = df.agg(
+      min(col(a)).cast("double"), max(col(a)).cast("double"),
+      min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+    val (aMin, aMax, bMin, bMax) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    def norm16(c: Column, lo: Double, hi: Double): Column =
+      least(
+        floor((c.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-12)) * 65536.0),
+        lit(65535.0)).cast("long")
+    // Morton code: bit j of a → bit 2j, bit j of b → bit 2j+1
+    def interleave(x: Column, y: Column): Column =
+      aggregate(
+        sequence(lit(0), lit(15)), lit(0L),
+        (acc, j) => acc
+          + call_function("shiftleft",
+            call_function("shiftright", x, j).bitwiseAND(lit(1L)), j * 2)
+          + call_function("shiftleft",
+            call_function("shiftright", y, j).bitwiseAND(lit(1L)), j * 2 + 1))
+    df.withColumn("__z",
+        interleave(norm16(col(a), aMin, aMax), norm16(col(b), bMin, bMax)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
 
   /** Compact a small-files table into size-targeted files — the
     * maintenance pass every long-lived 100 TB table needs: streaming

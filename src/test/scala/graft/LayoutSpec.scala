@@ -71,6 +71,43 @@ class LayoutSpec extends AnyFunSuite {
     assert(spans.map(_._3).sum == Tables.events(spark, sf).count())
   }
 
+  test("z-ordered files bound BOTH dimensions; range-clustered bound only one") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val ev = Tables.events(spark, sf).filter(col("value").isNotNull)
+    Layout.writeZOrdered(ev, "user_id", "value", files = 16, s"$root/z")
+    Layout.writeRangeClustered(ev, "user_id", files = 16, s"$root/r")
+
+    // mean per-file extent of each dimension, normalized by its global span
+    def extents(dir: String): (Double, Double) = {
+      val g = ev.agg(
+        (max("user_id") - min("user_id")).cast("double"),
+        (max("value") - min("value")).cast("double")).head()
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(
+          (max("user_id") - min("user_id")).cast("double").as("ua"),
+          (max("value") - min("value")).cast("double").as("va"))
+        .collect()
+      (spans.map(_.getDouble(1)).sum / spans.length / g.getDouble(0),
+        spans.map(_.getDouble(2)).sum / spans.length / g.getDouble(1))
+    }
+    val (zU, zV) = extents(s"$root/z")
+    val (rU, rV) = extents(s"$root/r")
+    // the single-column cluster is tight on user_id but leaves each
+    // file spanning most of the value range (sampling keeps the mean
+    // extent below 1.0 at this sf); the Morton layout trades a little
+    // user_id tightness for a bounded box in BOTH columns — which is
+    // what lets parquet footer stats skip files for predicates on
+    // EITHER column. Assert the box property relatively: z-order's
+    // value extent must be a FRACTION of the range layout's, and both
+    // z extents must actually bound (≤ 60% of the global span).
+    assert(zV < rV * 0.8, s"z-order value extent $zV not < 0.8 × range layout's $rV")
+    assert(zV < 0.6, s"z-order did not bound value: $zV")
+    assert(zU < 0.6, s"z-order did not bound user_id: $zU (range layout: $rU)")
+    // lossless
+    assert(spark.read.parquet(s"$root/z").count() == ev.count())
+  }
+
   test("compact rewrites a small-files directory to size-targeted files, losslessly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     // accrete the small-files pathology: 64 single-row-group fragments
