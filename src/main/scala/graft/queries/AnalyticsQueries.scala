@@ -560,7 +560,10 @@ object AnalyticsQueries {
     * (ts, event_id) makes every boundary deterministic. */
   private def u03(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val byStart = Window.partitionBy("user_id").orderBy("valid_from")
+    // run breaks the tie when two runs of one user START at the same
+    // timestamp (same-ts events of different values) — same class of
+    // latent nondeterminism as w06's oracle tie-break
+    val byStart = Window.partitionBy("user_id").orderBy("valid_from", "run")
     events(s, d)
       .filter(col("ts").isNotNull)
       .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
@@ -571,7 +574,7 @@ object AnalyticsQueries {
       .groupBy("user_id", "run", "event_type")
       .agg(min("ts").as("valid_from"), count(lit(1)).as("n_events"))
       .select(
-        col("user_id"), col("event_type"), col("valid_from"),
+        col("user_id"), col("run"), col("event_type"), col("valid_from"),
         lead("valid_from", 1).over(byStart).as("valid_to"),
         col("n_events"))
       .select(
@@ -591,7 +594,7 @@ object AnalyticsQueries {
       |   FROM c),
       |v AS (SELECT user_id, run, event_type, min(ts) valid_from, count(*) n_events FROM r GROUP BY 1,2,3),
       |f AS (SELECT user_id, event_type, valid_from, n_events,
-      |   lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) valid_to
+      |   lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run) valid_to
       |   FROM v)
       |SELECT user_id, event_type, valid_from::TIMESTAMP AS valid_from,
       |  valid_to::TIMESTAMP AS valid_to, (valid_to IS NULL) AS is_current, n_events

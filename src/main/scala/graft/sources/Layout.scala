@@ -119,6 +119,13 @@ object Layout {
     val r = df.agg(
       min(col(a)).cast("double"), max(col(a)).cast("double"),
       min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input / all-null clustering column: no coordinates to
+      // interleave — write as-is, matching writeRangeClustered's
+      // behavior on the same degenerate input
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (aMin, aMax, bMin, bMax) =
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     def norm16(c: Column, lo: Double, hi: Double): Column =

@@ -78,10 +78,10 @@ class LayoutSpec extends AnyFunSuite {
     Layout.writeRangeClustered(ev, "user_id", files = 16, s"$root/r")
 
     // mean per-file extent of each dimension, normalized by its global span
+    val g = ev.agg(
+      (max("user_id") - min("user_id")).cast("double"),
+      (max("value") - min("value")).cast("double")).head()
     def extents(dir: String): (Double, Double) = {
-      val g = ev.agg(
-        (max("user_id") - min("user_id")).cast("double"),
-        (max("value") - min("value")).cast("double")).head()
       val spans = spark.read.parquet(dir)
         .groupBy(input_file_name())
         .agg(
