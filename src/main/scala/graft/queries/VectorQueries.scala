@@ -395,19 +395,7 @@ object VectorQueries {
       .select(struct(col("vec_id").as("sid"), col("e").as("se")).as("sd"))
       .groupBy().agg(sort_array(collect_list(col("sd"))).as("seeds"))
     val qrow = m.filter(col("vec_id") === 3).select(col("e").as("qe"))
-    def l2(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, v) => acc + v)
-    val adc = aggregate(
-      sequence(lit(0), lit(7)), lit(0.0),
-      (acc, b) => acc + array_min(transform(col("seeds"), sd =>
-        struct(
-          l2(slice(col("e"), b * 8 + 1, lit(8)),
-            slice(sd.getField("se"), b * 8 + 1, lit(8))).as("da"),
-          sd.getField("sid").as("sid"),
-          l2(slice(col("qe"), b * 8 + 1, lit(8)),
-            slice(sd.getField("se"), b * 8 + 1, lit(8))).as("dq"))))
-        .getField("dq"))
+    val adc = adcExpr
     val w = org.apache.spark.sql.expressions.Window.orderBy("adc", "vec_id")
     val ranked = m.filter(col("vec_id") =!= 3)
       .crossJoin(broadcast(seeds.crossJoin(qrow)))
@@ -417,7 +405,7 @@ object VectorQueries {
       .withColumn("rk", row_number().over(w).cast("long"))
     val exact = m.filter(col("vec_id") =!= 3)
       .crossJoin(broadcast(qrow))
-      .select(col("vec_id").as("xid"), l2(col("e"), col("qe")).as("dx"))
+      .select(col("vec_id").as("xid"), l2sq(col("e"), col("qe")).as("dx"))
       .orderBy("dx", "xid")
       .limit(10)
       .select(col("xid"))
@@ -426,6 +414,27 @@ object VectorQueries {
         col("xid").isNotNull.as("in_exact_topk"))
       .orderBy("rk")
   }
+
+  private def l2sq(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** The ADC sum over staged `e` (corpus vector), `qe` (query vector)
+    * and `seeds` (codebook) columns — the ONE definition v15
+    * (corpus-wide ADC) and v16 (IVF-pruned ADC) rank with. Per block,
+    * the chosen codeword is min-(assign-dist, sid); the struct carries
+    * the query↔codeword distance so no code table or lookup join ever
+    * materializes. */
+  private def adcExpr: Column = aggregate(
+    sequence(lit(0), lit(7)), lit(0.0),
+    (acc, b) => acc + array_min(transform(col("seeds"), sd =>
+      struct(
+        l2sq(slice(col("e"), b * 8 + 1, lit(8)),
+          slice(sd.getField("se"), b * 8 + 1, lit(8))).as("da"),
+        sd.getField("sid").as("sid"),
+        l2sq(slice(col("qe"), b * 8 + 1, lit(8)),
+          slice(sd.getField("se"), b * 8 + 1, lit(8))).as("dq"))))
+      .getField("dq"))
 
   private val ov15 =
     """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
@@ -452,6 +461,102 @@ object VectorQueries {
       |SELECT rk::BIGINT AS rk, t.vec_id, ROUND(adc, 6) AS adc,
       |  (t.vec_id IN (SELECT vec_id FROM exact)) AS in_exact_topk
       |FROM topadc t ORDER BY rk""".stripMargin
+
+  /** V16 — the FULL IVF-PQ retrieval pipeline composed end to end, the
+    * production ANN shape at 100 TB: (1) coarse probe — the persisted
+    * per-label centroids pick the nprobe=2 nearest partitions, dynamic
+    * partition pruning opens only those directories (v03's stage);
+    * (2) ADC shortlist — within the probed partitions, rank by the PQ
+    * asymmetric distance ([[adcExpr]], 8 B of codes per row at scale,
+    * not 256 B of floats) and keep 30 candidates; (3) exact re-rank —
+    * full-precision cosine on the 30 survivors yields the top-10. Each
+    * stage cuts the data the next stage touches: |corpus| →
+    * nprobe/|labels| → 30 → 10. The exhaustive exact top-10 rides along
+    * as the audit flag (the v11/v15 discipline — every approximation
+    * ships its recall meter). */
+  private def v16(s: SparkSession, d: String): DataFrame = {
+    val (centPath, corpPath) = graft.sources.VectorIndex.ensureIvf(s, d)
+    val q = queryVec(s, d)
+    val best = s.read.parquet(centPath).crossJoin(broadcast(q))
+      .select(
+        col("label"),
+        (dot(col("ce"), col("qe")) / (norm(col("ce")) * col("qn"))).as("cs"))
+      .orderBy(col("cs").desc, col("label"))
+      .limit(2)
+      .select(col("label").as("best_label"))
+    val seeds = embeddings(s, d).filter(col("vec_id") <= 2)
+      .select(struct(
+        col("vec_id").as("sid"), toDouble(col("embedding")).as("se")).as("sd"))
+      .groupBy().agg(sort_array(collect_list(col("sd"))).as("seeds"))
+    val shortlist = s.read.parquet(corpPath)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+      .join(broadcast(best), col("label") === col("best_label"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(seeds.crossJoin(q)))
+      .select(col("vec_id"), col("e"), col("qe"), col("qn"), adcExpr.as("adc"))
+      .orderBy("adc", "vec_id")
+      .limit(30)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val reranked = shortlist
+      .select(
+        col("vec_id"),
+        oround(dot(col("e"), col("qe")) / (norm(col("e")) * col("qn")), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val exhaustive = corpus(s, d).filter(col("vec_id") =!= 0)
+      .withColumn("nrm", norm(col("e")))
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id").as("xid"),
+        oround(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cx"))
+      .orderBy(col("cx").desc, col("xid"))
+      .limit(10)
+      .select(col("xid"))
+    reranked.join(exhaustive, col("vec_id") === col("xid"), "left")
+      .select(col("rk"), col("vec_id"), col("cos_sim"),
+        col("xid").isNotNull.as("in_exhaustive_topk"))
+      .orderBy("rk")
+  }
+
+  private val ov16 =
+    """WITH n AS (SELECT vec_id, label, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |cd AS (SELECT label, i, avg(e[i]) c FROM n, (SELECT unnest(generate_series(1,64)) i) GROUP BY label, i),
+      |cent AS (SELECT label, list(c ORDER BY i) ce FROM cd GROUP BY label),
+      |q AS (SELECT e qe FROM n WHERE vec_id = 0),
+      |best AS (SELECT label FROM cent, q
+      |  ORDER BY list_sum(list_transform(list_zip(ce, qe), x -> x[1]*x[2]))
+      |           / (sqrt(list_sum(list_transform(ce, x->x*x))) * sqrt(list_sum(list_transform(qe, x->x*x)))) DESC, label LIMIT 2),
+      |seeds AS (SELECT vec_id sid, e se FROM n WHERE vec_id <= 2),
+      |cand AS (SELECT n.vec_id, n.e FROM n JOIN best ON n.label = best.label WHERE n.vec_id <> 0),
+      |blk AS (
+      |  SELECT v.vec_id, b,
+      |    (SELECT dq FROM (
+      |       SELECT s.sid,
+      |         list_sum(list_transform(list_zip(v.e[b*8+1 : b*8+8], s.se[b*8+1 : b*8+8]),
+      |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS da,
+      |         list_sum(list_transform(list_zip(q.qe[b*8+1 : b*8+8], s.se[b*8+1 : b*8+8]),
+      |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS dq
+      |       FROM seeds s, q) t
+      |     ORDER BY da, sid LIMIT 1) AS dq
+      |  FROM cand v, (SELECT unnest(generate_series(0,7)) b), q),
+      |adc AS (SELECT vec_id, sum(dq) AS adc FROM blk GROUP BY vec_id),
+      |short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 30),
+      |rr AS (SELECT c.vec_id,
+      |    ROUND(list_sum(list_transform(list_zip(c.e, q.qe), x -> x[1]*x[2]))
+      |      / (sqrt(list_sum(list_transform(c.e, x->x*x))) * sqrt(list_sum(list_transform(q.qe, x->x*x)))), 4) AS cos_sim
+      |  FROM cand c JOIN short ON c.vec_id = short.vec_id, q),
+      |top AS (SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) rk
+      |        FROM rr ORDER BY cos_sim DESC, vec_id LIMIT 10),
+      |ex AS (SELECT n.vec_id,
+      |    ROUND(list_sum(list_transform(list_zip(n.e, q.qe), x -> x[1]*x[2]))
+      |      / (sqrt(list_sum(list_transform(n.e, x->x*x))) * sqrt(list_sum(list_transform(q.qe, x->x*x)))), 4) AS cx
+      |  FROM n, q WHERE n.vec_id <> 0 ORDER BY cx DESC, n.vec_id LIMIT 10)
+      |SELECT rk::BIGINT AS rk, t.vec_id, cos_sim,
+      |  (t.vec_id IN (SELECT vec_id FROM ex)) AS in_exhaustive_topk
+      |FROM top t ORDER BY rk""".stripMargin
 
   /** V4 — vector aggregate stats: per-label counts and mean L2 norm. */
   private def v04(s: SparkSession, d: String): DataFrame =
@@ -638,5 +743,6 @@ object VectorQueries {
     QueryDef("v12_batch_recall", v12, Some(ov12)),
     QueryDef("v13_kmeans_step", v13, Some(ov13)),
     QueryDef("v14_pq_audit", v14, Some(ov14)),
-    QueryDef("v15_adc_topk", v15, Some(ov15)))
+    QueryDef("v15_adc_topk", v15, Some(ov15)),
+    QueryDef("v16_ivfpq_pipeline", v16, Some(ov16)))
 }

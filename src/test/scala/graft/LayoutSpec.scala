@@ -108,6 +108,13 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/z").count() == ev.count())
   }
 
+  test("z-order write handles empty input like the range writer (no NPE)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zorder-empty").toString
+    val empty = Tables.events(spark, sf).filter(lit(false))
+    Layout.writeZOrdered(empty, "user_id", "value", files = 4, s"$root/z")
+    assert(spark.read.parquet(s"$root/z").count() == 0)
+  }
+
   test("compact rewrites a small-files directory to size-targeted files, losslessly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     // accrete the small-files pathology: 64 single-row-group fragments
