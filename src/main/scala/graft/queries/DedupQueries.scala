@@ -480,6 +480,65 @@ object DedupQueries {
       |SELECT new_id, dup_of, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.8
       |ORDER BY new_id, dup_of""".stripMargin
 
+  /** D10 — MinHash ESTIMATOR calibration: for every band-collision
+    * candidate pair, the signature-agreement estimate (matching
+    * components / 8) next to the exact Jaccard and the absolute error —
+    * the measured reason d02 VERIFIES candidates exactly instead of
+    * trusting the estimate (8 components put ~0.2 mean absolute error
+    * on low-similarity collisions; a production 128-component signature
+    * shrinks it ∝ 1/√k, same plan). The audit discipline v09/v11/v15
+    * apply to ANN, applied to the dedup estimator. Join-back shape on
+    * the checkpointed signature table (d07's lesson — lambda exprIds
+    * defeat ReuseExchange, so the un-checkpointed self-join would
+    * recompute every signature twice). */
+  private def d10(s: SparkSession, d: String): DataFrame = {
+    val sig = sigWithSh(s, d)
+      .withColumn("mh", array((0 until 8).map(i => col(s"mh$i")): _*))
+      .select(col("doc_id"), col("sh"), col("mh"))
+      .localCheckpoint()
+    val bands = sig
+      .select(col("doc_id") +: (0 until 4).map(b =>
+        concat_ws(":", col("mh")(2 * b), col("mh")(2 * b + 1)).as(s"bk$b")): _*)
+      .select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+        concat_ws(":", lit(b), col(s"bk$b"))): _*)).as(Seq("band", "bk")))
+    val cand = bands.toDF("da", "ba", "ka")
+      .join(bands.toDF("db", "bb", "kb"),
+        col("ka") === col("kb") && col("da") < col("db"))
+      .select(col("da"), col("db"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("da"), col("sh").as("sha"), col("mh").as("mha")), Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("sh").as("shb"), col("mh").as("mhb")), Seq("db"))
+      .select(col("da"), col("db"),
+        (aggregate(zip_with(col("mha"), col("mhb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / 8.0).as("est"),
+        TextFns.jaccard(col("sha"), col("shb")).as("jac"))
+      .select(col("da"), col("db"),
+        oround(col("est"), 3).as("mh_estimate"),
+        oround(col("jac"), 3).as("jaccard"),
+        oround(abs(col("est") - col("jac")), 3).as("abs_err"))
+      .orderBy("da", "db")
+  }
+
+  private val od10 =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])) sh
+      |      FROM t WHERE len(toks) >= 2),
+      |hsed AS (SELECT doc_id, sh, list_transform(sh, x -> ('0x'||substr(md5(x),1,7))::BIGINT) hs FROM s),
+      |sig AS (SELECT doc_id, sh, [$mhList] mh FROM hsed),
+      |bands AS (SELECT doc_id, b, mh[2*b-1]::VARCHAR || ':' || mh[2*b]::VARCHAR bh
+      |          FROM sig, (SELECT unnest(generate_series(1,4)) b)),
+      |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b
+      |         ON a.b=b.b AND a.bh=b.bh AND a.doc_id<b.doc_id),
+      |j AS (SELECT da, db,
+      |    list_sum(list_transform(list_zip(sa.mh, sb.mh), p -> CASE WHEN p[1]=p[2] THEN 1 ELSE 0 END))/8.0 est,
+      |    len(list_intersect(sa.sh,sb.sh))::DOUBLE/(len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh,sb.sh))) jac
+      |  FROM cand JOIN sig sa ON cand.da=sa.doc_id JOIN sig sb ON cand.db=sb.doc_id)
+      |SELECT da, db, ROUND(est,3) AS mh_estimate, ROUND(jac,3) AS jaccard,
+      |  ROUND(abs(est-jac),3) AS abs_err
+      |FROM j ORDER BY da, db""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_fingerprint_blocks", d01, Some(od01)),
     QueryDef("d02_minhash_lsh_pairs", d02, Some(od02)),
@@ -489,5 +548,6 @@ object DedupQueries {
     QueryDef("d06_dup_components", d06, Some(od06)),
     QueryDef("d07_lsh_joinback", d07, Some(od02)),
     QueryDef("d08_simhash_hamming", d08, Some(od08)),
-    QueryDef("d09_incremental_dedup", d09, Some(od09)))
+    QueryDef("d09_incremental_dedup", d09, Some(od09)),
+    QueryDef("d10_minhash_calibration", d10, Some(od10)))
 }
