@@ -492,27 +492,28 @@ object DedupQueries {
     * defeat ReuseExchange, so the un-checkpointed self-join would
     * recompute every signature twice). */
   private def d10(s: SparkSession, d: String): DataFrame = {
-    val sig = sigWithSh(s, d)
-      .withColumn("mh", array((0 until 8).map(i => col(s"mh$i")): _*))
-      .select(col("doc_id"), col("sh"), col("mh"))
-      .localCheckpoint()
-    val bands = sig
-      .select(col("doc_id") +: (0 until 4).map(b =>
-        concat_ws(":", col("mh")(2 * b), col("mh")(2 * b + 1)).as(s"bk$b")): _*)
-      .select(col("doc_id"), posexplode(array((0 until 4).map(b =>
-        concat_ws(":", lit(b), col(s"bk$b"))): _*)).as(Seq("band", "bk")))
+    // THE shared signature + banding definitions (sigWithSh /
+    // bandKeyCols) — d10 must calibrate exactly the candidate-pair set
+    // d02 verifies, so it derives from the same single copy
+    val sig = sigWithSh(s, d).localCheckpoint()
+    val bands = sig.select(
+      col("doc_id"), posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh")))
     val cand = bands.toDF("da", "ba", "ka")
-      .join(bands.toDF("db", "bb", "kb"),
-        col("ka") === col("kb") && col("da") < col("db"))
+      .join(bands.toDF("db", "bb", "kb2"),
+        col("ba") === col("bb") && col("ka") === col("kb2") && col("da") < col("db"))
       .select(col("da"), col("db"))
       .distinct()
+    def side(p: String, id: String) = sig.select(
+      col("doc_id").as(id) +: col("sh").as(s"sh$p") +:
+        (0 until 8).map(i => col(s"mh$i").as(s"$p$i")): _*)
+    val est = (0 until 8)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / 8.0
     cand
-      .join(sig.select(col("doc_id").as("da"), col("sh").as("sha"), col("mh").as("mha")), Seq("da"))
-      .join(sig.select(col("doc_id").as("db"), col("sh").as("shb"), col("mh").as("mhb")), Seq("db"))
+      .join(side("a", "da"), Seq("da"))
+      .join(side("b", "db"), Seq("db"))
       .select(col("da"), col("db"),
-        (aggregate(zip_with(col("mha"), col("mhb"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / 8.0).as("est"),
+        est.as("est"),
         TextFns.jaccard(col("sha"), col("shb")).as("jac"))
       .select(col("da"), col("db"),
         oround(col("est"), 3).as("mh_estimate"),

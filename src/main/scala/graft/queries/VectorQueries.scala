@@ -61,6 +61,28 @@ object VectorQueries {
       .select(toDouble(col("embedding")).as("qe"))
       .select(col("qe"), norm(col("qe")).as("qn"))
 
+  /** v03's coarse-probe stage as the ONE definition v03 and v16 both
+    * select partitions with: the nprobe=2 best labels by centroid
+    * cosine against the broadcast (qe, qn) query row. */
+  private def coarseProbe(s: SparkSession, centPath: String, q: DataFrame): DataFrame =
+    s.read.parquet(centPath).crossJoin(broadcast(q))
+      .select(
+        col("label"),
+        (dot(col("ce"), col("qe")) / (norm(col("ce")) * col("qn"))).as("cs"))
+      .orderBy(col("cs").desc, col("label"))
+      .limit(2)
+      .select(col("label").as("best_label"))
+
+  /** The 3-entry in-data PQ codebook as a ONE-ROW broadcastable frame
+    * (sorted (sid, se) structs) — the single definition the encoder
+    * (v14), the corpus-wide ADC ranker (v15) and the composed pipeline
+    * (v16) all quantize against. */
+  private def pqSeeds(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") <= 2)
+      .select(struct(
+        col("vec_id").as("sid"), toDouble(col("embedding")).as("se")).as("sd"))
+      .groupBy().agg(sort_array(collect_list(col("sd"))).as("seeds"))
+
   /** V2 — SRP-bucketed ANN against the PERSISTED bucket-partitioned
     * corpus: the probe joins on the partition column, so the scan is
     * dynamically pruned to the query's one bucket — 1/2^bits of the
@@ -89,13 +111,7 @@ object VectorQueries {
   private def v03(s: SparkSession, d: String): DataFrame = {
     val (centPath, corpPath) = graft.sources.VectorIndex.ensureIvf(s, d)
     val q = queryVec(s, d)
-    val best = s.read.parquet(centPath).crossJoin(broadcast(q))
-      .select(
-        col("label"),
-        (dot(col("ce"), col("qe")) / (norm(col("ce")) * col("qn"))).as("cs"))
-      .orderBy(col("cs").desc, col("label"))
-      .limit(2)
-      .select(col("label").as("best_label"))
+    val best = coarseProbe(s, centPath, q)
     s.read.parquet(corpPath)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
       .join(broadcast(best), col("label") === col("best_label"))
@@ -339,11 +355,7 @@ object VectorQueries {
   private def v14(s: SparkSession, d: String): DataFrame = {
     val m = graft.Tables.rebalance(s, embeddings(s, d))
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
-    val seeds = m.filter(col("vec_id") <= 2)
-      .select(struct(col("vec_id").as("sid"), col("e").as("se")).as("sd"))
-      .groupBy()
-      .agg(sort_array(collect_list(col("sd"))).as("seeds"))
-    m.crossJoin(broadcast(seeds))
+    m.crossJoin(broadcast(pqSeeds(s, d)))
       .withColumn("mse",
         aggregate(
           transform(sequence(lit(0), lit(7)), b =>
@@ -391,20 +403,22 @@ object VectorQueries {
   private def v15(s: SparkSession, d: String): DataFrame = {
     val m = graft.Tables.rebalance(s, embeddings(s, d))
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-    val seeds = m.filter(col("vec_id") <= 2)
-      .select(struct(col("vec_id").as("sid"), col("e").as("se")).as("sd"))
-      .groupBy().agg(sort_array(collect_list(col("sd"))).as("seeds"))
-    val qrow = m.filter(col("vec_id") === 3).select(col("e").as("qe"))
+    // (seeds, qe) staged ONCE — the two ranking passes below reuse the
+    // checkpointed 1-row context instead of re-deriving it from scans
+    val ctx = pqSeeds(s, d)
+      .crossJoin(embeddings(s, d).filter(col("vec_id") === 3)
+        .select(toDouble(col("embedding")).as("qe")))
+      .localCheckpoint()
     val adc = adcExpr
     val w = org.apache.spark.sql.expressions.Window.orderBy("adc", "vec_id")
     val ranked = m.filter(col("vec_id") =!= 3)
-      .crossJoin(broadcast(seeds.crossJoin(qrow)))
+      .crossJoin(broadcast(ctx))
       .select(col("vec_id"), adc.as("adc"))
       .orderBy("adc", "vec_id")
       .limit(10)
       .withColumn("rk", row_number().over(w).cast("long"))
     val exact = m.filter(col("vec_id") =!= 3)
-      .crossJoin(broadcast(qrow))
+      .crossJoin(broadcast(ctx.select(col("qe"))))
       .select(col("vec_id").as("xid"), l2sq(col("e"), col("qe")).as("dx"))
       .orderBy("dx", "xid")
       .limit(10)
@@ -437,27 +451,16 @@ object VectorQueries {
       .getField("dq"))
 
   private val ov15 =
-    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
-      |seeds AS (SELECT vec_id sid, e se FROM n WHERE vec_id <= 2),
-      |qv AS (SELECT e AS qe FROM n WHERE vec_id = 3),
-      |blk AS (
-      |  SELECT v.vec_id, b,
-      |    (SELECT dq FROM (
-      |       SELECT s.sid,
-      |         list_sum(list_transform(list_zip(v.e[b*8+1 : b*8+8], s.se[b*8+1 : b*8+8]),
-      |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS da,
-      |         list_sum(list_transform(list_zip(qv.qe[b*8+1 : b*8+8], s.se[b*8+1 : b*8+8]),
-      |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS dq
-      |       FROM seeds s, qv) t
-      |     ORDER BY da, sid LIMIT 1) AS dq
-      |  FROM n v, (SELECT unnest(generate_series(0,7)) b), qv
-      |  WHERE v.vec_id <> 3),
+    s"""WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |$oSeedsCte,
+      |q AS (SELECT e AS qe FROM n WHERE vec_id = 3),
+      |${oAdcBlkCte("(SELECT vec_id, e FROM n WHERE vec_id <> 3)")},
       |adc AS (SELECT vec_id, sum(dq) AS adc FROM blk GROUP BY vec_id),
       |topadc AS (SELECT vec_id, adc, row_number() OVER (ORDER BY adc, vec_id) rk
       |           FROM adc ORDER BY adc, vec_id LIMIT 10),
       |exact AS (SELECT v.vec_id,
-      |    list_sum(list_transform(list_zip(v.e, qv.qe), p -> (p[1]-p[2])*(p[1]-p[2]))) d
-      |  FROM n v, qv WHERE v.vec_id <> 3 ORDER BY d, vec_id LIMIT 10)
+      |    list_sum(list_transform(list_zip(v.e, q.qe), p -> (p[1]-p[2])*(p[1]-p[2]))) d
+      |  FROM n v, q WHERE v.vec_id <> 3 ORDER BY d, vec_id LIMIT 10)
       |SELECT rk::BIGINT AS rk, t.vec_id, ROUND(adc, 6) AS adc,
       |  (t.vec_id IN (SELECT vec_id FROM exact)) AS in_exact_topk
       |FROM topadc t ORDER BY rk""".stripMargin
@@ -477,22 +480,13 @@ object VectorQueries {
   private def v16(s: SparkSession, d: String): DataFrame = {
     val (centPath, corpPath) = graft.sources.VectorIndex.ensureIvf(s, d)
     val q = queryVec(s, d)
-    val best = s.read.parquet(centPath).crossJoin(broadcast(q))
-      .select(
-        col("label"),
-        (dot(col("ce"), col("qe")) / (norm(col("ce")) * col("qn"))).as("cs"))
-      .orderBy(col("cs").desc, col("label"))
-      .limit(2)
-      .select(col("label").as("best_label"))
-    val seeds = embeddings(s, d).filter(col("vec_id") <= 2)
-      .select(struct(
-        col("vec_id").as("sid"), toDouble(col("embedding")).as("se")).as("sd"))
-      .groupBy().agg(sort_array(collect_list(col("sd"))).as("seeds"))
+    val best = coarseProbe(s, centPath, q)
+    val ctx = pqSeeds(s, d).crossJoin(q).localCheckpoint()
     val shortlist = s.read.parquet(corpPath)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
       .join(broadcast(best), col("label") === col("best_label"))
       .filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(seeds.crossJoin(q)))
+      .crossJoin(broadcast(ctx))
       .select(col("vec_id"), col("e"), col("qe"), col("qn"), adcExpr.as("adc"))
       .orderBy("adc", "vec_id")
       .limit(30)
@@ -522,26 +516,12 @@ object VectorQueries {
   }
 
   private val ov16 =
-    """WITH n AS (SELECT vec_id, label, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
-      |cd AS (SELECT label, i, avg(e[i]) c FROM n, (SELECT unnest(generate_series(1,64)) i) GROUP BY label, i),
-      |cent AS (SELECT label, list(c ORDER BY i) ce FROM cd GROUP BY label),
+    s"""WITH n AS (SELECT vec_id, label, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
       |q AS (SELECT e qe FROM n WHERE vec_id = 0),
-      |best AS (SELECT label FROM cent, q
-      |  ORDER BY list_sum(list_transform(list_zip(ce, qe), x -> x[1]*x[2]))
-      |           / (sqrt(list_sum(list_transform(ce, x->x*x))) * sqrt(list_sum(list_transform(qe, x->x*x)))) DESC, label LIMIT 2),
-      |seeds AS (SELECT vec_id sid, e se FROM n WHERE vec_id <= 2),
+      |$oCentBestCtes,
+      |$oSeedsCte,
       |cand AS (SELECT n.vec_id, n.e FROM n JOIN best ON n.label = best.label WHERE n.vec_id <> 0),
-      |blk AS (
-      |  SELECT v.vec_id, b,
-      |    (SELECT dq FROM (
-      |       SELECT s.sid,
-      |         list_sum(list_transform(list_zip(v.e[b*8+1 : b*8+8], s.se[b*8+1 : b*8+8]),
-      |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS da,
-      |         list_sum(list_transform(list_zip(q.qe[b*8+1 : b*8+8], s.se[b*8+1 : b*8+8]),
-      |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS dq
-      |       FROM seeds s, q) t
-      |     ORDER BY da, sid LIMIT 1) AS dq
-      |  FROM cand v, (SELECT unnest(generate_series(0,7)) b), q),
+      |${oAdcBlkCte("cand")},
       |adc AS (SELECT vec_id, sum(dq) AS adc FROM blk GROUP BY vec_id),
       |short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 30),
       |rr AS (SELECT c.vec_id,
@@ -584,14 +564,39 @@ object VectorQueries {
       |SELECT vec_id, ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) AS cos_sim
       |FROM b, q WHERE b.bucket = q.qb ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
-  private val ov03 =
-    """WITH n AS (SELECT vec_id, label, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
-      |cd AS (SELECT label, i, avg(e[i]) c FROM n, (SELECT unnest(generate_series(1,64)) i) GROUP BY label, i),
+  /** Shared oracle fragments (each assumes the standard `n` CTE and a
+    * `q(qe)` CTE precede it) — the SQL twins of [[coarseProbe]],
+    * [[pqSeeds]] and [[adcExpr]], shared by ov03/ov15/ov16 exactly as
+    * the Scala side shares the definitions. */
+  private def oCentBestCtes: String =
+    """cd AS (SELECT label, i, avg(e[i]) c FROM n, (SELECT unnest(generate_series(1,64)) i) GROUP BY label, i),
       |cent AS (SELECT label, list(c ORDER BY i) ce FROM cd GROUP BY label),
-      |q AS (SELECT e qe FROM n WHERE vec_id = 0),
       |best AS (SELECT label FROM cent, q
       |  ORDER BY list_sum(list_transform(list_zip(ce, qe), x -> x[1]*x[2]))
-      |           / (sqrt(list_sum(list_transform(ce, x->x*x))) * sqrt(list_sum(list_transform(qe, x->x*x)))) DESC, label LIMIT 2)
+      |           / (sqrt(list_sum(list_transform(ce, x->x*x))) * sqrt(list_sum(list_transform(qe, x->x*x)))) DESC, label LIMIT 2)"""
+
+  private def oSeedsCte: String =
+    """seeds AS (SELECT vec_id sid, e se FROM n WHERE vec_id <= 2)"""
+
+  /** The per-(row, block) chosen-codeword query distance; `src` must
+    * expose (vec_id, e). */
+  private def oAdcBlkCte(src: String): String =
+    s"""blk AS (
+      |  SELECT v.vec_id, b,
+      |    (SELECT dq FROM (
+      |       SELECT s.sid,
+      |         list_sum(list_transform(list_zip(v.e[b*8+1 : b*8+8], s.se[b*8+1 : b*8+8]),
+      |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS da,
+      |         list_sum(list_transform(list_zip(q.qe[b*8+1 : b*8+8], s.se[b*8+1 : b*8+8]),
+      |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS dq
+      |       FROM seeds s, q) t
+      |     ORDER BY da, sid LIMIT 1) AS dq
+      |  FROM $src v, (SELECT unnest(generate_series(0,7)) b), q)"""
+
+  private val ov03 =
+    s"""WITH n AS (SELECT vec_id, label, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |q AS (SELECT e qe FROM n WHERE vec_id = 0),
+      |$oCentBestCtes
       |SELECT n.vec_id, ROUND(list_sum(list_transform(list_zip(n.e, q.qe), x -> x[1]*x[2]))
       |  / (sqrt(list_sum(list_transform(n.e, x->x*x))) * sqrt(list_sum(list_transform(q.qe, x->x*x)))), 4) AS cos_sim
       |FROM n JOIN best ON n.label = best.label, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin

@@ -89,6 +89,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"the nprobe join must prune corpus partitions via DPP, got:\n$scanLine")
   }
 
+  test("v16: the composed IVF-PQ pipeline keeps v03's partition-pruned probe") {
+    val plan = executedPlan("v16_ivfpq_pipeline")
+    val scanLine = plan.split("\n").find(_.contains("ivf_corpus"))
+      .getOrElse(fail(s"no ivf_corpus scan in:\n$plan"))
+    assert(scanLine.contains("dynamicpruningexpression(label"),
+      s"v16's coarse probe must prune corpus partitions via DPP, got:\n$scanLine")
+  }
+
   test("v02/v05/v10: SRP probes dynamically prune the bucket-partitioned corpus") {
     Seq("v02_srp_ann", "v05_srp_multiprobe", "v10_batch_ann").foreach { name =>
       val plan = executedPlan(name)
