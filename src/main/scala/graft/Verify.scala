@@ -10,12 +10,17 @@ import java.nio.file.{Files, Paths}
   * events-based queries). */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (Array(sfDir, outDir), only) = args.splitAt(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Extra args (local iteration only; the driver passes exactly two)
+    // restrict the dump to the named queries.
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only.contains).toMap
+    selected.foreach { case (name, fn) =>
       // coalesce(1) is for the tiny oracle dumps only (one file per query
       // for the driver's reader) — never a pattern for real sinks.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

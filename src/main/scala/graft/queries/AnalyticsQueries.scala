@@ -122,6 +122,55 @@ object AnalyticsQueries {
         col("n_events"))
       .orderBy("user_id", "sess_start")
 
+  /** W7 — regular-grid RESAMPLE with linear interpolation (the sensor
+    * gap-fill: the reference's irregular BLE readings re-gridded to an
+    * hourly series per sensor; reference src/main.rs sleeps a fixed
+    * interval but readings still arrive irregularly). The union-tag +
+    * two-direction window trick is [[graft.ops.AsOfJoin]] extended to
+    * BOTH neighbors: observations (side 0) and generated grid points
+    * (side 1, null value) share one total order per user, `last(…,
+    * ignoreNulls)` over the preceding frame finds (prev_ts, prev_v),
+    * `first(…, ignoreNulls)` over the following frame finds the next —
+    * so interpolation needs ZERO joins and no range explosion. All four
+    * window expressions share one (partitionBy user_id, same order)
+    * spec → ONE exchange + ONE sort; the bounds aggregate is a
+    * map-side-combined |users|-row shuffle; grid size is
+    * users × hours, linear in time span, never |events|². A grid point
+    * that coincides with an observation reproduces it exactly (the
+    * obs sorts before the grid row, so pt = ts and the ratio is 0). */
+  private def w07(s: SparkSession, d: String): DataFrame = {
+    val obs = events(s, d).select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    val grid = obs.groupBy("user_id")
+      .agg(date_trunc("hour", min("ts")).as("t0"), date_trunc("hour", max("ts")).as("t1"))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("interval 1 hour"))).as("ts"))
+    val unioned = obs
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("value"), col("event_id"))
+      .unionByName(grid.select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("double").as("value"), lit(null).cast("long").as("event_id")))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id")) // asc = nulls first, both engines pinned
+    val wp = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsTs = when(col("value").isNotNull, col("ts"))
+    // (nv−pv) * Δt THEN / span — the same association and long→double
+    // promotions as the oracle text, for bit-identical doubles
+    val interp = col("pv") + (col("nv") - col("pv")) *
+      (unix_micros(col("ts")) - unix_micros(col("pt"))) /
+      (unix_micros(col("nt")) - unix_micros(col("pt")))
+    unioned
+      .select(col("user_id"), col("ts"), col("side"),
+        last(col("value"), ignoreNulls = true).over(wp).as("pv"),
+        last(obsTs, ignoreNulls = true).over(wp).as("pt"),
+        first(col("value"), ignoreNulls = true).over(wf).as("nv"),
+        first(obsTs, ignoreNulls = true).over(wf).as("nt"))
+      .filter(col("side") === 1 && col("pv").isNotNull && col("nv").isNotNull)
+      .select(col("user_id"), col("ts").as("grid_ts"),
+        oround(when(col("nt") === col("pt"), col("pv")).otherwise(interp), 4)
+          .as("ivalue"))
+      .orderBy("user_id", "grid_ts")
+  }
+
   /** A1 — HLL++ audit: approx_count_distinct (default 5% rsd) next to the
     * exact distinct count; `within_10pct` asserts the sketch honors 2×
     * its error budget. At 100 TB the sketch is the ONLY viable per-key
@@ -823,6 +872,36 @@ object AnalyticsQueries {
       |  (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS sess_end, count(*) AS n_events
       |FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start""".stripMargin
 
+  private val ow07 =
+    """WITH bounds AS (
+      |  SELECT user_id, date_trunc('hour', min(ts)) t0, date_trunc('hour', max(ts)) t1
+      |  FROM events GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) g FROM bounds),
+      |u AS (
+      |  SELECT user_id, ts, 0 AS side, value, event_id FROM events
+      |  UNION ALL
+      |  SELECT user_id, g, 1, NULL, NULL FROM grid),
+      |w AS (
+      |  SELECT user_id, ts, side,
+      |    last_value(value IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER wp AS pt,
+      |    first_value(value IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER wf AS nt
+      |  FROM u
+      |  WINDOW
+      |    wp AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, event_id ASC NULLS FIRST
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, event_id ASC NULLS FIRST
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, ts AS grid_ts,
+      |  ROUND(CASE WHEN nt = pt THEN pv
+      |        ELSE pv + (nv - pv) * (epoch_us(ts) - epoch_us(pt)) / (epoch_us(nt) - epoch_us(pt))
+      |        END, 4) AS ivalue
+      |FROM w
+      |WHERE side = 1 AND pv IS NOT NULL AND nv IS NOT NULL
+      |ORDER BY user_id, grid_ts""".stripMargin
+
   private val oa01 =
     """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_10pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -1009,6 +1088,7 @@ object AnalyticsQueries {
     QueryDef("w04_rank_tiles", w04, Some(ow04)),
     QueryDef("w05_range_frame", w05, Some(ow05)),
     QueryDef("w06_session_window", w06, Some(ow06)),
+    QueryDef("w07_interpolate", w07, Some(ow07)),
     QueryDef("a01_hll_audit", a01, Some(oa01)),
     QueryDef("a02_quantile_audit", a02, Some(oa02)),
     QueryDef("a03_quantile_drift", a03, Some(oa03)),
