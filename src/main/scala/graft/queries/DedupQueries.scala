@@ -540,6 +540,63 @@ object DedupQueries {
       |  ROUND(abs(est-jac),3) AS abs_err
       |FROM j ORDER BY da, db""".stripMargin
 
+  /** D11 — blocked EDIT-DISTANCE near-dup: exact Levenshtein, but only
+    * within d01's fingerprint blocks (the same blocking key, so the
+    * all-pairs O(n²·len²) comparison never happens), keeping pairs with
+    * distance ≤ 150 and their normalized similarity. Character-level
+    * edit distance is the dedup signal shingle Jaccard misses:
+    * insertions that shift every downstream k-gram (the "same doc, one
+    * sentence injected" near-dup) still score close here.
+    *
+    * Same bucket-local shape as d02/d04 — one scan, one shuffle, zero
+    * joins: block members are grouped, ordered pairs emitted from the
+    * sorted list, and the distance computed INSIDE the pair lambda via
+    * Spark's bounded `levenshtein(l, r, threshold)` — O(threshold·len)
+    * per pair with early abandon, returning −1 past the bound, so the
+    * emitted pair row is 4 scalars and the texts never leave the
+    * bucket. (Parity note: DuckDB's levenshtein is byte-based, Spark's
+    * is character-based — identical on this ASCII corpus; non-ASCII
+    * corpora would need a byte-cast first.) */
+  private def d11(s: SparkSession, d: String): DataFrame = {
+    val K = 150
+    tokenized(s, d)
+      .select(
+        col("doc_id"),
+        TextFns.fingerprintOf(col("toks"), col("text"), N).as("fp"),
+        col("text"))
+      .groupBy("fp")
+      .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("text").as("tx"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(
+          slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
+          y => struct(
+            x.getField("id").as("da"), y.getField("id").as("db"),
+            levenshtein(x.getField("tx"), y.getField("tx"), K).as("lev"),
+            greatest(length(x.getField("tx")), length(y.getField("tx"))).as("mx"))))))
+        .as("p"))
+      .filter(col("p.lev") >= 0)
+      .select(
+        col("p.da").as("da"), col("p.db").as("db"),
+        col("p.lev").cast("long").as("edit_dist"),
+        oround(lit(1.0) - col("p.lev") / col("p.mx"), 4).as("sim"))
+      .orderBy("da", "db")
+  }
+
+  private val od11 =
+    """WITH t AS (SELECT doc_id, text, string_split(text,' ') toks FROM documents),
+      |s AS (SELECT doc_id, text, CASE WHEN len(toks) >= 2
+      |  THEN list_min(list_transform(generate_series(1, len(toks)-1), i -> md5(toks[i] || ' ' || toks[i+1])))
+      |  ELSE md5(text) END fp FROM t),
+      |pairs AS (
+      |  SELECT a.doc_id da, b.doc_id db,
+      |    levenshtein(a.text, b.text) AS lev,
+      |    greatest(len(a.text), len(b.text)) AS mx
+      |  FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+      |SELECT da, db, lev::BIGINT AS edit_dist, ROUND(1.0 - lev / mx, 4) AS sim
+      |FROM pairs WHERE lev <= 150 ORDER BY da, db""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_fingerprint_blocks", d01, Some(od01)),
     QueryDef("d02_minhash_lsh_pairs", d02, Some(od02)),
@@ -550,5 +607,6 @@ object DedupQueries {
     QueryDef("d07_lsh_joinback", d07, Some(od02)),
     QueryDef("d08_simhash_hamming", d08, Some(od08)),
     QueryDef("d09_incremental_dedup", d09, Some(od09)),
-    QueryDef("d10_minhash_calibration", d10, Some(od10)))
+    QueryDef("d10_minhash_calibration", d10, Some(od10)),
+    QueryDef("d11_edit_distance", d11, Some(od11)))
 }
