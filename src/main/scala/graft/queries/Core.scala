@@ -597,6 +597,72 @@ object Core {
       .orderBy("user_id")
   }
 
+  /** Q39 — STREAM-STREAM interval join under the oracle: clicks joined
+    * to same-user views from the preceding 12 hours, both sides
+    * watermarked, replayed through three ts-ordered micro-batches so
+    * matches genuinely cross batch boundaries (the view buffered in
+    * join state until its click arrives two batches later — the state
+    * path a single-batch replay would never exercise). The third
+    * stateful streaming runtime pinned by an independent engine: q33 =
+    * windowed aggregation, q36 = custom `flatMapGroupsWithState`, q39 =
+    * symmetric join state.
+    *
+    * Both branches derive from ONE file source; the range predicate
+    * `cts − 12 h ≤ vts ≤ cts` is what lets Spark derive a state
+    * watermark per side (views evict once the click-side watermark
+    * passes vts + 12 h) — without it, stream-stream join state grows
+    * forever at 100 TB. Inner-join matches emit as they arrive, so no
+    * watermark-flush sentinels are needed (emission is not
+    * watermark-gated; only state EVICTION is). Batches split at fixed
+    * date cuts keep every file's rows ahead of the prior batch's
+    * watermark — nothing is dropped as late, so the replay equals the
+    * batch join exactly. */
+  private def q39(s0: SparkSession, d: String): DataFrame = {
+    val r = new Replay(s0, "graft_ssjoin")
+    val s = r.session
+    val ev = events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val (cut1, cut2) = (lit("2024-01-11").cast("timestamp"), lit("2024-01-21").cast("timestamp"))
+    r.stage(ev.filter(col("ts") < cut1), "batch0", 1000000000000L)
+    r.stage(ev.filter(col("ts") >= cut1 && col("ts") < cut2), "batch1", 1000000060000L)
+    r.stage(ev.filter(col("ts") >= cut2), "batch2", 1000000120000L)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"), col("user_id"))
+      .withWatermark("cts", "1 minute")
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("vts"),
+        col("user_id").as("v_user_id"))
+      .withWatermark("vts", "1 minute")
+    val query = clicks
+      .join(views,
+        col("user_id") === col("v_user_id") &&
+          col("vts") <= col("cts") &&
+          col("vts") >= col("cts") - expr("interval 12 hours"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (unix_micros(col("cts")) - unix_micros(col("vts"))).as("gap_us"))
+      .writeStream
+      .format("parquet")
+      .option("path", r.outDir)
+      .option("checkpointLocation", r.ckpDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    r.cleanup()
+    s.read.parquet(r.outDir).orderBy("click_id", "view_id")
+  }
+
+  private val oq39 =
+    """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+      |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 12 HOUR
+      |ORDER BY click_id, view_id""".stripMargin
+
   /** Q26 — the COMPOSED reference-parity pipeline, oracle-checked end to
     * end: synthesize format-5 readings from events (5 sensors, 3
     * whitelisted), then run [[graft.etl.Pipeline.batch]] — whitelist
@@ -957,5 +1023,6 @@ object Core {
     QueryDef("q33_stream_replay", q33, Some(oq33)),
     // same oracle as q24: the custom-state streaming sessionizer must be
     // indistinguishable from the declarative batch definition
-    QueryDef("q36_stream_sessions", q36, Some(oq24)))
+    QueryDef("q36_stream_sessions", q36, Some(oq24)),
+    QueryDef("q39_stream_join", q39, Some(oq39)))
 }
