@@ -207,6 +207,32 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"SCD2 must shuffle once on user_id, got $exchanges in:\n$plan")
   }
 
+  test("w07: both interpolation neighbors come from ONE window pass, zero joins") {
+    // four ignore-nulls window functions (pv/pt forward, nv/nt backward
+    // frame) share one (user_id, order) spec → one Window node over one
+    // sort; the only other shuffle is the bounds aggregate feeding the
+    // grid. A join anywhere means the as-of pattern regressed to a
+    // range join.
+    val df = SparkEntry.queries("w07_interpolate")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"w07 must be join-free, found $j in:\n$plan"))
+    assert("Window".r.findAllIn(plan).length == 1,
+      s"all four neighbor lookups must share one Window node, got:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"w07 must shuffle twice (bounds agg + window), got $exchanges in:\n$plan")
+  }
+
+  test("d11: blocked edit distance runs with ZERO joins") {
+    val plan = executedPlan("d11_edit_distance")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"d11 must be join-free, found $j in:\n$plan"))
+  }
+
   test("q34: four grouping sets compute in ONE Expand + aggregate pass") {
     val plan = executedPlan("q34_sql_grouping_sets").split("== Initial Plan ==")(0)
     assert("Expand".r.findAllIn(plan).length == 1,
