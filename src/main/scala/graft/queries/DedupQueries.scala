@@ -257,11 +257,12 @@ object DedupQueries {
       .orderBy(col("jaccard").desc, col("da"), col("db"))
       .limit(20)
 
-  /** D5 — embedding-cosine near-dup: sign-projection bucket (4 bits) as
-    * the blocking key, exact cosine ≥ 0.3 within buckets. The bucket join
-    * replaces the N² cross join; at 100 TB add more bits (each bit halves
-    * the bucket) and multi-probe for recall. */
-  private def d05(s: SparkSession, d: String): DataFrame = {
+  /** The cosine near-dup EDGE SET shared by d05 and the graph family
+    * ([[GraphQueries]] g02 counts triangles over exactly these edges):
+    * sign-projection bucket (4 bits) as the blocking key, exact cosine
+    * within buckets, oriented va < vb. One definition so the similarity
+    * graph and the near-dup report can never disagree. */
+  private[queries] def cosineEdges(s: SparkSession, d: String, tau: Double = 0.3): DataFrame = {
     val e = graft.Tables.rebalance(s, embeddings(s, d)).select(
       col("vec_id"),
       VectorFns.toDouble(col("embedding")).as("e"))
@@ -274,10 +275,17 @@ object DedupQueries {
       .select(
         col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         (VectorFns.dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .filter(col("cos") >= 0.3)
+      .filter(col("cos") >= tau)
+  }
+
+  /** D5 — embedding-cosine near-dup: the shared [[cosineEdges]] bucket
+    * join (never N² — the SRP bucket replaces the cross join; at 100 TB
+    * add more bits, each halving the bucket, and multi-probe for
+    * recall), projected to the rounded report shape. */
+  private def d05(s: SparkSession, d: String): DataFrame =
+    cosineEdges(s, d)
       .select(col("va"), col("vb"), oround(col("cos"), 4).as("cos_sim"))
       .orderBy("va", "vb")
-  }
 
   // ------------------------------------------------------------------
   // DuckDB oracles (same shingle/signature/bucket constructions — md5 is
@@ -336,16 +344,23 @@ object DedupQueries {
       |FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |ORDER BY jaccard DESC, da, db LIMIT 20""".stripMargin
 
-  private val od05 =
-    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+  /** The oracle twin of [[cosineEdges]] — yields CTE `ce(va, vb, cos)`
+    * with cos ≥ 0.3 and va < vb. Interpolated into BOTH od05 and
+    * GraphQueries' og02 so the two oracles share one edge definition. */
+  private[queries] def cosineEdgeCtes(tau: Double = 0.3): String =
+    s"""n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
       |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
       |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
-      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n)
-      |SELECT va, vb, ROUND(cos, 4) AS cos_sim FROM (
+      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n),
+      |ce AS (SELECT va, vb, cos FROM (
       |  SELECT a.vec_id va, b2.vec_id vb,
       |    list_sum(list_transform(list_zip(a.e, b2.e), x -> x[1]*x[2]))/(a.nrm*b2.nrm) cos
       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-      |WHERE cos >= 0.3 ORDER BY va, vb""".stripMargin
+      |  WHERE cos >= $tau)""".stripMargin
+
+  private val od05 =
+    s"""WITH ${cosineEdgeCtes()}
+      |SELECT va, vb, ROUND(cos, 4) AS cos_sim FROM ce ORDER BY va, vb""".stripMargin
 
   private val od06 =
     s"""WITH RECURSIVE

@@ -1,0 +1,105 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Num.oround
+
+/** Non-parquet SOURCE formats — the engine's answer to "my corpus
+  * arrives as CSV exports / JSONL crawl dumps, not parquet":
+  *
+  *  - x01: schema'd CSV scan. The artifact is written once per JVM from
+  *    the parquet table, then read back with an EXPLICIT DDL schema
+  *    (never inferSchema — on a 100 TB lake, inference is a full extra
+  *    pass over the data before the real one, and a silently wrong
+  *    type on row 10^12). The oracle aggregates the same rows straight
+  *    from parquet, so the roundtrip pins the text codec: quoting,
+  *    header handling, and numeric parsing.
+  *  - x02: JSON-lines scan with an explicit schema AND an explicit
+  *    `timestampFormat` carrying MICROSECOND precision — Spark's default
+  *    JSON timestamp pattern keeps milliseconds only, which silently
+  *    truncates event times on write (caught by this query's oracle:
+  *    max(ts) must equal the parquet value to the microsecond).
+  *
+  * Both queries read the text artifact with the DataFrame reader, so
+  * partitioned parallel scan, predicate evaluation and column pruning
+  * behave exactly as on parquet (minus footer statistics — which is the
+  * point: the queries document what text formats COST at scale; convert
+  * to parquet early).
+  */
+object FormatQueries {
+
+  /** Microsecond-precision ISO timestamps — what the default JSON
+    * pattern (millis) would truncate. */
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** Write-once-per-JVM text artifact derived from an sf table — the
+    * `Layout.ensureBucketedArtifact` discipline for file formats. The
+    * pid + sfDir tag keeps concurrent Verify/Bench/test JVMs and
+    * multiple scale factors from colliding. */
+  private def ensureTextArtifact(
+      name: String, d: String, write: String => Unit): String = synchronized {
+    val tag = java.lang.Long.toHexString(ProcessHandle.current().pid()) +
+      "_" + java.lang.Integer.toHexString(d.hashCode).replace('-', 'm')
+    val path = Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_fmt_${name}_$tag")
+    if (!Files.exists(path)) write(path.toString)
+    path.toString
+  }
+
+  /** X1 — CSV roundtrip: customer → headered CSV → explicit-schema scan
+    * → per-segment account rollup. Oracle reads the original parquet. */
+  private def x01(s: SparkSession, d: String): DataFrame = {
+    val path = ensureTextArtifact("customer_csv", d, p =>
+      customer(s, d).write.option("header", "true").csv(p))
+    s.read
+      .schema("c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, " +
+        "c_acctbal DOUBLE, c_mktsegment STRING")
+      .option("header", "true")
+      .csv(path)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        oround(sum("c_acctbal"), 2).as("sum_acctbal"),
+        oround(avg("c_acctbal"), 2).as("avg_acctbal"))
+      .orderBy("segment")
+  }
+
+  private val ox01 =
+    """SELECT c_mktsegment AS segment, count(*) AS n_customers,
+      |  ROUND(sum(c_acctbal), 2) AS sum_acctbal,
+      |  ROUND(avg(c_acctbal), 2) AS avg_acctbal
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** X2 — JSONL roundtrip: events → JSON lines (µs timestamps) →
+    * explicit-schema scan → per-type rollup with max event time. The
+    * max(ts) column is the precision check: a lossy timestamp format
+    * fails the oracle by up to 999 µs. */
+  private def x02(s: SparkSession, d: String): DataFrame = {
+    val path = ensureTextArtifact("events_jsonl", d, p =>
+      events(s, d).write.option("timestampFormat", TsFmt).json(p))
+    s.read
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("timestampFormat", TsFmt)
+      .json(path)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        oround(sum("value"), 2).as("sum_value"),
+        max("ts").as("max_ts"))
+      .orderBy("event_type")
+  }
+
+  private val ox02 =
+    """SELECT event_type, count(*) AS n, ROUND(sum(value), 2) AS sum_value,
+      |  max(ts) AS max_ts
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("x01_csv_source", x01, Some(ox01)),
+    QueryDef("x02_jsonl_source", x02, Some(ox02)))
+}

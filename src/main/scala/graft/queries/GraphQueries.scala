@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Num.oround
+
+/** Iterative / multi-hop GRAPH algorithms over relational edge sets —
+  * the third graph operator family after connected components
+  * (`ops.ConnectedComponents`, d06) and the one-hop join zoo:
+  *
+  *  - g01: fixed-iteration PageRank over the undirected supplier↔customer
+  *    ship-to graph (who supplies whom, via lineitem⋈orders). Each
+  *    iteration is ONE shuffle join (ranks⋈edges on src) + ONE partially
+  *    aggregated shuffle (contributions by dst) — the textbook
+  *    distributed PageRank step. The degree column is folded into the
+  *    edge table ONCE and the joined edge table is localCheckpoint'd, so
+  *    the source scans and the degree aggregation never re-execute
+  *    across iterations (the d02/t06 compute-once lesson applied to a
+  *    loop). At 100 TB the edge table would be bucketed by src so the
+  *    per-iteration join is exchange-free on the big side; the rank
+  *    table (|V| rows, two columns) is the only thing that moves.
+  *  - g02: triangle counting over the embedding near-dup similarity
+  *    graph — the edge set IS [[DedupQueries.cosineEdges]] (one shared
+  *    definition with d05). Edges are oriented va < vb, so each triangle
+  *    is enumerated exactly once as a < b < c: two equi-joins, no
+  *    explosion beyond real wedges, never a cross join. The wedge join
+  *    (e1.vb = e2.va) is the standard vertex-ordered triangle count;
+  *    at 100 TB orient by (degree, id) instead of raw id to bound the
+  *    wedge fan-out of hub vertices.
+  */
+object GraphQueries {
+
+  /** G1 — PageRank, 3 iterations, damping 0.85, on the undirected
+    * bipartite supplier↔customer graph. Node ids: customers keep their
+    * key; suppliers are offset by 1,000,000 into a disjoint range.
+    * Returns the top 50 nodes by rounded rank (id tiebreak). */
+  private def g01(s: SparkSession, d: String): DataFrame = {
+    val pairs = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), (col("l_suppkey") + lit(1000000L)).as("supp"))
+      .join(orders(s, d).select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")), "ok")
+      .select("supp", "cust").distinct()
+    val edges = pairs.select(col("supp").as("src"), col("cust").as("dst"))
+      .unionAll(pairs.select(col("cust").as("src"), col("supp").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) computed ONCE — three iterations re-join against
+    // this materialized table, not against the scan+join+agg subtree.
+    val ew = edges.join(deg, "src").localCheckpoint()
+    // |V| as a 1-row broadcast frame (never a driver-side collect).
+    val n = ew.select(countDistinct("src").as("n"))
+    val init = ew.select(col("src").as("id")).distinct()
+      .crossJoin(broadcast(n))
+      .select(col("id"), (lit(1.0) / col("n")).as("r"))
+    val ranks = (1 to 3).foldLeft(init) { (r, _) =>
+      ew.join(r, ew("src") === r("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("deg")).as("m"))
+        .crossJoin(broadcast(n))
+        .select(col("id"), (lit(0.15) / col("n") + lit(0.85) * col("m")).as("r"))
+    }
+    // In the undirected graph every node has in-edges, so iteration
+    // output covers the full vertex set — no dangling left join needed.
+    ranks.select(col("id"), oround(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("id"))
+      .limit(50)
+  }
+
+  /** One PageRank iteration in DuckDB: contributions r/deg summed by
+    * destination, plus teleport. */
+  private def iter(prev: String, out: String): String =
+    s"""$out AS (SELECT ew.dst AS id, 0.15/(SELECT n FROM nn) + 0.85*sum($prev.r/ew.deg) AS r
+       |  FROM ew JOIN $prev ON ew.src = $prev.id GROUP BY ew.dst)""".stripMargin
+
+  private val og01 =
+    s"""WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS supp, o_custkey AS cust
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT supp AS src, cust AS dst FROM e0
+       |          UNION ALL SELECT cust AS src, supp AS dst FROM e0),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |ew AS (SELECT e.src, e.dst, dg.deg FROM edges e JOIN deg dg ON e.src = dg.src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS id, 1.0/(SELECT n FROM nn) AS r FROM deg),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT id, ROUND(r, 6) AS rank FROM r3 ORDER BY rank DESC, id LIMIT 50""".stripMargin
+
+  /** G2 — triangles in the near-dup similarity graph (the d05 edge
+    * DEFINITION at a looser τ=0.2, where the graph is dense enough to
+    * close triangles). va < vb orientation ⇒ each triangle appears once as
+    * (a, b, c) with a < b < c. The edge set is localCheckpoint'd: it
+    * feeds three sides of the two joins and must not recompute the
+    * bucket join three times. */
+  private def g02(s: SparkSession, d: String): DataFrame = {
+    val e = DedupQueries.cosineEdges(s, d, tau = 0.2).select("va", "vb").localCheckpoint()
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.vb") === col("e2.va"))
+      .select(col("e1.va").as("a"), col("e1.vb").as("b"), col("e2.vb").as("c"))
+    wedges
+      .join(e.as("e3"), col("a") === col("e3.va") && col("c") === col("e3.vb"))
+      .select(col("a"), col("b"), col("c"))
+      .orderBy("a", "b", "c")
+  }
+
+  private val og02 =
+    s"""WITH ${DedupQueries.cosineEdgeCtes(0.2)}
+       |SELECT e1.va AS a, e1.vb AS b, e2.vb AS c
+       |FROM ce e1 JOIN ce e2 ON e1.vb = e2.va
+       |  JOIN ce e3 ON e3.va = e1.va AND e3.vb = e2.vb
+       |ORDER BY a, b, c""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("g01_pagerank", g01, Some(og01)),
+    QueryDef("g02_triangles", g02, Some(og02)))
+}
