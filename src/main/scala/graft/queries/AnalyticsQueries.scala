@@ -649,6 +649,67 @@ object AnalyticsQueries {
       |  valid_to::TIMESTAMP AS valid_to, (valid_to IS NULL) AS is_current, n_events
       |FROM f ORDER BY user_id, valid_from""".stripMargin
 
+  /** A4 — per-segment z-score OUTLIER monitor: the distribution-drift
+    * twin of a03 at row granularity. Two passes by design: pass one is
+    * a bounded |event_type|-row stats aggregate (map-side combined);
+    * pass two re-scans the stream and compares each row against the
+    * BROADCAST stats — never a window over the whole partition (a
+    * per-type window would shuffle 100 TB into |types| partitions; the
+    * broadcast join shuffles nothing). */
+  private def a04(s: SparkSession, d: String): DataFrame = {
+    val st = events(s, d).groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+    events(s, d)
+      .join(broadcast(st), "event_type")
+      .select(col("event_type"), abs((col("value") - col("mu")) / col("sd")).as("az"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("az") > 2.0, 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"),
+        oround(max(col("az")), 4).as("max_abs_z"))
+      .orderBy("event_type")
+  }
+
+  private val oa04 =
+    """WITH st AS (SELECT event_type, avg(value) mu, stddev_samp(value) sd
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type,
+      |  sum(CASE WHEN abs((e.value - st.mu)/st.sd) > 2.0 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+      |  count(*) AS n,
+      |  ROUND(max(abs((e.value - st.mu)/st.sd)), 4) AS max_abs_z
+      |FROM events e JOIN st ON e.event_type = st.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** U4 — changelog MERGE into a snapshot: every event is an upsert of
+    * (user_id → value) and `error` is the DELETE tombstone; the
+    * snapshot keeps each key's most recent surviving state (the CDC
+    * log-compaction shape — u03 keeps the full version history, u04
+    * collapses to head state). ONE shuffle on the key serves both the
+    * recency ranking and the version count (two window functions, one
+    * partitioning); a key whose LAST entry is a tombstone vanishes
+    * from the snapshot entirely. */
+  private def u04(s: SparkSession, d: String): DataFrame = {
+    val byRecency = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(byRecency))
+      .withColumn("n_versions", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), oround(col("value"), 2).as("last_value"),
+        col("ts").as("last_ts"), col("n_versions"))
+      .orderBy("user_id")
+  }
+
+  private val ou04 =
+    """WITH c AS (SELECT user_id, ts, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn,
+      |    count(*) OVER (PARTITION BY user_id) n_versions
+      |  FROM events WHERE ts IS NOT NULL)
+      |SELECT user_id, ROUND(value, 2) AS last_value, ts AS last_ts, n_versions
+      |FROM c WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin
+
   /** P7 — deterministic stratified interleave: the data-MIXING order a
     * training run reads the corpus in — round-robin across language
     * strata (one from each lang, repeat), pinned by per-stratum rank +
@@ -1092,6 +1153,7 @@ object AnalyticsQueries {
     QueryDef("a01_hll_audit", a01, Some(oa01)),
     QueryDef("a02_quantile_audit", a02, Some(oa02)),
     QueryDef("a03_quantile_drift", a03, Some(oa03)),
+    QueryDef("a04_zscore_outliers", a04, Some(oa04)),
     QueryDef("j01_anti_join", j01, Some(oj01)),
     QueryDef("j02_banded_range_join", j02, Some(oj02)),
     QueryDef("j03_full_outer", j03, Some(oj03)),
@@ -1113,5 +1175,6 @@ object AnalyticsQueries {
     QueryDef("p10_temperature_sample", p10, Some(op10)),
     QueryDef("u01_incremental_agg", u01, Some(ou01)),
     QueryDef("u02_sketch_union", u02, Some(ou02)),
-    QueryDef("u03_scd2_versions", u03, Some(ou03)))
+    QueryDef("u03_scd2_versions", u03, Some(ou03)),
+    QueryDef("u04_merge_snapshot", u04, Some(ou04)))
 }

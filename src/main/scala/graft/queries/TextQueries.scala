@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,11 @@ import graft.functions.TextFns
   * |docs|, so every query here survives a 100× scale-up unchanged.
   */
 object TextQueries {
+
+  /** Lowercase alphabet + space — the t13 entropy buckets (anything
+    * else lands in the shared "other" bucket on both engines).
+    * Declared first: [[alphaList]] interpolates it at object init. */
+  private[queries] val Alphabet: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
 
   private val stopwords = Seq("the", "a", "and", "of")
 
@@ -383,6 +388,78 @@ object TextQueries {
       |  ROUND(avg(score), 4) AS avg_score
       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** T12 — one BPE-merge LEARNING step: count adjacent character pairs
+    * inside whitespace tokens across the corpus and surface the top
+    * merges — the inner loop of byte-pair-encoding tokenizer training
+    * (each training round merges the argmax pair and recounts). The
+    * WordCount shape: per-row flatten/transform fan-out into (pair)
+    * rows, partial aggregation before the one shuffle, top-20 via
+    * TakeOrderedAndProject. At 100 TB the explode multiplies rows by
+    * ~chars-per-doc but each carries a 2-char key — the map-side
+    * combine collapses them to |alphabet|² partials per task. */
+  private def t12(s: SparkSession, d: String): DataFrame =
+    graft.Tables.rebalance(s, documents(s, d))
+      .select(explode(flatten(transform(TextFns.tokens(col("text")), tok =>
+        when(length(tok) >= 2,
+          transform(sequence(lit(1), length(tok) - 1), i => tok.substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  private val ot12 =
+    """WITH p AS (SELECT unnest(flatten(list_transform(string_split(text, ' '), tok ->
+      |    CASE WHEN length(tok) >= 2
+      |      THEN list_transform(generate_series(1, length(tok) - 1), i -> substr(tok, i, 2))
+      |      ELSE [] END))) AS pair FROM documents)
+      |SELECT pair, count(*) AS n FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
+  /** T13 — character-ENTROPY quality signal: Shannon entropy of the
+    * per-document character distribution (low entropy ⇒ repetitive /
+    * machine-generated text; gibberish scores high). Computed WITHOUT
+    * exploding to characters: each alphabet bucket's count is
+    * `length(t) - length(replace(t, ch, ''))` — 27 codegen'd scalar
+    * terms per row plus an "other" bucket, zero fan-out, no shuffle
+    * until the |langs|-row aggregate. The explode-per-char
+    * formulation would multiply the corpus row count by n_chars; this
+    * one reads each doc once and emits one double. */
+  private def t13(s: SparkSession, d: String): DataFrame = {
+    val t = lower(col("text"))
+    val n = length(t).cast("double")
+    val counts: Seq[Column] = TextQueries.Alphabet.map(ch =>
+      (length(t) - length(replace(t, lit(ch), lit("")))).cast("double"))
+    def term(c: Column): Column = when(c > 0, (c / n) * log(c / n)).otherwise(lit(0.0))
+    val ent = -(counts.map(term).reduce(_ + _) + term(n - counts.reduce(_ + _)))
+    documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("lang"), ent.as("ent"))
+      .groupBy("lang")
+      .agg(
+        oround(avg("ent"), 4).as("avg_entropy"),
+        oround(min("ent"), 4).as("min_entropy"),
+        oround(max("ent"), 4).as("max_entropy"))
+      .orderBy("lang")
+  }
+
+  private val alphaList =
+    Alphabet.map(c => if (c == " ") "' '" else s"'$c'").mkString("[", ", ", "]")
+
+  private val ot13 =
+    s"""WITH t0 AS (SELECT lang, lower(text) t, length(text)::DOUBLE n
+      |  FROM documents WHERE length(text) > 0),
+      |c AS (SELECT lang, n,
+      |   list_transform($alphaList, ch -> (length(t) - length(replace(t, ch, '')))::DOUBLE) cs
+      |   FROM t0),
+      |h AS (SELECT lang,
+      |   -(list_sum(list_transform(cs, x -> CASE WHEN x > 0 THEN (x/n)*ln(x/n) ELSE 0 END))
+      |     + CASE WHEN n - list_sum(cs) > 0
+      |         THEN ((n - list_sum(cs))/n)*ln((n - list_sum(cs))/n) ELSE 0 END) ent
+      |   FROM c)
+      |SELECT lang, ROUND(avg(ent), 4) AS avg_entropy, ROUND(min(ent), 4) AS min_entropy,
+      |  ROUND(max(ent), 4) AS max_entropy
+      |FROM h GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
@@ -394,5 +471,7 @@ object TextQueries {
     QueryDef("t08_repetition_ratio", t08, Some(ot08)),
     QueryDef("t09_denylist_scrub", t09, Some(ot09)),
     QueryDef("t10_vocab_coverage", t10, Some(ot10)),
-    QueryDef("t11_quality_classifier", t11, Some(ot11)))
+    QueryDef("t11_quality_classifier", t11, Some(ot11)),
+    QueryDef("t12_bpe_pair_step", t12, Some(ot12)),
+    QueryDef("t13_char_entropy", t13, Some(ot13)))
 }
