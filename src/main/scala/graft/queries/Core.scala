@@ -663,6 +663,55 @@ object Core {
       | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 12 HOUR
       |ORDER BY click_id, view_id""".stripMargin
 
+  /** Q40 — STREAM-STATIC enrichment join under the oracle, completing
+    * the streaming-runtime quartet (q33 windowed aggregation, q36
+    * custom state, q39 symmetric join state, q40 stateless dimension
+    * join — the OP-10 enrichment as a stream). The static
+    * customer⋈nation dimension is broadcast into every micro-batch;
+    * the join holds NO state store and is not watermark-gated, so rows
+    * emit the batch they arrive and the three-batch replay is
+    * batch-equal by construction. Batches split by event_id stripe —
+    * deliberately NOT time-ordered, which a stateless join must not
+    * care about (and a stateful one would). At 100 TB this is the
+    * canonical streaming enrich: dimension refreshes swap the
+    * broadcast between micro-batches without touching stream state. */
+  private def q40(s0: SparkSession, d: String): DataFrame = {
+    val r = new Replay(s0, "graft_enrich")
+    val s = r.session
+    val ev = events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    r.stage(ev.filter(col("event_id") % 3 === 0), "batch0", 1000000000000L)
+    r.stage(ev.filter(col("event_id") % 3 === 1), "batch1", 1000000060000L)
+    r.stage(ev.filter(col("event_id") % 3 === 2), "batch2", 1000000120000L)
+    val dim = customer(s, d)
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name"))
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
+    val query = stream.join(broadcast(dim), Seq("user_id"))
+      .select(col("event_id"), col("n_name"), col("value"))
+      .writeStream
+      .format("parquet")
+      .option("path", r.outDir)
+      .option("checkpointLocation", r.ckpDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    r.cleanup()
+    s.read.parquet(r.outDir)
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_events"), oround(sum("value"), 2).as("sum_value"))
+      .orderBy("n_name")
+  }
+
+  private val oq40 =
+    """SELECT n.n_name, count(*) AS n_events, ROUND(sum(e.value), 2) AS sum_value
+      |FROM events e
+      |JOIN customer c ON c.c_custkey = e.user_id
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q26 — the COMPOSED reference-parity pipeline, oracle-checked end to
     * end: synthesize format-5 readings from events (5 sensors, 3
     * whitelisted), then run [[graft.etl.Pipeline.batch]] — whitelist
@@ -1024,5 +1073,6 @@ object Core {
     // same oracle as q24: the custom-state streaming sessionizer must be
     // indistinguishable from the declarative batch definition
     QueryDef("q36_stream_sessions", q36, Some(oq24)),
-    QueryDef("q39_stream_join", q39, Some(oq39)))
+    QueryDef("q39_stream_join", q39, Some(oq39)),
+    QueryDef("q40_stream_static", q40, Some(oq40)))
 }
