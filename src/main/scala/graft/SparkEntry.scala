@@ -17,7 +17,8 @@ object SparkEntry {
   val inventory: Seq[QueryDef] =
     Core.defs ++ SqlQueries.defs ++ DedupQueries.defs ++ TextQueries.defs ++
       ChunkQueries.defs ++ VectorQueries.defs ++ MultimodalQueries.defs ++
-      AnalyticsQueries.defs ++ GraphQueries.defs ++ FormatQueries.defs
+      AnalyticsQueries.defs ++ GraphQueries.defs ++ FormatQueries.defs ++
+      TypedQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape (SURVEY §7 step 1) — scan → filter-free groupBy →

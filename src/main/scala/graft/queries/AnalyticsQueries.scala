@@ -680,6 +680,33 @@ object AnalyticsQueries {
       |FROM events e JOIN st ON e.event_type = st.event_type
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** A5 — metric-TREND monitor: per-type Pearson correlation and
+    * sample covariance between the metric and event time — "is this
+    * feed drifting upward?" as one number per stream. corr/covar are
+    * algebraic aggregates (five mergeable sums), so this is a single
+    * map-side-combined shuffle with O(|types|) state — the same
+    * monitor costs the same at 100 TB. Time enters as epoch DAYS
+    * (µs-scale x would put x² sums at 1e36 and eat every significand
+    * bit of the covariance). */
+  private def a05(s: SparkSession, d: String): DataFrame = {
+    val days = (unix_micros(col("ts")).cast("double") / lit(86400e6)).as("t_days")
+    events(s, d)
+      .select(col("event_type"), col("value"), days)
+      .groupBy("event_type")
+      .agg(
+        oround(corr(col("t_days"), col("value")), 4).as("trend_corr"),
+        oround(covar_samp(col("t_days"), col("value")), 4).as("trend_covar"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  private val oa05 =
+    """SELECT event_type,
+      |  ROUND(corr(epoch_us(ts)::DOUBLE / 86400e6, value), 4) AS trend_corr,
+      |  ROUND(covar_samp(epoch_us(ts)::DOUBLE / 86400e6, value), 4) AS trend_covar,
+      |  count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** U4 — changelog MERGE into a snapshot: every event is an upsert of
     * (user_id → value) and `error` is the DELETE tombstone; the
     * snapshot keeps each key's most recent surviving state (the CDC
@@ -1154,6 +1181,7 @@ object AnalyticsQueries {
     QueryDef("a02_quantile_audit", a02, Some(oa02)),
     QueryDef("a03_quantile_drift", a03, Some(oa03)),
     QueryDef("a04_zscore_outliers", a04, Some(oa04)),
+    QueryDef("a05_trend_monitor", a05, Some(oa05)),
     QueryDef("j01_anti_join", j01, Some(oj01)),
     QueryDef("j02_banded_range_join", j02, Some(oj02)),
     QueryDef("j03_full_outer", j03, Some(oj03)),

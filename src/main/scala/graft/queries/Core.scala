@@ -667,7 +667,8 @@ object Core {
     * the streaming-runtime quartet (q33 windowed aggregation, q36
     * custom state, q39 symmetric join state, q40 stateless dimension
     * join — the OP-10 enrichment as a stream). The static
-    * customer⋈nation dimension is broadcast into every micro-batch;
+    * customer⋈nation dimension is planned into every micro-batch
+    * (auto-broadcast while it fits, shuffled join once it doesn't);
     * the join holds NO state store and is not watermark-gated, so rows
     * emit the batch they arrive and the three-batch replay is
     * batch-equal by construction. Batches split by event_id stripe —
@@ -688,7 +689,12 @@ object Core {
       .select(col("c_custkey").as("user_id"), col("n_name"))
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
-    val query = stream.join(broadcast(dim), Seq("user_id"))
+    // No broadcast() hint: customer SCALES WITH THE CORPUS (the t06/t07
+    // lesson — never force a broadcast of an unbounded table). Under the
+    // autoBroadcastJoinThreshold the planner broadcasts it per batch
+    // anyway; past it, the join degrades to a shuffled join instead of
+    // an OOM'd driver.
+    val query = stream.join(dim, Seq("user_id"))
       .select(col("event_id"), col("n_name"), col("value"))
       .writeStream
       .format("parquet")
