@@ -538,6 +538,96 @@ object VectorQueries {
       |  (t.vec_id IN (SELECT vec_id FROM ex)) AS in_exhaustive_topk
       |FROM top t ORDER BY rk""".stripMargin
 
+  /** V17 — Lloyd ITERATED: two k-means rounds with a convergence
+    * audit, turning v13's "iterating is a driver loop over the same
+    * plan with the seed artifact swapped" into an executed fact. Round
+    * 1 assigns against the vec_id≤2 seeds and aggregates new centroids
+    * through the mergeable [[graft.functions.VectorCentroid]] partials;
+    * the k-row centroid table is localCheckpoint'd (the loop-carried
+    * artifact — tiny, eager, so round 2's plan does not re-derive round
+    * 1); round 2 re-assigns against the UPDATED centroids. Output: per
+    * cluster, the round-2 population, how many members CHANGED cluster
+    * between rounds (the convergence meter a production trainer stops
+    * on), and the refreshed centroid norm. Per round the corpus is
+    * scanned once and the only shuffle carries k centroid buffers per
+    * partition — Lloyd at 100 TB is (iterations × one bounded-shuffle
+    * pass), which is exactly what this plan does. */
+  private def v17(s: SparkSession, d: String): DataFrame = {
+    val m = graft.Tables.rebalance(s, embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    // (sid, se: Array[Double]) rows → the 1-row broadcast seed array
+    def seedsOf(c: DataFrame): DataFrame =
+      c.select(struct(col("sid"), col("se"),
+          norm(col("se")).as("sn")).as("sd"))
+        .groupBy()
+        .agg(sort_array(collect_list(col("sd"))).as("seeds"))
+    // cosine argmax assignment — v13's (cs, −sid) struct-max tiebreak
+    def assign(seeds: DataFrame): DataFrame =
+      m.crossJoin(broadcast(seeds))
+        .withColumn("scored", transform(col("seeds"), sd =>
+          struct(
+            (dot(col("e"), sd.getField("se")) / (col("nrm") * sd.getField("sn"))).as("cs"),
+            (-sd.getField("sid")).as("nsid"))))
+        .select(col("vec_id"), col("embedding"),
+          (-array_max(col("scored")).getField("nsid")).as("cluster_id"))
+    val centroid = udaf(
+      new graft.functions.VectorCentroid(),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    val seeds0 = seedsOf(
+      m.filter(col("vec_id") <= 2).select(col("vec_id").as("sid"), col("e").as("se")))
+    val a1 = assign(seeds0)
+      .select(col("vec_id").as("vid1"), col("cluster_id").as("c1"))
+      .localCheckpoint() // reused by the round-2 centroids AND the churn join
+    val c1 = m.join(a1, col("vec_id") === col("vid1"))
+      .groupBy(col("c1").as("sid"))
+      .agg(centroid(col("embedding")).as("se"))
+      .localCheckpoint() // the loop-carried k-row artifact
+    assign(seedsOf(c1))
+      .join(a1, col("vec_id") === col("vid1"))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("c1") =!= col("cluster_id"), 1L).otherwise(0L)).as("n_moved_in"),
+        centroid(col("embedding")).as("c"))
+      .select(
+        col("cluster_id"), col("n_members"), col("n_moved_in"),
+        oround(sqrt(aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x)), 4)
+          .as("centroid_norm"))
+      .orderBy("cluster_id")
+  }
+
+  private val ov17 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |m AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm FROM n),
+      |seeds AS (SELECT vec_id AS sid, e AS se, nrm AS sn FROM m WHERE vec_id <= 2),
+      |s1 AS (SELECT m.vec_id, sid,
+      |    list_sum(list_transform(list_zip(m.e, se), x->x[1]*x[2]))/(m.nrm*sn) AS cs
+      |  FROM m, seeds),
+      |a1 AS (SELECT vec_id, sid AS c1 FROM (
+      |    SELECT vec_id, sid, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid) rk
+      |    FROM s1) WHERE rk = 1),
+      |d1 AS (SELECT c1 AS sid, i, avg(e[i]) AS c
+      |  FROM a1 JOIN m USING (vec_id), (SELECT unnest(generate_series(1,64)) AS i)
+      |  GROUP BY c1, i),
+      |c1t AS (SELECT sid, list(c ORDER BY i) AS se FROM d1 GROUP BY sid),
+      |c1n AS (SELECT sid, se, sqrt(list_sum(list_transform(se, x->x*x))) sn FROM c1t),
+      |s2 AS (SELECT m.vec_id, sid,
+      |    list_sum(list_transform(list_zip(m.e, se), x->x[1]*x[2]))/(m.nrm*sn) AS cs
+      |  FROM m, c1n),
+      |a2 AS (SELECT vec_id, sid AS c2 FROM (
+      |    SELECT vec_id, sid, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid) rk
+      |    FROM s2) WHERE rk = 1),
+      |d2 AS (SELECT c2 AS sid, i, avg(e[i]) AS c
+      |  FROM a2 JOIN m USING (vec_id), (SELECT unnest(generate_series(1,64)) AS i)
+      |  GROUP BY c2, i),
+      |cn2 AS (SELECT sid, sqrt(sum(c*c)) AS cnorm FROM d2 GROUP BY sid)
+      |SELECT a2.c2 AS cluster_id, count(*) AS n_members,
+      |  sum(CASE WHEN a1.c1 <> a2.c2 THEN 1 ELSE 0 END)::BIGINT AS n_moved_in,
+      |  ROUND(any_value(cn2.cnorm), 4) AS centroid_norm
+      |FROM a2 JOIN a1 USING (vec_id) JOIN cn2 ON cn2.sid = a2.c2
+      |GROUP BY a2.c2 ORDER BY cluster_id""".stripMargin
+
   /** V4 — vector aggregate stats: per-label counts and mean L2 norm. */
   private def v04(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -749,5 +839,6 @@ object VectorQueries {
     QueryDef("v13_kmeans_step", v13, Some(ov13)),
     QueryDef("v14_pq_audit", v14, Some(ov14)),
     QueryDef("v15_adc_topk", v15, Some(ov15)),
-    QueryDef("v16_ivfpq_pipeline", v16, Some(ov16)))
+    QueryDef("v16_ivfpq_pipeline", v16, Some(ov16)),
+    QueryDef("v17_kmeans_iterated", v17, Some(ov17)))
 }

@@ -308,4 +308,52 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"),
       s"filters must push into the scan, got:\n$plan")
   }
+
+  test("g01: PageRank iterations re-join a checkpointed edge table, no rescans") {
+    val df = SparkEntry.queries("g01_pagerank")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // all three iterations (plus |V| and the init ranks) read the edge
+    // table back from the localCheckpoint — the lineitem⋈orders subtree
+    // must not appear even once in the final iteration's plan
+    assert(!plan.contains("Scan parquet"),
+      s"g01 iterations must read the checkpointed edges, not rescan parquet:\n$plan")
+    // the 1-row |V| frame joins as crossJoin(broadcast(n)) — a
+    // BroadcastNestedLoopJoin over one row is by design; what must
+    // never appear is an unbroadcast cartesian over the rank table
+    assert(!plan.contains("CartesianProduct"),
+      s"g01 must never plan an unbroadcast cartesian:\n$plan")
+  }
+
+  test("g02: triangle enumeration is equi-joins over checkpointed edges") {
+    val df = SparkEntry.queries("g02_triangles")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Scan parquet"),
+      s"g02 joins must read the checkpointed edge set, not recompute it:\n$plan")
+    Seq("BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"g02 must stay equi-join, found $j"))
+  }
+
+  test("t13: entropy is scalar terms — no explode, one exchange to the agg") {
+    val df = SparkEntry.queries("t13_char_entropy")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Generate"),
+      s"t13 must not explode per character:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, // partial->final agg shuffle + the output sort
+      s"t13 should shuffle only the |langs|-row aggregate (+sort), got $exchanges:\n$plan")
+  }
+
+  test("a04: row pass joins the broadcast stats — the stream itself never shuffles") {
+    val df = SparkEntry.queries("a04_zscore_outliers")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a04's stats side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"a04 must not shuffle the event stream to meet the stats:\n$plan")
+  }
+
 }
