@@ -649,6 +649,50 @@ object AnalyticsQueries {
       |  valid_to::TIMESTAMP AS valid_to, (valid_to IS NULL) AS is_current, n_events
       |FROM f ORDER BY user_id, valid_from""".stripMargin
 
+  /** J8 — interval-OVERLAP join, incident-investigation shape: the 10
+    * longest daily activity spans are "incidents"; find every OTHER
+    * user's span that overlaps one. The non-equi overlap predicate
+    * (`s.start ≤ i.end AND s.end ≥ i.start`) rides a
+    * BroadcastNestedLoopJoin over the 10-row incident side — which is
+    * the RIGHT plan here and the deliberate contrast to j02: a
+    * bounded probe side makes broadcast+predicate a corpus-scan with
+    * 10 comparisons per row and zero shuffle, while j02's
+    * unbounded-both-sides case must band into an equi-join. The two
+    * queries together document when each interval-join strategy
+    * applies. */
+  private def j08(s: SparkSession, d: String): DataFrame = {
+    val spans = events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+    val incidents = spans
+      .select(col("user_id").as("i_user"), col("day").as("i_day"),
+        col("s_start").as("i_start"), col("s_end").as("i_end"),
+        (unix_micros(col("s_end")) - unix_micros(col("s_start"))).as("dur"))
+      .orderBy(col("dur").desc, col("i_user"), col("i_day"))
+      .limit(10)
+    spans
+      .join(broadcast(incidents),
+        col("s_start") <= col("i_end") && col("s_end") >= col("i_start") &&
+          col("user_id") =!= col("i_user"))
+      .groupBy(col("i_user"), col("i_day").cast("timestamp").as("i_day"))
+      .agg(count(lit(1)).as("n_overlapping"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("i_user", "i_day")
+  }
+
+  private val oj08 =
+    """WITH spans AS (SELECT user_id, ts::DATE AS day,
+      |    min(ts) AS s_start, max(ts) AS s_end
+      |  FROM events GROUP BY 1, 2),
+      |inc AS (SELECT user_id AS i_user, day AS i_day, s_start AS i_start, s_end AS i_end
+      |  FROM spans
+      |  ORDER BY epoch_us(s_end) - epoch_us(s_start) DESC, user_id, day LIMIT 10)
+      |SELECT i_user, i_day::TIMESTAMP AS i_day, count(*) AS n_overlapping,
+      |  count(DISTINCT s.user_id) AS n_users
+      |FROM spans s JOIN inc
+      |  ON s.s_start <= inc.i_end AND s.s_end >= inc.i_start AND s.user_id <> inc.i_user
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** A4 — per-segment z-score OUTLIER monitor: the distribution-drift
     * twin of a03 at row granularity. Two passes by design: pass one is
     * a bounded |event_type|-row stats aggregate (map-side combined);
@@ -1189,6 +1233,7 @@ object AnalyticsQueries {
     QueryDef("j05_pivot_status", j05, Some(oj05)),
     QueryDef("j06_bucketed_join", j06, Some(oj06)),
     QueryDef("j07_unpivot", j07, Some(oj07)),
+    QueryDef("j08_interval_overlap", j08, Some(oj08)),
     QueryDef("s01_salted_agg", s01, Some(os01)),
     QueryDef("s02_salted_join", s02, Some(os02)),
     QueryDef("p01_train_split", p01, Some(op01)),

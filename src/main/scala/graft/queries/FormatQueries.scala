@@ -99,7 +99,30 @@ object FormatQueries {
       |  max(ts) AS max_ts
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** X3 — REGEX field extraction: the semi-structured parsing step for
+    * sources that are neither columnar nor JSON (log lines, crawl
+    * metadata). `regexp_extract` pulls the numeric id out of the
+    * source tag; `regexp_extract_all` counts pattern hits per document
+    * — both stay narrow per-row column expressions (codegen'd, no
+    * UDF), so the parse pass is scan-bound and the only shuffle is the
+    * |sources|-row rollup. */
+  private def x03(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        regexp_extract(col("source"), "src(\\d+)", 1).cast("bigint").as("src_num"),
+        size(regexp_extract_all(col("text"), lit("\\b(s[a-z]+)"), lit(1))).as("n_s"))
+      .groupBy("src_num")
+      .agg(count(lit(1)).as("n_docs"), sum("n_s").as("n_s_words"))
+      .orderBy("src_num")
+
+  private val ox03 =
+    """SELECT regexp_extract(source, 'src(\d+)', 1)::BIGINT AS src_num,
+      |  count(*) AS n_docs,
+      |  sum(len(regexp_extract_all(text, '\b(s[a-z]+)', 1)))::BIGINT AS n_s_words
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_csv_source", x01, Some(ox01)),
-    QueryDef("x02_jsonl_source", x02, Some(ox02)))
+    QueryDef("x02_jsonl_source", x02, Some(ox02)),
+    QueryDef("x03_regex_extract", x03, Some(ox03)))
 }
