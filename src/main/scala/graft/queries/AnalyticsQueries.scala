@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -751,6 +751,76 @@ object AnalyticsQueries {
       |  count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** A6 — per-column data-quality PROFILE (the Deequ shape): null
+    * fraction, distinct count with an HLL++ estimate audited beside it
+    * (the a01 discipline), and min/max per column, one result row per
+    * column. ONE wide aggregate row is computed over the table, then
+    * melted with a literal struct array + `inline` — the j07 reshape
+    * over an already-aggregated single row, so the melt adds zero
+    * shuffles and the only exchange is the 1-row aggregation itself.
+    *
+    * Scale note: the EXACT `countDistinct` columns force Catalyst's
+    * multi-distinct rewrite (an `Expand` that replays each input row
+    * once per distinct group — 6× here). They exist to audit the
+    * sketches; the 100 TB profile drops them and keeps
+    * `approx_count_distinct`, collapsing the plan to one Expand-free
+    * pass with fixed sketch state per column — the swap is licensed
+    * in-query by `within_10pct`. Values render as strings so every
+    * column fits one schema: ts via epoch-µs (the engine/oracle parity
+    * instant), value rounded BEFORE min/max on both sides so the two
+    * engines round the same number. */
+  private def a06(s: SparkSession, d: String): DataFrame = {
+    // (name, profiled expression) — ts profiles as epoch-µs, value at 2dp.
+    val cols: Seq[(String, Column)] = Seq(
+      "event_id" -> col("event_id"),
+      "event_type" -> col("event_type"),
+      "props" -> col("props"),
+      "ts" -> unix_micros(col("ts")),
+      "user_id" -> col("user_id"),
+      "value" -> round(col("value"), 2))
+    val wide = events(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap { case (n, c) =>
+        Seq(
+          count(c).as(s"n_$n"),
+          countDistinct(c).as(s"nd_$n"),
+          approx_count_distinct(c).as(s"nda_$n"),
+          min(c).cast("string").as(s"mn_$n"),
+          max(c).cast("string").as(s"mx_$n"))
+      }: _*)
+    val entries = cols.map { case (n, _) =>
+      struct(
+        lit(n).as("column_name"), col(s"n_$n").as("nn"), col(s"nd_$n").as("nd"),
+        col(s"nda_$n").as("nda"), col(s"mn_$n").as("mn"), col(s"mx_$n").as("mx"))
+    }
+    wide
+      .select(col("n_rows"), inline(array(entries: _*)))
+      .select(
+        col("column_name"),
+        oround(lit(1.0) - col("nn").cast("double") / col("n_rows"), 4).as("null_frac"),
+        col("nd").as("n_distinct"),
+        (abs(col("nda") - col("nd")).cast("double") / col("nd") <= 0.1).as("within_10pct"),
+        col("mn").as("min_s"),
+        col("mx").as("max_s"))
+      .orderBy("column_name")
+  }
+
+  private val oa06 = {
+    def row(n: String, c: String) =
+      s"""SELECT '$n' AS column_name,
+         |  ROUND(1.0 - count($c)::DOUBLE / count(*), 4) AS null_frac,
+         |  count(DISTINCT $c) AS n_distinct, TRUE AS within_10pct,
+         |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s FROM events""".stripMargin
+    Seq(
+      row("event_id", "event_id"),
+      row("event_type", "event_type"),
+      row("props", "props"),
+      row("ts", "epoch_us(ts)"),
+      row("user_id", "user_id"),
+      row("value", "ROUND(value, 2)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   /** U4 — changelog MERGE into a snapshot: every event is an upsert of
     * (user_id → value) and `error` is the DELETE tombstone; the
     * snapshot keeps each key's most recent surviving state (the CDC
@@ -1226,6 +1296,7 @@ object AnalyticsQueries {
     QueryDef("a03_quantile_drift", a03, Some(oa03)),
     QueryDef("a04_zscore_outliers", a04, Some(oa04)),
     QueryDef("a05_trend_monitor", a05, Some(oa05)),
+    QueryDef("a06_column_profile", a06, Some(oa06)),
     QueryDef("j01_anti_join", j01, Some(oj01)),
     QueryDef("j02_banded_range_join", j02, Some(oj02)),
     QueryDef("j03_full_outer", j03, Some(oj03)),

@@ -71,6 +71,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("a06: column profile agrees with directly-computed facts") {
+    val prof = SparkEntry.queries("a06_column_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.size == 6)
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val idRow = prof("event_id")
+    assert(idRow.getDouble(1) == 0.0, "event_id has no nulls")
+    assert(idRow.getLong(2) == n, "event_id is unique")
+    assert(idRow.getString(4) == ev.agg(min("event_id")).head().getLong(0).toString)
+    assert(idRow.getString(5) == ev.agg(max("event_id")).head().getLong(0).toString)
+    val etRow = prof("event_type")
+    assert(etRow.getLong(2) == ev.select("event_type").distinct().count())
+    // every sketch stays inside the audited 10% bound
+    assert(prof.values.forall(_.getBoolean(3)), "HLL estimates within 10%")
+  }
+
   test("j04: per-group top-N keeps exactly the N best per key") {
     val rows = SparkEntry.queries("j04_top_per_group")(spark, sf).collect()
     val byPrio = rows.groupBy(_.getString(0))
