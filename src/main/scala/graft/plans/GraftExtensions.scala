@@ -13,6 +13,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    metrics ([[Format5Decode]]), NULL for invalid payloads.
   *  - `vector_dot(array<double>, array<double>)` → double
   *    ([[VectorDot]]), the codegen'd similarity inner loop.
+  *  - `nfc_normalize(string)` → string ([[NfcNormalize]]), Unicode NFC
+  *    with ASCII/already-normalized fast paths; same name and semantics
+  *    as DuckDB's builtin.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -44,6 +47,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"vector_dot expects 2 arguments (a, b ARRAY<DOUBLE>), got ${children.length}")
         VectorDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[NfcNormalize].getCanonicalName,
+        null,
+        "nfc_normalize",
+        "nfc_normalize(s) - Unicode NFC normalization of a string; identity on " +
+          "ASCII and already-normalized input, NULL on NULL.",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"nfc_normalize expects 1 argument (s STRING), got ${children.length}")
+        NfcNormalize(children.head)
       }))
   }
 }

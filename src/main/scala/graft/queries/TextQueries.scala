@@ -460,6 +460,56 @@ object TextQueries {
       |  ROUND(max(ent), 4) AS max_entropy
       |FROM h GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Decomposed suffixes t14 splices onto the ASCII driver corpus —
+    * `e`+U+0301 and `o`+U+0308, which NFC composes to `é`/`ö` (one char
+    * shorter). Shared by the Spark side and the oracle SQL so both
+    * engines normalize byte-identical input. */
+  private val DecoCafe = " caf" + "e\u0301"
+  private val DecoTone = " t" + "o\u0308" + "ne"
+
+  /** T14 — Unicode NFC normalization over the corpus, via the native
+    * [[graft.plans.NfcNormalize]] expression (`nfc_normalize`, the same
+    * builtin name DuckDB uses — the oracle is an engine-vs-engine check
+    * of the normalization itself, not of a reimplementation). A corpus
+    * mixing composed and decomposed spellings breaks exact dedup and
+    * shingle hashing (the strings hash differently, render identically),
+    * so NFC is pass zero of every text pipeline here.
+    *
+    * The driver corpus is pure ASCII — where NFC is the identity and the
+    * expression's zero-allocation fast path applies — so the query
+    * splices deterministic decomposed suffixes onto a third of the docs
+    * to exercise the composing path, and reports per-language how many
+    * docs changed and how many chars composition saved. One narrow scan,
+    * all scalar work inside WholeStageCodegen, one |langs|-row
+    * aggregate — scan-bound at any scale. */
+  private def t14(s: SparkSession, d: String): DataFrame = {
+    val t2 = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, lit(DecoCafe))
+        .when(col("doc_id") % 3 === 1, lit(DecoTone))
+        .otherwise(lit(" plain")))
+    documents(s, d)
+      .select(col("lang"), t2.as("t2"))
+      .select(col("lang"), col("t2"), expr("nfc_normalize(t2)").as("nt"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nt") =!= col("t2"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("t2")) - length(col("nt"))).as("chars_saved"))
+      .orderBy("lang")
+  }
+
+  private val ot14 =
+    s"""WITH t AS (SELECT lang,
+      |  text || CASE WHEN doc_id % 3 = 0 THEN '$DecoCafe'
+      |               WHEN doc_id % 3 = 1 THEN '$DecoTone'
+      |               ELSE ' plain' END AS t2
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  sum(CASE WHEN nfc_normalize(t2) <> t2 THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+      |  sum(length(t2) - length(nfc_normalize(t2)))::BIGINT AS chars_saved
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
@@ -473,5 +523,6 @@ object TextQueries {
     QueryDef("t10_vocab_coverage", t10, Some(ot10)),
     QueryDef("t11_quality_classifier", t11, Some(ot11)),
     QueryDef("t12_bpe_pair_step", t12, Some(ot12)),
-    QueryDef("t13_char_entropy", t13, Some(ot13)))
+    QueryDef("t13_char_entropy", t13, Some(ot13)),
+    QueryDef("t14_nfc_normalize", t14, Some(ot14)))
 }
