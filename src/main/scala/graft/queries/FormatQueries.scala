@@ -121,8 +121,37 @@ object FormatQueries {
       |  sum(len(regexp_extract_all(text, '\b(s[a-z]+)', 1)))::BIGINT AS n_s_words
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** X4 — ORC roundtrip: orders → ORC → filtered scan → per-priority
+    * rollup. Unlike the text formats above, ORC is columnar WITH footer
+    * statistics, so this is the one non-parquet source where predicate
+    * pushdown and column pruning work exactly as on parquet: the
+    * `o_orderdate` range predicate reaches the reader as PushedFilters
+    * and prunes stripes by min/max before any row decodes
+    * ([[graft.FormatsSpec]] asserts it), and ReadSchema carries 3 of 9
+    * columns. The engine answer to "my lake has an ORC estate": read it
+    * natively at full scan efficiency, no convert-first pass needed. */
+  private def x04(s: SparkSession, d: String): DataFrame = {
+    val path = ensureTextArtifact("orders_orc", d, p =>
+      orders(s, d).write.orc(p))
+    s.read.orc(path)
+      .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        oround(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val ox04 =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  ROUND(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_csv_source", x01, Some(ox01)),
     QueryDef("x02_jsonl_source", x02, Some(ox02)),
-    QueryDef("x03_regex_extract", x03, Some(ox03)))
+    QueryDef("x03_regex_extract", x03, Some(ox03)),
+    QueryDef("x04_orc_source", x04, Some(ox04)))
 }

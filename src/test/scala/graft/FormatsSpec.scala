@@ -109,4 +109,19 @@ class FormatsSpec extends AnyFunSuite {
     assert(dropped.collect().map(_.getString(0)).sorted.toSeq == Seq("AA", "CC"),
       "DROPMALFORMED must implement the reference's drop-not-null policy")
   }
+
+  test("x04: the ORC scan carries pushed filters and a pruned schema") {
+    // Build the plan the query builds; the date predicate must reach the
+    // ORC reader (stripe-level min/max skipping at scale) and the scan
+    // must read only the 3 referenced columns of 6.
+    val df = SparkEntry.queries("x04_orc_source")(spark, "/root/testdata/sf0.001")
+    assert(df.collect().nonEmpty) // drive so AQE's final plan is printable
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan orc"), s"expected an ORC file scan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"date range must reach the ORC reader:\n$plan")
+    assert(plan.contains(
+      "ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string>"),
+      s"scan must read only the 3 referenced columns:\n$plan")
+  }
 }
