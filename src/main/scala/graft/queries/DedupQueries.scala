@@ -612,6 +612,57 @@ object DedupQueries {
       |SELECT da, db, lev::BIGINT AS edit_dist, ROUND(1.0 - lev / mx, 4) AS sim
       |FROM pairs WHERE lev <= 150 ORDER BY da, db""".stripMargin
 
+  /** D12 — SEGMENT-level exact dedup (the paragraph-dedup shape): each
+    * doc chunks into non-overlapping 10-word segments, and a segment is
+    * boilerplate when it recurs in ≥2 DISTINCT documents (intra-doc
+    * repetition is t08's signal, not this one). Reported per source as
+    * a duplicate-segment ratio — the "which crawl sources are template
+    * farms" curation view; the drop step is the same plan minus the
+    * rollup (filter nd<2 and reassemble with array_join/collect_list).
+    *
+    * Shape: one corpus pass chunks and hashes (md5 per segment, so the
+    * wide text never shuffles — only 16-byte keys do), localCheckpoint
+    * pins the segment table (the d04/d07/d08 lesson: lambda exprIds
+    * defeat exchange reuse, an unpinned self-reference re-chunks the
+    * corpus), then ONE map-side-combined count per segment hash and ONE
+    * shuffle join back — both keyed on the hash, both unbounded tables,
+    * so neither side is broadcast-hinted (the t06/t07 rule; AQE may
+    * still pick broadcast at small SF). At 100 TB: segments ≈ 10× doc
+    * count in rows but each row is 24 bytes, and the join is
+    * hash-partitioned on both sides — shuffle-bounded, never all-pairs. */
+  private def d12(s: SparkSession, d: String): DataFrame = {
+    // Column `/` is double division — cast back for sequence()'s int bound
+    val segsCol = transform(
+      sequence(lit(0), ((size(col("w")) - 1) / 10).cast("int")),
+      i => md5(array_join(slice(col("w"), i * 10 + 1, lit(10)), " ")))
+    val seg = rebalance(s, documents(s, d))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), explode(segsCol).as("h"))
+      .localCheckpoint()
+    val g = seg.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+    seg.join(g, "h")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_segments"),
+        oround(
+          sum(when(col("nd") >= 2, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+          .as("dup_ratio"))
+      .orderBy("source")
+  }
+
+  private val od12 =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      |seg AS (SELECT doc_id, source,
+      |    array_to_string(l[i*10+1 : i*10+10], ' ') AS seg
+      |  FROM w, UNNEST(range(0, ((len(l)-1)//10)+1)) AS t(i)),
+      |g AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1)
+      |SELECT source, count(*) AS n_segments,
+      |  sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_segments,
+      |  ROUND(sum(CASE WHEN g.nd >= 2 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS dup_ratio
+      |FROM seg JOIN g USING (seg)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_fingerprint_blocks", d01, Some(od01)),
     QueryDef("d02_minhash_lsh_pairs", d02, Some(od02)),
@@ -623,5 +674,6 @@ object DedupQueries {
     QueryDef("d08_simhash_hamming", d08, Some(od08)),
     QueryDef("d09_incremental_dedup", d09, Some(od09)),
     QueryDef("d10_minhash_calibration", d10, Some(od10)),
-    QueryDef("d11_edit_distance", d11, Some(od11)))
+    QueryDef("d11_edit_distance", d11, Some(od11)),
+    QueryDef("d12_segment_dedup", d12, Some(od12)))
 }

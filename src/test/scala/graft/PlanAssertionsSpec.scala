@@ -302,6 +302,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"the self-join must read the checkpointed signatures, not re-scan the corpus:\n$finalPlan")
   }
 
+  test("d12: segment table chunks once; count-join is an equi-join") {
+    val plan = executedPlan("d12_segment_dedup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the hash-count join must stay an equi-join, got:\n$plan")
+    // both the per-hash count and the join-back read the checkpointed
+    // segment table — the corpus is chunked and hashed exactly once
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(finalPlan).isEmpty,
+      s"d12 must read the checkpointed segments, not re-chunk the corpus:\n$finalPlan")
+  }
+
   test("q02: the whole predicate reaches the parquet scan") {
     val df = SparkEntry.queries("q02_filter_count")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
