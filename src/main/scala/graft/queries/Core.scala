@@ -718,6 +718,85 @@ object Core {
       |JOIN nation n ON n.n_nationkey = c.c_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q42 — stream-stream LEFT OUTER interval join under the oracle:
+    * q39's clicks⋈views join with the unmatched clicks KEPT. Outer
+    * emission — unlike q39's inner matches — IS watermark-gated: a
+    * click can only emit with a NULL view once the watermark proves no
+    * matching view can still arrive (past cts, the range's upper
+    * bound), so this pins the fourth and last piece of join-state
+    * semantics: q39 = buffered-match emission + eviction, q42 =
+    * null-completion on state EXPIRY. Without the far-future sentinel
+    * batches the tail clicks would sit in state when AvailableNow
+    * drains and the unmatched rows would silently vanish — two
+    * sentinel files (the q36 lesson: evictions in batch N fire on the
+    * watermark computed after batch N−1) advance the watermark past
+    * every real click and flush them; the sentinel user is filtered
+    * from the result. At 100 TB the state bound is identical to q39's
+    * (per-side watermark from the range predicate); the only extra
+    * cost of LEFT OUTER is that left rows live to watermark expiry
+    * instead of leaving at first match. */
+  private def q42(s0: SparkSession, d: String): DataFrame = {
+    val r = new Replay(s0, "graft_ssouter")
+    val s = r.session
+    val ev = events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val (cut1, cut2) = (lit("2024-01-11").cast("timestamp"), lit("2024-01-21").cast("timestamp"))
+    // BOTH event types per sentinel file: each branch's watermark only
+    // sees rows surviving its own filter, and the GLOBAL watermark is
+    // the min across branches — a view-only sentinel would leave the
+    // click-side watermark at the last real click and strand it in state.
+    def sentinel(ts: String, id: Long) = s.range(1).select(
+      explode(array(
+        struct(lit(id).as("event_id"), to_timestamp(lit(ts)).as("ts"),
+          lit(-1L).as("user_id"), lit("click").as("event_type")),
+        struct(lit(id - 1).as("event_id"), to_timestamp(lit(ts)).as("ts"),
+          lit(-1L).as("user_id"), lit("view").as("event_type")))).as("e"))
+      .select(col("e.*"))
+    r.stage(ev.filter(col("ts") < cut1), "batch0", 1000000000000L)
+    r.stage(ev.filter(col("ts") >= cut1 && col("ts") < cut2), "batch1", 1000000060000L)
+    r.stage(ev.filter(col("ts") >= cut2), "batch2", 1000000120000L)
+    r.stage(sentinel("2030-01-01 00:00:00", -1L), "batch3", 1000000180000L)
+    r.stage(sentinel("2030-02-01 00:00:00", -3L), "batch4", 1000000240000L)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"), col("user_id"))
+      .withWatermark("cts", "1 minute")
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("vts"),
+        col("user_id").as("v_user_id"))
+      .withWatermark("vts", "1 minute")
+    val query = clicks
+      .join(views,
+        col("user_id") === col("v_user_id") &&
+          col("vts") <= col("cts") &&
+          col("vts") >= col("cts") - expr("interval 12 hours"),
+        "leftOuter")
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        (unix_micros(col("cts")) - unix_micros(col("vts"))).as("gap_us"))
+      .writeStream
+      .format("parquet")
+      .option("path", r.outDir)
+      .option("checkpointLocation", r.ckpDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    r.cleanup()
+    s.read.parquet(r.outDir)
+      .filter(col("user_id") >= 0) // drop the watermark-advancing sentinel
+      .orderBy("click_id", "view_id")
+  }
+
+  private val oq42 =
+    """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+      |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 12 HOUR
+      |ORDER BY click_id, view_id""".stripMargin
+
   /** Q26 — the COMPOSED reference-parity pipeline, oracle-checked end to
     * end: synthesize format-5 readings from events (5 sensors, 3
     * whitelisted), then run [[graft.etl.Pipeline.batch]] — whitelist
@@ -1080,5 +1159,6 @@ object Core {
     // indistinguishable from the declarative batch definition
     QueryDef("q36_stream_sessions", q36, Some(oq24)),
     QueryDef("q39_stream_join", q39, Some(oq39)),
-    QueryDef("q40_stream_static", q40, Some(oq40)))
+    QueryDef("q40_stream_static", q40, Some(oq40)),
+    QueryDef("q42_stream_outer_join", q42, Some(oq42)))
 }
