@@ -129,15 +129,34 @@ object AnalyticsQueries {
     * two-direction window trick is [[graft.ops.AsOfJoin]] extended to
     * BOTH neighbors: observations (side 0) and generated grid points
     * (side 1, null value) share one total order per user, `last(…,
-    * ignoreNulls)` over the preceding frame finds (prev_ts, prev_v),
-    * `first(…, ignoreNulls)` over the following frame finds the next —
+    * ignoreNulls)` over the ascending running frame finds
+    * (prev_ts, prev_v), the same frame shape over the REVERSED order
+    * finds the next —
     * so interpolation needs ZERO joins and no range explosion. All four
-    * window expressions share one (partitionBy user_id, same order)
-    * spec → ONE exchange + ONE sort; the bounds aggregate is a
+    * window expressions partition on user_id →
+    * ONE exchange (two sorts, one per direction); the bounds aggregate is a
     * map-side-combined |users|-row shuffle; grid size is
     * users × hours, linear in time span, never |events|². A grid point
     * that coincides with an observation reproduces it exactly (the
-    * obs sorts before the grid row, so pt = ts and the ratio is 0). */
+    * obs sorts before the grid row, so pt = ts and the ratio is 0).
+    *
+    * Frame discipline — BOTH neighbors come from O(n) RUNNING frames.
+    * The previous observation is `last(…, ignoreNulls)` over the
+    * ascending `unboundedPreceding→currentRow` frame, which Spark
+    * evaluates incrementally (one state update per row). The NEXT
+    * observation is the same running-frame shape over the REVERSED
+    * total order (`ts desc, side desc, event_id desc` — desc puts
+    * nulls last, the exact mirror of asc nulls-first): the rows at or
+    * before `currentRow` in reversed order are exactly the rows at or
+    * after it in ascending order, so `last(…, ignoreNulls)` there IS
+    * the first following non-null. The naive alternative —
+    * `first(…).over(rowsBetween(currentRow, unboundedFollowing))` —
+    * plans as a SHRINKING frame that Spark re-scans to the partition
+    * end for every row: O(n²) per user partition, quadratic in the
+    * time span at fixed rate (measured 7.8 s vs 0.6 s at sf0.1).
+    * Cost of the reversal: ONE extra local sort on the same user_id
+    * exchange — two Window nodes, two sorts, still exactly one
+    * shuffle for the whole neighbor lookup. */
   private def w07(s: SparkSession, d: String): DataFrame = {
     val obs = events(s, d).select(col("user_id"), col("ts"), col("value"), col("event_id"))
     val grid = obs.groupBy("user_id")
@@ -150,8 +169,10 @@ object AnalyticsQueries {
         lit(null).cast("double").as("value"), lit(null).cast("long").as("event_id")))
     val ord = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("side"), col("event_id")) // asc = nulls first, both engines pinned
+    val rev = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("side").desc, col("event_id").desc)
     val wp = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wn = rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsTs = when(col("value").isNotNull, col("ts"))
     // (nv−pv) * Δt THEN / span — the same association and long→double
     // promotions as the oracle text, for bit-identical doubles
@@ -162,8 +183,8 @@ object AnalyticsQueries {
       .select(col("user_id"), col("ts"), col("side"),
         last(col("value"), ignoreNulls = true).over(wp).as("pv"),
         last(obsTs, ignoreNulls = true).over(wp).as("pt"),
-        first(col("value"), ignoreNulls = true).over(wf).as("nv"),
-        first(obsTs, ignoreNulls = true).over(wf).as("nt"))
+        last(col("value"), ignoreNulls = true).over(wn).as("nv"),
+        last(obsTs, ignoreNulls = true).over(wn).as("nt"))
       .filter(col("side") === 1 && col("pv").isNotNull && col("nv").isNotNull)
       .select(col("user_id"), col("ts").as("grid_ts"),
         oround(when(col("nt") === col("pt"), col("pv")).otherwise(interp), 4)
