@@ -51,6 +51,9 @@ object Bench {
       // one just as easily as run two, and a single success is a valid
       // measurement either way (errors are still logged to stderr).
       val second = once()
+      // Both raw timings to stderr: the cold/warm gap is the codegen +
+      // artifact-staging cost, worth watching per query when profiling.
+      System.err.println(f"[bench] $name run1=$first%.2f run2=$second%.2f")
       name -> ((first, second) match {
         case (a, b) if a >= 0 && b >= 0 => math.min(a, b)
         case (a, b)                     => math.max(a, b) // the non-negative one, or -1

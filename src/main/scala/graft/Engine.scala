@@ -41,6 +41,12 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // NOTE: do NOT swap fs.file.impl to RawLocalFileSystem to skip the
+      // .crc sidecars (tempting for micro-batch small-file overhead) —
+      // the RocksDB state store used by transformWithState casts the
+      // local filesystem to o.a.h.fs.LocalFileSystem and crashes every
+      // TWS checkpoint commit (measured: ~5% bench win, five failed
+      // streaming suites).
       .config("spark.ui.enabled", "false")
 
   /** Local session sized from SPARK_GRAFT_CPUS (driver contract). */

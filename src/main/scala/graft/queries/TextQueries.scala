@@ -510,6 +510,81 @@ object TextQueries {
       |  sum(length(t2) - length(nfc_normalize(t2)))::BIGINT AS chars_saved
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Count-min sketch parameters: d=4 hash rows × w=512 buckets. Each
+    * row's hash is a universal-hash permutation `((a·h + b) mod p) mod w`
+    * over the shared 28-bit md5 token hash (the [[TextFns.shingleHashes]]
+    * bound: h < 2^28 and a < 2^21 keep a·h+b under 2^63 in BOTH engines —
+    * DuckDB BIGINT overflow throws). */
+  private val CmP = 2147483647L
+  private val CmW = 512
+  private val CmA = Seq(1000003L, 1000033L, 1000037L, 1000039L)
+  private val CmB = Seq(12345L, 67891L, 24680L, 13579L)
+
+  /** The d (j, bucket) sketch coordinates of a materialized 28-bit hash
+    * column — shared by the build side and the probe side so the two
+    * cannot drift. */
+  private def cmCoords(h: Column): Column =
+    explode(array(CmA.indices.map(j =>
+      struct(lit(j).as("j"),
+        pmod(pmod(h * CmA(j) + CmB(j), lit(CmP)), lit(CmW)).as("bucket"))): _*))
+
+  /** T15 — HEAVY-HITTER audit: a count-min sketch (d=4 × w=512 — fixed
+    * 2048 counters regardless of corpus size) built over the token
+    * stream in one partially-aggregated shuffle, probed for every vocab
+    * token, audited against the exact counts. At 100 TB the exact
+    * top-k (q17b) shuffles the full vocabulary; the sketch is the
+    * fixed-memory alternative whose counters merge across partitions /
+    * days / sources by plain addition — THIS query is the harness that
+    * licenses it, reporting per-token `est ≥ exact` (the one-sided CMS
+    * guarantee: collisions only ever inflate) and the absolute
+    * overestimate. The probe join broadcasts the 2048-row sketch;
+    * the vocab pass doubles as the exact audit side, so the corpus is
+    * read once per side, never per hash row ([[cmCoords]] fans each
+    * token to its d coordinates with ONE explode). */
+  private def t15(s: SparkSession, d: String): DataFrame = {
+    val toks = rebalance(s, documents(s, d))
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+    val h28 = conv(substring(md5(col("tok").cast("binary")), 1, 7), 16, 10).cast("long")
+    val sketch = toks
+      .select(h28.as("h"))
+      .select(cmCoords(col("h")).as("k"))
+      .groupBy(col("k.j").as("j"), col("k.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    vocab
+      .select(col("tok"), col("n_exact"), h28.as("h"))
+      .select(col("tok"), col("n_exact"), cmCoords(col("h")).as("k"))
+      .join(broadcast(sketch),
+        col("k.j") === col("j") && col("k.bucket") === col("bucket"))
+      .groupBy("tok")
+      .agg(min("n_exact").as("n_exact"), min("cnt").as("n_est"))
+      .select(col("tok"), col("n_exact"), col("n_est"),
+        (col("n_est") >= col("n_exact")).as("never_under"),
+        (col("n_est") - col("n_exact")).as("overestimate"))
+      .orderBy(col("n_exact").desc, col("tok"))
+      .limit(20)
+  }
+
+  private val ot15 = {
+    val params = CmA.indices
+      .map(j => s"(${j}, ${CmA(j)}, ${CmB(j)})").mkString(", ")
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |params(j, a, b) AS (VALUES $params),
+      |keyed AS (SELECT tok, j,
+      |    ((('0x'||substr(md5(tok),1,7))::BIGINT * a + b) % $CmP) % $CmW AS bucket
+      |  FROM toks, params),
+      |sketch AS (SELECT j, bucket, count(*) AS cnt FROM keyed GROUP BY 1, 2),
+      |vocab AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1),
+      |probe AS (SELECT v.tok, v.n_exact, p.j,
+      |    ((('0x'||substr(md5(v.tok),1,7))::BIGINT * p.a + p.b) % $CmP) % $CmW AS bucket
+      |  FROM vocab v, params p),
+      |est AS (SELECT tok, min(n_exact) AS n_exact, min(cnt) AS n_est
+      |  FROM probe JOIN sketch USING (j, bucket) GROUP BY tok)
+      |SELECT tok, n_exact, n_est, n_est >= n_exact AS never_under,
+      |  n_est - n_exact AS overestimate
+      |FROM est ORDER BY n_exact DESC, tok LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
@@ -524,5 +599,6 @@ object TextQueries {
     QueryDef("t11_quality_classifier", t11, Some(ot11)),
     QueryDef("t12_bpe_pair_step", t12, Some(ot12)),
     QueryDef("t13_char_entropy", t13, Some(ot13)),
-    QueryDef("t14_nfc_normalize", t14, Some(ot14)))
+    QueryDef("t14_nfc_normalize", t14, Some(ot14)),
+    QueryDef("t15_heavy_hitters", t15, Some(ot15)))
 }

@@ -37,6 +37,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"decorrelated plan must not fall back to a nested loop, got:\n$plan")
   }
 
+  test("t15: the count-min probe broadcasts the fixed-size sketch") {
+    // the sketch is d×w = 2048 counters REGARDLESS of corpus size — the
+    // whole point of the structure is that the probe side never
+    // shuffles the vocabulary against it. A SortMergeJoin here means
+    // the broadcast was lost and the fixed-memory claim with it.
+    val plan = executedPlan("t15_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"t15 sketch probe must be a broadcast join, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"t15 must never sort-merge the vocab against the sketch, got:\n$plan")
+  }
+
   test("d02: bucket-local LSH verification runs with ZERO joins") {
     val plan = executedPlan("d02_minhash_lsh_pairs")
     Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
