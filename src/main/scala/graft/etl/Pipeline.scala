@@ -177,6 +177,72 @@ object Pipeline {
     } finally { cached.unpersist(); () }
   }
 
+  /** OP-12/13 as a RELATIONAL sink — the engine twin of the reference's
+    * load stage, which is parameterized INSERTs into PostgreSQL
+    * (`operations.rs:17-90`) behind a hand-rolled 100×5 s reconnect loop
+    * (`connection.rs:52-134`). The Spark shape:
+    *
+    *  - the DataFrame jdbc writer batches INSERTs per partition
+    *    (`batchsize`, default 1000) and parallelizes across partitions —
+    *    the reference's row-at-a-time `execute` serializes on one
+    *    connection;
+    *  - transient failures are retried at TASK granularity by the
+    *    scheduler (the retry loop nobody has to write), and idempotence
+    *    comes from delete-then-insert keyed by `batch_id` below — a
+    *    replayed micro-batch deletes exactly its own rows first, the
+    *    same contract as [[writeMicroBatch]]'s dynamic partition
+    *    overwrite, so crash-replay never double-loads;
+    *  - `numPartitions` should be capped (8 here) so a wide upstream
+    *    doesn't open hundreds of simultaneous connections against one
+    *    database — the classic jdbc-sink failure at cluster scale.
+    *
+    * Exercised in PipelineSpec against embedded Derby (in-JVM, on the
+    * Spark classpath); any JDBC url with a registered Spark dialect
+    * (PostgreSQL included) takes the identical path. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties): Unit =
+    df.coalesce(8).write.mode("append")
+      .option("batchsize", "1000")
+      .jdbc(url, table, props)
+
+  /** Delete-then-insert idempotent micro-batch load: rows carry the
+    * micro-batch id, and a replay first clears its own id. The DELETE is
+    * one driver-side statement (indexable predicate), not a truncate —
+    * other batches' rows are never touched, so concurrent readers see
+    * at-worst one batch vanish-and-return, exactly like the parquet
+    * sink's partition overwrite. */
+  def writeJdbcMicroBatch(batchDf: DataFrame, batchId: Long, url: String,
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    val cached = batchDf.cache()
+    def load(df: DataFrame, table: String): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val exists = {
+          // Derby/Postgres fold unquoted identifiers to their own case;
+          // check both spellings rather than guessing the dialect.
+          val md = conn.getMetaData
+          Seq(table.toUpperCase, table.toLowerCase, table).exists { t =>
+            val rs = md.getTables(null, null, t, null)
+            try rs.next() finally rs.close()
+          }
+        }
+        if (exists) {
+          // ANSI-quoted column: Spark's writer creates QUOTED lowercase
+          // column names, which unquoted identifiers (case-folded by the
+          // db) would miss.
+          val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "batch_id" = ?""")
+          try { st.setLong(1, batchId); st.executeUpdate(); () }
+          finally st.close()
+        }
+      } finally conn.close()
+      writeJdbc(df.withColumn("batch_id", lit(batchId)), url, table, props)
+    }
+    try {
+      load(sensorProjection(cached), "sensor_data")
+      load(movementProjection(cached), "movement_data")
+    } finally { cached.unpersist(); () }
+  }
+
   /** Streaming variant (OP-08 as Structured Streaming): event-time 30-min
     * windows with a watermark, `foreachBatch` dual sink writing each
     * micro-batch into its own `batch_id=` partition with DYNAMIC
