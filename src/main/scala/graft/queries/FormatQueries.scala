@@ -149,9 +149,38 @@ object FormatQueries {
       |WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** X5 — AVRO roundtrip: the FULL events table → avro container files
+    * (one per partition, timestamps as `timestamp-micros`) → explicit
+    * 3-of-6-column schema scan → per-type rollup. The read schema is
+    * applied as the avro READER schema inside the decoder
+    * ([[graft.sources.AvroSource.read]]), so the projection prunes at
+    * the source like ReadSchema does on parquet — and `max_ts` pins the
+    * microsecond roundtrip exactly as x02 does for JSONL. No spark-avro
+    * module on this classpath; the source is built on avro-mapred's
+    * splittable input format (FormatsSpec asserts the mapping table). */
+  private def x05(s: SparkSession, d: String): DataFrame = {
+    val path = ensureTextArtifact("events_avro", d, p =>
+      graft.sources.AvroSource.write(events(s, d), p))
+    graft.sources.AvroSource.read(s, path,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_type STRING, ts TIMESTAMP, value DOUBLE"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        oround(avg("value"), 2).as("avg_value"),
+        max("ts").as("max_ts"))
+      .orderBy("event_type")
+  }
+
+  private val ox05 =
+    """SELECT event_type, count(*) AS n, ROUND(avg(value), 2) AS avg_value,
+      |  max(ts) AS max_ts
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_csv_source", x01, Some(ox01)),
     QueryDef("x02_jsonl_source", x02, Some(ox02)),
     QueryDef("x03_regex_extract", x03, Some(ox03)),
-    QueryDef("x04_orc_source", x04, Some(ox04)))
+    QueryDef("x04_orc_source", x04, Some(ox04)),
+    QueryDef("x05_avro_source", x05, Some(ox05)))
 }

@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericRecord}
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.AvroKeyInputFormat
+import org.apache.hadoop.io.NullWritable
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro container files as a source/sink WITHOUT the spark-avro module
+  * (not on this classpath — only avro core + avro-mapred ship with the
+  * distribution), completing the at-rest estate formats after
+  * parquet/ORC/CSV/JSONL (x01–x04; the reference's source stage is
+  * `/root/reference/src/bluetooth/scanner.rs:96-202` — this is the
+  * fourth file format a 100 TB lake commonly holds).
+  *
+  * Design, Spark-first where the datasource API isn't available:
+  *
+  *  - READ is `newAPIHadoopFile` over avro-mapred's splittable
+  *    `AvroKeyInputFormat` — one task per HDFS block, exactly the
+  *    parallel-scan shape the DataFrame reader would produce. The
+  *    caller passes an EXPLICIT Spark schema (the x01/x02 discipline —
+  *    never infer on a lake-scale estate) which is converted to an
+  *    avro READER schema, so projection happens inside the avro
+  *    decoder: unrequested fields are resolved away per Avro schema
+  *    resolution and never materialized. That is the avro-native
+  *    equivalent of column pruning (no footer statistics though —
+  *    like every row-major format, avro cannot skip row groups;
+  *    convert to parquet early and this query documents why).
+  *  - WRITE fans out one container file per partition through the
+  *    Hadoop FileSystem API (works on file://, HDFS, or any mounted
+  *    FS), rows converted to GenericRecords by the shared
+  *    field-mapping table.
+  *  - Timestamps map to avro `long` + `timestamp-micros` logical type
+  *    in BOTH directions — microsecond-exact roundtrip (the x02
+  *    JSON-format lesson: a default millisecond pattern silently
+  *    truncates event times; the x05 oracle pins max(ts) to the µs).
+  *
+  * RDD usage is deliberate and narrow (the per-partition imperative
+  * seam the builder guide reserves it for): everything downstream of
+  * `read` is a plain DataFrame, so Catalyst sees a normal scan.
+  */
+object AvroSource {
+
+  /** Spark → Avro schema for the supported column types. Nullable
+    * fields become `union {null, T}` (avro's optional). */
+  def avroSchema(schema: StructType, name: String = "graft_record"): Schema = {
+    def fieldType(dt: DataType): Schema = dt match {
+      case LongType    => Schema.create(Schema.Type.LONG)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+      case FloatType   => Schema.create(Schema.Type.FLOAT)
+      case StringType  => Schema.create(Schema.Type.STRING)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case BinaryType  => Schema.create(Schema.Type.BYTES)
+      case TimestampType =>
+        org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported avro mapping: $other")
+    }
+    val fields = new java.util.ArrayList[Schema.Field]()
+    schema.fields.foreach { f =>
+      val t = fieldType(f.dataType)
+      val (ft, default) =
+        if (f.nullable)
+          (Schema.createUnion(Schema.create(Schema.Type.NULL), t),
+            Schema.Field.NULL_DEFAULT_VALUE)
+        else (t, null)
+      fields.add(new Schema.Field(f.name, ft, null, default))
+    }
+    Schema.createRecord(name, null, "graft", false, fields)
+  }
+
+  /** One avro container file per partition under `path`. */
+  def write(df: DataFrame, path: String): Unit = {
+    val sparkSchema = df.schema
+    val json = avroSchema(sparkSchema).toString
+    df.rdd.foreachPartition { rows =>
+      val sch = new Schema.Parser().parse(json)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(conf)
+      fs.mkdirs(dir)
+      val pid = TaskContext.get().partitionId()
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.avro"), true)
+      val writer = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[GenericRecord](sch))
+        .create(sch, out)
+      try rows.foreach { row =>
+        val rec = new GenericData.Record(sch)
+        var i = 0
+        while (i < sparkSchema.length) {
+          rec.put(i, if (row.isNullAt(i)) null else sparkSchema(i).dataType match {
+            case TimestampType =>
+              val ts = row.getAs[java.sql.Timestamp](i)
+              java.lang.Long.valueOf(ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
+            case BinaryType => ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+            case _          => row.get(i).asInstanceOf[AnyRef]
+          })
+          i += 1
+        }
+        writer.append(rec)
+      } finally writer.close()
+    }
+  }
+
+  /** Parallel scan of an avro directory with an explicit Spark schema;
+    * the schema doubles as the avro READER schema, so projection is
+    * applied inside the decoder (fields not listed are never built). */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val readerJson = avroSchema(schema).toString
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("avro.schema.input.key", readerJson)
+    val fields = schema.fields.map(f => (f.name, f.dataType))
+    val rows = spark.sparkContext
+      .newAPIHadoopFile(
+        path,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable],
+        conf)
+      .map { case (k, _) =>
+        val rec = k.datum()
+        Row.fromSeq(fields.toIndexedSeq.map { case (name, dt) =>
+          rec.get(name) match {
+            case null => null
+            case v => dt match {
+              case TimestampType =>
+                val micros = v.asInstanceOf[Long]
+                val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+                ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+                ts
+              case StringType => v.toString
+              case BinaryType =>
+                val bb = v.asInstanceOf[ByteBuffer]
+                val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+              case _ => v
+            }
+          }
+        })
+      }
+    spark.createDataFrame(rows, schema)
+  }
+}

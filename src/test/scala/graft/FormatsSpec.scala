@@ -124,4 +124,35 @@ class FormatsSpec extends AnyFunSuite {
       "ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string>"),
       s"scan must read only the 3 referenced columns:\n$plan")
   }
+
+  test("x05: avro roundtrip keeps µs timestamps, nulls, binary; reader schema prunes") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro").toString
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00.123456"), "a",
+        Array[Byte](1, 2, 3), Some(1.5)),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00.000001"), "b",
+        Array[Byte](), None)) // null double, empty bytes
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.map(r =>
+      org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5.orNull)).asJava,
+      StructType.fromDDL(
+        "id BIGINT, ts TIMESTAMP, tag STRING, blob BINARY, v DOUBLE"))
+    graft.sources.AvroSource.write(df, dir)
+    // full read-back: every value — including the two µs tails that a
+    // millisecond mapping would destroy — survives the container format
+    val back = graft.sources.AvroSource.read(spark, dir, df.schema)
+      .orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(back.map(_.getTimestamp(1).toString).toSeq ==
+      Seq("2024-01-01 10:00:00.123456", "2024-01-01 10:00:00.000001"))
+    assert(back(0).getAs[Array[Byte]]("blob").toSeq == Seq[Byte](1, 2, 3))
+    assert(back(1).isNullAt(4) && back(0).getDouble(4) == 1.5)
+    // projection: a 2-column reader schema decodes without the rest —
+    // and in a DIFFERENT field order than written (avro resolves by name)
+    val pruned = graft.sources.AvroSource.read(spark, dir,
+      StructType.fromDDL("tag STRING, id BIGINT")).orderBy("id").collect()
+    assert(pruned.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 2L)))
+  }
 }
