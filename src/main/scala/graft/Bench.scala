@@ -63,7 +63,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the full line: the driver's BENCH capture truncates
+    // its tail at 2000 chars, which loses per-query data for most of the
+    // surface (the round-5 lesson — round-over-round comparison was only
+    // possible for 28 of 141 queries). Full-run dumps only, so a
+    // selective profiling invocation never clobbers the record.
+    if (args.isEmpty) {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/root/repo/bench/latest_full.json"))
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+    }
     spark.stop()
   }
 }

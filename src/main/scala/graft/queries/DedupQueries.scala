@@ -563,18 +563,40 @@ object DedupQueries {
     * insertions that shift every downstream k-gram (the "same doc, one
     * sentence injected" near-dup) still score close here.
     *
-    * Same bucket-local shape as d02/d04 — one scan, one shuffle, zero
-    * joins: block members are grouped, ordered pairs emitted from the
-    * sorted list, and the distance computed INSIDE the pair lambda via
-    * Spark's bounded `levenshtein(l, r, threshold)` — O(threshold·len)
-    * per pair with early abandon, returning −1 past the bound, so the
-    * emitted pair row is 4 scalars and the texts never leave the
-    * bucket. (Parity note: DuckDB's levenshtein is byte-based, Spark's
+    * Two stages, split where the COST lives (the round-6 lesson —
+    * measured 217 s → ~7 s at sf0.1):
+    *
+    *  1. candidate ENUMERATION, bucket-local as in d02/d04 — block
+    *     members are grouped and the ordered pairs (ids + both texts)
+    *     emitted from the sorted list. Cheap: array bookkeeping only.
+    *  2. pair VERIFICATION — the bounded `levenshtein(l, r, threshold)`
+    *     (O(threshold·len) with early abandon, −1 past the bound) runs
+    *     AFTER a rebalance of the pair stream. The first cut computed
+    *     it inside the per-block lambda, which serializes a whole
+    *     block's O(m²) comparisons into the single task holding the
+    *     grouped row — one 275-doc block = 37k comparisons on one
+    *     core while 31 idle. Rebalancing first costs one shuffle of
+    *     |candidate pairs| × 2 texts (bounded by the blocking, the
+    *     standard candidates-then-verify shape) and buys even
+    *     distribution of the term that actually dominates: the CPU of
+    *     the distance function. Skewed block sizes stop mattering
+    *     because the unit of distribution is the PAIR, not the block.
+    *
+    * The lazy localCheckpoint after verification is LOAD-BEARING: the
+    * `lev >= 0` keep-filter references only pre-shuffle columns, so
+    * PushDownPredicates happily moves it through the Repartition —
+    * back into the skewed enumeration stage, where the whole distance
+    * bill serializes per block again AND is paid twice (once filtering
+    * pre-shuffle, once projecting post-shuffle): measured 90 s vs 5 s
+    * at sf0.1. The lineage cut pins verification exactly where it is;
+    * what it materializes is 4 scalars per candidate pair — tiny.
+    *
+    * (Parity note: DuckDB's levenshtein is byte-based, Spark's
     * is character-based — identical on this ASCII corpus; non-ASCII
     * corpora would need a byte-cast first.) */
   private def d11(s: SparkSession, d: String): DataFrame = {
     val K = 150
-    tokenized(s, d)
+    val pairs = tokenized(s, d)
       .select(
         col("doc_id"),
         TextFns.fingerprintOf(col("toks"), col("text"), N).as("fp"),
@@ -588,14 +610,20 @@ object DedupQueries {
           slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
           y => struct(
             x.getField("id").as("da"), y.getField("id").as("db"),
-            levenshtein(x.getField("tx"), y.getField("tx"), K).as("lev"),
-            greatest(length(x.getField("tx")), length(y.getField("tx"))).as("mx"))))))
+            x.getField("tx").as("ta"), y.getField("tx").as("tb"))))))
         .as("p"))
-      .filter(col("p.lev") >= 0)
+      .select(col("p.*"))
+    rebalance(s, pairs)
       .select(
-        col("p.da").as("da"), col("p.db").as("db"),
-        col("p.lev").cast("long").as("edit_dist"),
-        oround(lit(1.0) - col("p.lev") / col("p.mx"), 4).as("sim"))
+        col("da"), col("db"),
+        levenshtein(col("ta"), col("tb"), K).as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).as("mx"))
+      .localCheckpoint(false) // barrier — see scaladoc, 90 s vs 5 s
+      .filter(col("lev") >= 0)
+      .select(
+        col("da"), col("db"),
+        col("lev").cast("long").as("edit_dist"),
+        oround(lit(1.0) - col("lev") / col("mx"), 4).as("sim"))
       .orderBy("da", "db")
   }
 

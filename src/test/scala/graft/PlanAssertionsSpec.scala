@@ -295,6 +295,48 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"AQE must mark the shuffle read as skew-split, got:\n$plan")
   }
 
+  test("AQE skew-join split fires on ZIPFIAN keys with the default skew factor") {
+    // The realistic twin of the scale-demo test above: a power-law key
+    // column (inverse-CDF of Zipf(1): key = floor(exp(ln K · u)) gives
+    // P(key) ∝ 1/key — the head key alone owns ~10% of all rows, the
+    // fact-table shape every clickstream/corpus join hits), joined to a
+    // non-broadcastable dimension. skewedPartitionFactor stays at its
+    // DEFAULT (5.0): the hot reducer must really be 5× the median for
+    // the split to fire. Only the absolute byte thresholds are scaled
+    // down (defaults of 256 MB/64 MB assume cluster-scale shuffles;
+    // the ratio between hot and median partition is what the test
+    // pins, and that is size-invariant).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512k")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // 64 reducers, not the test session's 4: skew is detected per
+    // REDUCER partition, and with only 4 partitions the head key hides
+    // among the ~250 tail keys hashed on top of it (ratio ~1.3×). On a
+    // real cluster the reducer count always dwarfs the hot-key count —
+    // 4 partitions is the unrealistic setting, not 64.
+    s.conf.set("spark.sql.shuffle.partitions", "64")
+    import org.apache.spark.sql.functions._
+    val fact = s.range(0, 4000000L, 1, 8).select(
+      floor(exp(log(lit(1000.0)) * (col("id") % 100000L) / lit(100000.0))).as("key"),
+      col("id"))
+    val dim = s.range(1001).select(col("id").as("dkey"), (col("id") * 7).as("payload"))
+    val j = fact.join(dim, col("key") === col("dkey"))
+      // post-join filter keeps the collect tiny; it references BOTH
+      // sides so Catalyst cannot push it below the join (a fact-only
+      // predicate would be pushed to the scan and thin the shuffle the
+      // test is about)
+      .filter((col("id") + col("payload")) % 997L === 0L)
+    assert(j.count() > 0)
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"),
+      s"the zipf join must stay a shuffled join, got:\n$plan")
+    assert(plan.contains("skewed"),
+      s"AQE must split the zipf head partition at default factor 5, got:\n$plan")
+  }
+
   test("p06: contamination check is per-row — no corpus-side join or extra scan") {
     val df = SparkEntry.queries("p06_corpus_build")(spark, sf)
     df.collect()
