@@ -842,6 +842,50 @@ object AnalyticsQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** A7 — ROBUST outlier detection via MAD (median absolute deviation),
+    * the resistant twin of a04's z-score: one extreme value inflates a
+    * mean/stddev enough to hide its siblings (masking), while the
+    * median±MAD band moves by at most one rank. Three bounded passes,
+    * all |event_type|-row aggregates with map-side combine, each flag
+    * comparison against BROADCAST stats (the a04 rule — never a
+    * per-type window over the raw stream): (1) per-type median, (2)
+    * median of |x − med| with the medians broadcast back, (3) flag
+    * |x − med| > 3·1.4826·MAD (1.4826 = consistency constant making
+    * MAD estimate σ under normality). The exact medians are the audit
+    * cost; the 100 TB profile swaps both passes to approx_percentile
+    * with the same plan shape. */
+  private def a07(s: SparkSession, d: String): DataFrame = {
+    val med = events(s, d).groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val stats = events(s, d)
+      .join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(
+        min("med").as("med"), // constant per group
+        percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    events(s, d)
+      .join(broadcast(stats), "event_type")
+      .groupBy("event_type")
+      .agg(
+        sum(when(abs(col("value") - col("med")) > lit(3) * lit(1.4826) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"),
+        oround(min("mad"), 4).as("mad"))
+      .orderBy("event_type")
+  }
+
+  private val oa07 =
+    """WITH med AS (SELECT event_type, median(value) med FROM events GROUP BY 1),
+      |stats AS (SELECT e.event_type, min(m.med) med,
+      |    median(abs(e.value - m.med)) mad
+      |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+      |SELECT e.event_type,
+      |  sum(CASE WHEN abs(e.value - s.med) > 3 * 1.4826 * s.mad
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+      |  count(*) AS n, ROUND(min(s.mad), 4) AS mad
+      |FROM events e JOIN stats s USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** U4 — changelog MERGE into a snapshot: every event is an upsert of
     * (user_id → value) and `error` is the DELETE tombstone; the
     * snapshot keeps each key's most recent surviving state (the CDC
@@ -1318,6 +1362,7 @@ object AnalyticsQueries {
     QueryDef("a04_zscore_outliers", a04, Some(oa04)),
     QueryDef("a05_trend_monitor", a05, Some(oa05)),
     QueryDef("a06_column_profile", a06, Some(oa06)),
+    QueryDef("a07_mad_outliers", a07, Some(oa07)),
     QueryDef("j01_anti_join", j01, Some(oj01)),
     QueryDef("j02_banded_range_join", j02, Some(oj02)),
     QueryDef("j03_full_outer", j03, Some(oj03)),

@@ -641,6 +641,57 @@ object Core {
       .orderBy("user_id")
   }
 
+  /** Q43 — the `transformWithState` sessionizer under the oracle: the
+    * THIRD stateful streaming API (after q33's windowed aggregation and
+    * q36's `flatMapGroupsWithState`) replaying the same events through
+    * [[graft.streaming.SessionizeTws]] — typed ValueState + first-class
+    * event-time timers on the RocksDB store the API mandates — and
+    * aggregated to exactly q24's batch shape, so ALL THREE runtimes are
+    * pinned to the one declarative session definition by an independent
+    * engine. The staging prefix is deliberately q36's: the staged
+    * micro-batch files are identical, so the per-JVM artifact is shared
+    * between the two sessionizer replays (one synthesis pays for both).
+    * Sentinel/watermark mechanics are q36's unchanged — TWS timers fire
+    * on the same batch-N-uses-watermark-of-N−1 schedule as GroupState
+    * timeouts. */
+  private def q43(s0: SparkSession, d: String): DataFrame = {
+    val r = new Replay(s0, "graft_sessions", d)((s, st) => {
+      def sentinel(ts: String, id: Long) = s.range(1).select(
+        lit(-1L).as("user_id"), to_timestamp(lit(ts)).as("ts"), lit(id).as("event_id"))
+      st.stage(events(s, d).select(col("user_id"), col("ts"), col("event_id")),
+        "batch0", 1000000000000L)
+      st.stage(sentinel("2030-01-01 00:00:00", -1L), "batch1", 1000000060000L)
+      st.stage(sentinel("2030-02-01 00:00:00", -2L), "batch2", 1000000120000L)
+    })
+    val s = r.session
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val stream = s.readStream.schema("user_id LONG, ts TIMESTAMP, event_id LONG")
+      .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
+      .withWatermark("ts", "1 minute")
+      .as[graft.streaming.Sessionize.Event]
+    val query = graft.streaming.SessionizeTws.sessions(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", r.outDir)
+      .option("checkpointLocation", r.ckpDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    r.cleanup()
+    s.read.parquet(r.outDir)
+      .filter(col("user_id") >= 0) // drop the watermark-advancing sentinel
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .select(
+        col("user_id"), col("n_sessions"), col("n_events"),
+        oround(col("n_events").cast("double") / col("n_sessions"), 4)
+          .as("avg_events_per_session"))
+      .orderBy("user_id")
+  }
+
   /** Q39 — STREAM-STREAM interval join under the oracle: clicks joined
     * to same-user views from the preceding 12 hours, both sides
     * watermarked, replayed through three ts-ordered micro-batches so
@@ -1210,6 +1261,9 @@ object Core {
     // same oracle as q24: the custom-state streaming sessionizer must be
     // indistinguishable from the declarative batch definition
     QueryDef("q36_stream_sessions", q36, Some(oq24)),
+    // same oracle again for the transformWithState runtime: all three
+    // stateful APIs must agree with the one declarative definition
+    QueryDef("q43_stream_tws", q43, Some(oq24)),
     QueryDef("q39_stream_join", q39, Some(oq39)),
     QueryDef("q40_stream_static", q40, Some(oq40)),
     QueryDef("q42_stream_outer_join", q42, Some(oq42)))

@@ -585,6 +585,69 @@ object TextQueries {
       |FROM est ORDER BY n_exact DESC, tok LIMIT 20""".stripMargin
   }
 
+  /** The three structural PII patterns t16 detects and scrubs — shared
+    * between the Spark expression and the DuckDB oracle text, and kept
+    * to the regex subset Java regex and RE2 parse identically. */
+  private val PiiEmail = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val PiiPhone = "555-[0-9]{4}"
+  private val PiiIp = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** T16 — structural PII detection + scrub, completing t09 (which
+    * matches a TERM denylist; real redaction pipelines need PATTERN
+    * classes too: addresses nobody enumerated). Synthetic PII is
+    * injected deterministically by doc_id (the t14 deco trick — the
+    * corpus itself is clean, so the oracle pins both the injection and
+    * the detection), then each class is counted with
+    * `regexp_extract_all` and removed with chained `regexp_replace` —
+    * all codegen'd per-row column expressions, zero UDFs, one narrow
+    * pass; the only shuffle is the |langs|-row rollup. `chars_redacted`
+    * audits that the scrub removed exactly the matched spans. At 100 TB
+    * this is scan-bound like x03 — regex cost rides the already-paid
+    * decompress pass. */
+  private def t16(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id").cast("string")
+    val injected = concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" contact user"), did, lit("@example.com now")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit(" call 555-"), (col("doc_id") % 9000 + 1000).cast("string"),
+            lit(" today")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" from 192.168."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string"), lit(" logged")))
+        .otherwise(lit("")))
+    val scrubbed = regexp_replace(
+      regexp_replace(regexp_replace(col("t2"), PiiEmail, ""), PiiPhone, ""),
+      PiiIp, "")
+    documents(s, d)
+      .select(col("lang"), col("doc_id"), injected.as("t2"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all(col("t2"), lit(PiiEmail), lit(0)))).as("n_email"),
+        sum(size(regexp_extract_all(col("t2"), lit(PiiPhone), lit(0)))).as("n_phone"),
+        sum(size(regexp_extract_all(col("t2"), lit(PiiIp), lit(0)))).as("n_ip"),
+        sum(length(col("t2")) - length(scrubbed)).as("chars_redacted"))
+      .orderBy("lang")
+  }
+
+  private val ot16 =
+    s"""WITH t AS (SELECT lang,
+      |  text || CASE
+      |    WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id || '@example.com now'
+      |    WHEN doc_id % 4 = 1 THEN ' call 555-' || (doc_id % 9000 + 1000) || ' today'
+      |    WHEN doc_id % 4 = 2 THEN ' from 192.168.' || (doc_id % 256) || '.' || (doc_id % 100) || ' logged'
+      |    ELSE '' END AS t2
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  sum(len(regexp_extract_all(t2, '$PiiEmail')))::BIGINT AS n_email,
+      |  sum(len(regexp_extract_all(t2, '$PiiPhone')))::BIGINT AS n_phone,
+      |  sum(len(regexp_extract_all(t2, '$PiiIp')))::BIGINT AS n_ip,
+      |  sum(len(t2) - len(regexp_replace(regexp_replace(regexp_replace(t2,
+      |    '$PiiEmail', '', 'g'), '$PiiPhone', '', 'g'), '$PiiIp', '', 'g')))::BIGINT
+      |    AS chars_redacted
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
@@ -600,5 +663,6 @@ object TextQueries {
     QueryDef("t12_bpe_pair_step", t12, Some(ot12)),
     QueryDef("t13_char_entropy", t13, Some(ot13)),
     QueryDef("t14_nfc_normalize", t14, Some(ot14)),
-    QueryDef("t15_heavy_hitters", t15, Some(ot15)))
+    QueryDef("t15_heavy_hitters", t15, Some(ot15)),
+    QueryDef("t16_pii_scrub", t16, Some(ot16)))
 }
