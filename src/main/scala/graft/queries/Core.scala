@@ -557,17 +557,24 @@ object Core {
       * being built: writes one single-file parquet micro-batch with a
       * pinned mtime (the file-source processing order). */
     final class Stager private[Replay] (build: Path) {
-      def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-        val tmp = build.resolve(s"stage_$name")
-        df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-        val listing = Files.list(tmp)
-        val part = try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
-        finally listing.close()
-        val dst = Files.copy(part, build.resolve(s"$name.parquet"))
-        Files.setLastModifiedTime(
-          dst, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-        rmTree(tmp) // the copied data file is the only survivor
-      }
+      def stage(df: DataFrame, name: String, mtimeMs: Long): Unit =
+        stageFile(df, build, name, mtimeMs)
+    }
+
+    /** The single-file staged write itself — also used directly by q44,
+      * whose restart semantics need a RUN-LOCAL mutable source dir
+      * rather than the shared immutable artifact. */
+    private[queries] def stageFile(
+        df: DataFrame, dir: Path, name: String, mtimeMs: Long): Unit = {
+      val tmp = dir.resolve(s"stage_$name")
+      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
+      finally listing.close()
+      val dst = Files.copy(part, dir.resolve(s"$name.parquet"))
+      Files.setLastModifiedTime(
+        dst, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      rmTree(tmp) // the copied data file is the only survivor
     }
 
     private def ensureStaged(
@@ -584,7 +591,7 @@ object Core {
       dst.toString
     }
 
-    private[Replay] def rmTree(p: Path): Unit =
+    private[queries] def rmTree(p: Path): Unit =
       if (Files.exists(p))
         Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .forEach(f => { Files.deleteIfExists(f); () })
@@ -690,6 +697,59 @@ object Core {
         oround(col("n_events").cast("double") / col("n_sessions"), 4)
           .as("avg_events_per_session"))
       .orderBy("user_id")
+  }
+
+  /** Q44 — streaming RESTART RECOVERY under the oracle: the q33
+    * pipeline run as TWO SEPARATE QUERY INCARNATIONS over one
+    * checkpoint. Incarnation 1 drains the real readings with
+    * AvailableNow and STOPS — the tail windows (those the watermark
+    * has not yet passed) exist only as state-store entries at that
+    * point. The source then gains the two watermark-flush sentinel
+    * files and incarnation 2 starts with the SAME checkpoint + sink:
+    * recovered offsets skip the already-processed file, recovered
+    * window state flushes through the idempotent batch_id-partitioned
+    * sink, and the UNION of both incarnations' output must equal the
+    * batch dataflow exactly (the oracle is q33's). This is the engine
+    * twin of the reference's crash/retry story (OP-14,
+    * `/root/reference/src/database/connection.rs:52-134`): durability
+    * comes from checkpoint + state store + idempotent sink, not from a
+    * hand-rolled reconnect loop — and this query proves the recovery
+    * path END TO END against an independent engine, not just in a
+    * unit test. Run-LOCAL staging (not the shared per-JVM artifact):
+    * mutating the source between incarnations is the point. */
+  private def q44(s0: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val root = Files.createTempDirectory("graft_restart")
+    val src = Files.createDirectory(root.resolve("src"))
+    val outDir = root.resolve("out").toString
+    val ckpDir = root.resolve("ckp").toString
+    val readings = synthReadings(s, d)
+    def sentinel(ts: String) = s.range(1).select(
+      lit("AA:BB:CC:DD:EE:99").as("mac"), // NOT in the whitelist (q33 trap)
+      to_timestamp(lit(ts)).as("ts"),
+      unhex(graft.functions.Format5.encodeHex(
+        lit(0L), lit(0L), lit(0L), lit(0L), lit(0L), lit(0L), lit(0L))).as("payload"))
+    def incarnation(): Unit = {
+      val stream = s.readStream.schema(readings.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      graft.etl.Pipeline.streaming(
+        stream, synthTags(s), outDir, ckpDir,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        watermark = "1 minute")
+        .awaitTermination()
+    }
+    Replay.stageFile(readings, src, "batch0", 1000000000000L)
+    incarnation() // run 1: ingest, stop with tail windows still in state
+    Replay.stageFile(sentinel("2030-01-01 00:00:00"), src, "batch1", 1000000060000L)
+    Replay.stageFile(sentinel("2030-02-01 00:00:00"), src, "batch2", 1000000120000L)
+    incarnation() // run 2: same checkpoint — recovered state must flush
+    Replay.rmTree(src)
+    Replay.rmTree(root.resolve("ckp"))
+    s.read.parquet(s"$outDir/sensor_data")
+      .drop("batch_id")
+      .orderBy("mac", "time")
   }
 
   /** Q39 — STREAM-STREAM interval join under the oracle: clicks joined
@@ -1264,6 +1324,9 @@ object Core {
     // same oracle again for the transformWithState runtime: all three
     // stateful APIs must agree with the one declarative definition
     QueryDef("q43_stream_tws", q43, Some(oq24)),
+    // q33's oracle again: output across a stop + restart must equal the
+    // single-incarnation run, which must equal batch
+    QueryDef("q44_stream_restart", q44, Some(oq33)),
     QueryDef("q39_stream_join", q39, Some(oq39)),
     QueryDef("q40_stream_static", q40, Some(oq40)),
     QueryDef("q42_stream_outer_join", q42, Some(oq42)))

@@ -110,7 +110,55 @@ object GraphQueries {
        |  JOIN ce e3 ON e3.va = e1.va AND e3.vb = e2.vb
        |ORDER BY a, b, c""".stripMargin
 
+  /** G3 — bounded-hop BFS shortest paths from a seed over the same
+    * supplier↔customer graph as g01: hop distance ≤ 4 from customer 1.
+    * Level-synchronous relaxation, the distributed-BFS shape: each
+    * round joins the CURRENT distance table (≤|V| rows, two columns —
+    * the only thing that moves) against the checkpointed edge table
+    * and keeps the per-node minimum; distances are monotone, so four
+    * rounds yield exactly the ≤4-hop BFS frontier. The per-round
+    * localCheckpoint is the g01/d06 iteration discipline — without it
+    * round h's plan contains h nested joins and re-executes them all.
+    * The oracle is a recursive CTE whose UNION (not UNION ALL)
+    * deduplicates (id, dist) pairs — semi-naive evaluation, |V|×hops
+    * rows, never path enumeration (paths in a dense bipartite graph
+    * are exponential; node-level dedup is what makes BOTH sides
+    * tractable, which is the algorithmic point of the query). At
+    * 100 TB the edge table is bucketed by src (g01's note) and each
+    * round is one exchange of the frontier. */
+  private def g03(s: SparkSession, d: String): DataFrame = {
+    val pairs = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), (col("l_suppkey") + lit(1000000L)).as("supp"))
+      .join(orders(s, d).select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")), "ok")
+      .select("supp", "cust").distinct()
+    val edges = pairs.select(col("supp").as("src"), col("cust").as("dst"))
+      .unionAll(pairs.select(col("cust").as("src"), col("supp").as("dst")))
+      .localCheckpoint()
+    val seed = s.range(1).select(lit(1L).as("id"), lit(0).as("dist"))
+    val dist = (1 to 4).foldLeft(seed) { (cur, _) =>
+      cur.unionByName(
+        cur.join(edges, cur("id") === edges("src"))
+          .select(col("dst").as("id"), (col("dist") + 1).as("dist")))
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy("id")
+  }
+
+  private val og03 =
+    """WITH RECURSIVE e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS supp, o_custkey AS cust
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT supp AS src, cust AS dst FROM e0
+      |          UNION ALL SELECT cust AS src, supp AS dst FROM e0),
+      |bfs(id, dist) AS (
+      |  SELECT 1::BIGINT AS id, 0 AS dist
+      |  UNION
+      |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.id
+      |  WHERE b.dist < 4)
+      |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", g01, Some(og01)),
-    QueryDef("g02_triangles", g02, Some(og02)))
+    QueryDef("g02_triangles", g02, Some(og02)),
+    QueryDef("g03_bfs_hops", g03, Some(og03)))
 }
