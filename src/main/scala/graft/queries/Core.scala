@@ -752,6 +752,61 @@ object Core {
       .orderBy("mac", "time")
   }
 
+  /** Q45 — streaming DEDUP under the oracle: OP-02's duplicate
+    * suppression (`/root/reference/src/bluetooth/scanner.rs:126-135`
+    * drops re-received advertisements in the scanner's HashMap) as
+    * `dropDuplicatesWithinWatermark` with BOUNDED state — dedup keys
+    * expire once the watermark passes their event time + delay, unlike
+    * a global dropDuplicates whose state grows forever (the only
+    * admissible form at 100 TB). The replay injects BOTH duplicate
+    * shapes: batch0 carries every row TWICE (in-batch dups, caught by
+    * the per-batch hash), and batch1 re-sends the last minute of
+    * batch0's rows (cross-batch dups — these are ABOVE the watermark,
+    * so only surviving dedup STATE can drop them; had state been lost
+    * they would re-emit and the counts would double). Emission is not
+    * watermark-gated (first arrival emits in its own batch), so no
+    * flush sentinels are needed. Deduped rows land in a parquet sink,
+    * are read back, and aggregate to per-type totals whose oracle is
+    * the PLAIN events table — each event exactly once. */
+  private def q45(s0: SparkSession, d: String): DataFrame = {
+    val r = new Replay(s0, "graft_dedup", d)((s, st) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val (cut1, cut2) =
+        (lit("2024-01-11").cast("timestamp"), lit("2024-01-21").cast("timestamp"))
+      val b0 = ev.filter(col("ts") < cut1)
+      st.stage(b0.unionAll(b0), "batch0", 1000000000000L)
+      st.stage(
+        ev.filter(col("ts") >= cut1 && col("ts") < cut2).unionAll(
+          b0.filter(col("ts") >= cut1 - expr("interval 1 minute"))),
+        "batch1", 1000000060000L)
+      st.stage(ev.filter(col("ts") >= cut2), "batch2", 1000000120000L)
+    })
+    val s = r.session
+    val stream = s.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("event_id")
+    val query = stream.writeStream
+      .format("parquet")
+      .option("path", r.outDir)
+      .option("checkpointLocation", r.ckpDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    r.cleanup()
+    s.read.parquet(r.outDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), oround(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val oq45 =
+    """SELECT event_type, count(*) AS n, ROUND(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q39 — STREAM-STREAM interval join under the oracle: clicks joined
     * to same-user views from the preceding 12 hours, both sides
     * watermarked, replayed through three ts-ordered micro-batches so
@@ -1327,6 +1382,7 @@ object Core {
     // q33's oracle again: output across a stop + restart must equal the
     // single-incarnation run, which must equal batch
     QueryDef("q44_stream_restart", q44, Some(oq33)),
+    QueryDef("q45_stream_dedup", q45, Some(oq45)),
     QueryDef("q39_stream_join", q39, Some(oq39)),
     QueryDef("q40_stream_static", q40, Some(oq40)),
     QueryDef("q42_stream_outer_join", q42, Some(oq42)))
