@@ -807,6 +807,54 @@ object Core {
     """SELECT event_type, count(*) AS n, ROUND(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q46 — the streaming pipeline through the RELATIONAL sink, under
+    * the oracle: q33's dataflow with `foreachBatch` loading each
+    * micro-batch into embedded Derby via
+    * [[graft.etl.Pipeline.writeJdbcMicroBatch]] (delete-then-insert
+    * keyed by batch_id — the idempotent contract PipelineSpec unit-
+    * tests, here proven END TO END: the query result is read back
+    * from the DATABASE with `spark.read.jdbc` and must hash-match the
+    * DuckDB oracle). This is the reference's actual load stage —
+    * parameterized INSERTs into a SQL store
+    * (`/root/reference/src/database/operations.rs:17-90`) — as a
+    * streaming sink; re-running the query (Bench's min-of-2) replays
+    * the same batch ids into the same in-memory database and the
+    * delete-then-insert idempotence keeps the table identical, which
+    * is itself the crash-replay property under test. Shares q33's
+    * per-JVM staged source (same prefix, same files). */
+  private def q46(s0: SparkSession, d: String): DataFrame = {
+    val r = new Replay(s0, "graft_replay", d)((s, st) => {
+      def sentinel(ts: String) = s.range(1).select(
+        lit("AA:BB:CC:DD:EE:99").as("mac"), // NOT in the whitelist
+        to_timestamp(lit(ts)).as("ts"),
+        unhex(graft.functions.Format5.encodeHex(
+          lit(0L), lit(0L), lit(0L), lit(0L), lit(0L), lit(0L), lit(0L))).as("payload"))
+      st.stage(synthReadings(s, d), "batch0", 1000000000000L)
+      st.stage(sentinel("2030-01-01 00:00:00"), "batch1", 1000000060000L)
+      st.stage(sentinel("2030-02-01 00:00:00"), "batch2", 1000000120000L)
+    })
+    val s = r.session
+    val url =
+      s"jdbc:derby:memory:graftq46_${Integer.toHexString(d.hashCode).replace('-', 'm')};create=true"
+    val stream = s.readStream.schema(synthReadings(s, d).schema)
+      .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
+    val agg = graft.etl.Pipeline.batch(
+      stream.withWatermark("ts", "1 minute"), synthTags(s))
+    val query = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", r.ckpDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
+        graft.etl.Pipeline.writeJdbcMicroBatch(batchDf, batchId, url)
+      }
+      .start()
+    query.awaitTermination()
+    r.cleanup()
+    s.read.jdbc(url, "sensor_data", new java.util.Properties)
+      .select("mac", "temperature", "humidity", "pressure", "time", "name", "samples")
+      .orderBy("mac", "time")
+  }
+
   /** Q39 — STREAM-STREAM interval join under the oracle: clicks joined
     * to same-user views from the preceding 12 hours, both sides
     * watermarked, replayed through three ts-ordered micro-batches so
@@ -1383,6 +1431,9 @@ object Core {
     // single-incarnation run, which must equal batch
     QueryDef("q44_stream_restart", q44, Some(oq33)),
     QueryDef("q45_stream_dedup", q45, Some(oq45)),
+    // q33's oracle a third time: the JDBC-sink path must persist exactly
+    // what the parquet sink persists
+    QueryDef("q46_stream_jdbc", q46, Some(oq33)),
     QueryDef("q39_stream_join", q39, Some(oq39)),
     QueryDef("q40_stream_static", q40, Some(oq40)),
     QueryDef("q42_stream_outer_join", q42, Some(oq42)))
