@@ -177,10 +177,36 @@ object FormatQueries {
       |  max(ts) AS max_ts
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** X6 — the same avro estate through the DataSource V2 connector
+    * ([[graft.sources.AvroV2]], `format("graft-avro")`): schema
+    * INFERRED from one container header (bytes, never a data pass —
+    * the one inference the x01 rule permits), column pruning driven by
+    * the PLANNER (`pruneColumns` → avro reader schema; FormatsSpec
+    * asserts the BatchScan decodes 3 of 6 columns), one input
+    * partition per file. Same artifact as x05; `min(ts)` instead of
+    * max so the two queries cannot share a cached result by accident. */
+  private def x06(s: SparkSession, d: String): DataFrame = {
+    val path = ensureTextArtifact("events_avro", d, p =>
+      graft.sources.AvroSource.write(events(s, d), p))
+    s.read.format("graft-avro").load(path)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        oround(avg("value"), 2).as("avg_value"),
+        min("ts").as("min_ts"))
+      .orderBy("event_type")
+  }
+
+  private val ox06 =
+    """SELECT event_type, count(*) AS n, ROUND(avg(value), 2) AS avg_value,
+      |  min(ts) AS min_ts
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_csv_source", x01, Some(ox01)),
     QueryDef("x02_jsonl_source", x02, Some(ox02)),
     QueryDef("x03_regex_extract", x03, Some(ox03)),
     QueryDef("x04_orc_source", x04, Some(ox04)),
-    QueryDef("x05_avro_source", x05, Some(ox05)))
+    QueryDef("x05_avro_source", x05, Some(ox05)),
+    QueryDef("x06_avro_v2", x06, Some(ox06)))
 }

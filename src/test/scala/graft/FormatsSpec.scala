@@ -125,6 +125,23 @@ class FormatsSpec extends AnyFunSuite {
       s"scan must read only the 3 referenced columns:\n$plan")
   }
 
+  test("x06: the graft-avro V2 scan is pruned by the planner to referenced columns") {
+    // No explicit schema, no hand-passed projection: the provider infers
+    // the 6-column writer schema from one container header, and
+    // Catalyst's pruneColumns narrows the scan to the 3 referenced
+    // columns — which become the avro READER schema inside the decoder.
+    val df = SparkEntry.queries("x06_avro_v2")(spark, "/root/testdata/sf0.001")
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan") && plan.contains("graft-avro"),
+      s"expected a V2 BatchScan of graft-avro:\n$plan")
+    Seq("event_type", "value", "ts").foreach(c =>
+      assert(plan.contains(c), s"scan must carry $c:\n$plan"))
+    Seq("props", "user_id", "event_id").foreach(c =>
+      assert(!plan.contains(c),
+        s"unreferenced column $c must be pruned from the scan:\n$plan"))
+  }
+
   test("x05: avro roundtrip keeps µs timestamps, nulls, binary; reader schema prunes") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-avro").toString
