@@ -192,6 +192,47 @@ object AnalyticsQueries {
       .orderBy("user_id", "grid_ts")
   }
 
+  /** W8 — EWMA smoothing over a BOUNDED 20-row frame (α=0.2): the
+    * exponential moving average is the one classic smoother a plain
+    * window aggregate cannot express (y_k = αx_k + (1−α)y_{k−1} is
+    * recursive), and the unbounded closed form Σx_i(1−α)^{−i} overflows
+    * doubles once partitions grow past ~3500 rows — (1/0.8)^3500 is
+    * infinity. The scale-safe form: truncate the kernel at 20 taps
+    * (weight 0.8^20 ≈ 1.2%, renormalized), collect the frame ONCE via
+    * `collect_list` over the running ROWS frame, and fold weights with
+    * an indexed `transform` + `aggregate` — O(20) per row, one
+    * exchange + one sort, no recursion, no magnitude growth anywhere.
+    * The frame list is staged through a projection before the two
+    * folds reference it (TextFns contract — no CSE across lambdas). */
+  private def w08(s: SparkSession, d: String): DataFrame = {
+    val frame = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-19, Window.currentRow)
+    val decay = lit(0.8)
+    def weighted(value: Column => Column): Column =
+      aggregate(
+        transform(col("lst"), (x, i) => value(x) * pow(decay, size(col("lst")) - 1 - i)),
+        lit(0.0), (acc, v) => acc + v)
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("lst", collect_list("value").over(frame))
+      .select(
+        col("user_id"), col("event_id"),
+        oround(weighted(identity) / weighted(_ => lit(1.0)), 4).as("ewma"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
+  private val ow08 =
+    """WITH o AS (SELECT user_id, ts, event_id, value,
+      |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
+      |  FROM events)
+      |SELECT user_id, event_id, ROUND(
+      |    list_sum(list_transform(lst, (x, i) -> x * pow(0.8, len(lst) - i))) /
+      |    list_sum(list_transform(lst, (x, i) -> pow(0.8, len(lst) - i))), 4) AS ewma
+      |FROM o ORDER BY event_id LIMIT 200""".stripMargin
+
   /** A1 — HLL++ audit: approx_count_distinct (default 5% rsd) next to the
     * exact distinct count; `within_10pct` asserts the sketch honors 2×
     * its error budget. At 100 TB the sketch is the ONLY viable per-key
@@ -1356,6 +1397,7 @@ object AnalyticsQueries {
     QueryDef("w05_range_frame", w05, Some(ow05)),
     QueryDef("w06_session_window", w06, Some(ow06)),
     QueryDef("w07_interpolate", w07, Some(ow07)),
+    QueryDef("w08_ewma", w08, Some(ow08)),
     QueryDef("a01_hll_audit", a01, Some(oa01)),
     QueryDef("a02_quantile_audit", a02, Some(oa02)),
     QueryDef("a03_quantile_drift", a03, Some(oa03)),

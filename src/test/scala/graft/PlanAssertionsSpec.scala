@@ -49,6 +49,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"t15 must never sort-merge the vocab against the sketch, got:\n$plan")
   }
 
+  test("a07: MAD stats broadcast back over the stream — no per-type window") {
+    // the robust-stats twin of a04's rule: per-row flagging joins the
+    // tiny stats frame by broadcast; a window over the raw stream would
+    // shuffle all of it into |types| partitions.
+    val plan = executedPlan("a07_mad_outliers")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a07 stats must broadcast, got:\n$plan")
+    assert(!plan.contains("Window"),
+      s"a07 must never window the raw stream, got:\n$plan")
+  }
+
+  test("g03: BFS rounds are equi-joins, never nested loops") {
+    val plan = executedPlan("g03_bfs_hops")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"frontier expansion must stay an equi-join, got:\n$plan")
+  }
+
   test("d02: bucket-local LSH verification runs with ZERO joins") {
     val plan = executedPlan("d02_minhash_lsh_pairs")
     Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
