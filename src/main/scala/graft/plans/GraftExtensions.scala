@@ -16,9 +16,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `nfc_normalize(string)` → string ([[NfcNormalize]]), Unicode NFC
   *    with ASCII/already-normalized fast paths; same name and semantics
   *    as DuckDB's builtin.
+  *  - the [[BoundLevenshtein]] optimizer rule: threshold comparisons of
+  *    unbounded `levenshtein` rewrite to the banded early-abandon form.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => BoundLevenshtein)
     ext.injectFunction((
       FunctionIdentifier("format5_decode"),
       new ExpressionInfo(

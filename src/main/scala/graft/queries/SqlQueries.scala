@@ -131,7 +131,25 @@ object SqlQueries {
       |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
       |ORDER BY k""".stripMargin
 
+  /** Q47 — fuzzy-match filter through SQL text, exercising the
+    * [[graft.plans.BoundLevenshtein]] optimizer rule end-to-end: the
+    * WHERE's unbounded `levenshtein(...) <= 4` is rewritten by the
+    * injected rule to the banded early-abandon form (asserted in
+    * NativeExprSpec), while the PROJECTED distance stays unbounded —
+    * both paths in one statement, the DuckDB oracle running the
+    * identical text on its own (unbounded) levenshtein. Byte-vs-char
+    * parity: nation names are ASCII, where the two definitions agree.
+    * The self-join is keyed `a < b` over a 25-row dimension — the
+    * fuzzy filter shape, not a corpus cartesian. */
+  private val q47Sql =
+    """SELECT a.n_name AS na, b.n_name AS nb,
+      |  CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+      |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+      |WHERE levenshtein(a.n_name, b.n_name) <= 4
+      |ORDER BY na, nb""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q47_sql_fuzzy", sql(q47Sql), Some(q47Sql)),
     QueryDef("q29_sql_window", sql(q29Sql), Some(q29Sql)),
     QueryDef("q30_sql_cte", sql(q30Sql), Some(q30Sql)),
     QueryDef("q31_sql_not_exists", sql(q31Sql), Some(q31Sql)),
