@@ -927,6 +927,64 @@ object AnalyticsQueries {
       |FROM events e JOIN stats s USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** A8 — distribution DRIFT monitor via PSI (population stability
+    * index): per event type, the value distribution of the baseline
+    * window (first ten days) against the rest, over 10 fixed-width
+    * bins, PSI = Σ (p−q)·ln(p/q) with ε-smoothing. The alarm every
+    * production feature pipeline runs between training snapshot and
+    * serving traffic; PSI > 0.2 is the conventional "retrain" line.
+    * One partially-aggregated shuffle on (type, bin); the per-type
+    * totals come from a window over the tiny binned aggregate, never
+    * the raw stream (the a04/a07 rule).
+    *
+    * Determinism discipline: a float Σ over hash-aggregated groups
+    * sums in nondeterministic order, so each bin's term is fixed to
+    * 6 dp and summed as INTEGER micro-units (associative — order
+    * cannot change the result in either engine), then scaled back. */
+  private def a08(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    events(s, d)
+      .select(
+        col("event_type"),
+        (col("ts") < lit("2024-01-11").cast("timestamp")).as("base"),
+        greatest(least(floor(col("value") / 50), lit(9)), lit(0)).cast("int").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(
+        sum(when(col("base"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("base"), 1L).otherwise(0L)).as("nq"))
+      .select(
+        col("event_type"),
+        (col("np").cast("double") / sum("np").over(w) + 1e-6).as("p"),
+        (col("nq").cast("double") / sum("nq").over(w) + 1e-6).as("q"))
+      .select(
+        col("event_type"),
+        oround((col("p") - col("q")) * log(col("p") / col("q")) * 1e6, 0)
+          .cast("long").as("tu"))
+      .groupBy("event_type")
+      .agg(oround(sum("tu").cast("double") / 1e6, 4).as("psi"))
+      .select(col("event_type"), col("psi"), (col("psi") > 0.2).as("drifted"))
+      .orderBy("event_type")
+  }
+
+  private val oa08 =
+    """WITH b AS (SELECT event_type,
+      |    ts < TIMESTAMP '2024-01-11' AS base,
+      |    CAST(greatest(least(floor(value / 50), 9), 0) AS INT) AS bin
+      |  FROM events),
+      |c AS (SELECT event_type, bin,
+      |    sum(CASE WHEN base THEN 1 ELSE 0 END) AS np,
+      |    sum(CASE WHEN NOT base THEN 1 ELSE 0 END) AS nq
+      |  FROM b GROUP BY 1, 2),
+      |t AS (SELECT event_type,
+      |    np::DOUBLE / sum(np) OVER (PARTITION BY event_type) + 1e-6 AS p,
+      |    nq::DOUBLE / sum(nq) OVER (PARTITION BY event_type) + 1e-6 AS q
+      |  FROM c),
+      |u AS (SELECT event_type,
+      |    CAST(ROUND((p - q) * ln(p / q) * 1000000, 0) AS BIGINT) AS tu FROM t)
+      |SELECT event_type, ROUND(sum(tu) / 1000000.0, 4) AS psi,
+      |  ROUND(sum(tu) / 1000000.0, 4) > 0.2 AS drifted
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** U4 — changelog MERGE into a snapshot: every event is an upsert of
     * (user_id → value) and `error` is the DELETE tombstone; the
     * snapshot keeps each key's most recent surviving state (the CDC
@@ -1405,6 +1463,7 @@ object AnalyticsQueries {
     QueryDef("a05_trend_monitor", a05, Some(oa05)),
     QueryDef("a06_column_profile", a06, Some(oa06)),
     QueryDef("a07_mad_outliers", a07, Some(oa07)),
+    QueryDef("a08_psi_drift", a08, Some(oa08)),
     QueryDef("j01_anti_join", j01, Some(oj01)),
     QueryDef("j02_banded_range_join", j02, Some(oj02)),
     QueryDef("j03_full_outer", j03, Some(oj03)),

@@ -823,6 +823,59 @@ object VectorQueries {
       |FROM exact LEFT JOIN ann ON exact.qid = ann.qid AND exact.vec_id = ann.vec_id
       |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin
 
+  /** V18 — MATRYOSHKA (truncated-prefix) rerank: score every vector on
+    * its first 16 dimensions only (a quarter of the fold work and — at
+    * rest — a quarter of the bytes read, had the prefix been stored as
+    * its own column), shortlist 30, then re-rank the shortlist on the
+    * full vector. The MRL-embedding serving pattern: prefix dims carry
+    * most of the signal, so the cheap pass prunes the corpus and the
+    * expensive full-dimension fold touches 30 rows, not |corpus|. Both
+    * stages are TakeOrderedAndProject; the audit column marks which
+    * reranked rows the exhaustive full-dim top-10 also contains —
+    * licensed the same way as every other ANN approximation here
+    * (v09/v11/v12/v15). */
+  private def v18(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val q = c.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val scoredAll = c.crossJoin(broadcast(q))
+    val short = scoredAll
+      .select(col("vec_id"), col("e"), col("qe"),
+        oround(dot(slice(col("e"), 1, 16), slice(col("qe"), 1, 16)), 4).as("pre_sim"))
+      .orderBy(col("pre_sim").desc, col("vec_id"))
+      .limit(30)
+    val reranked = short
+      .select(col("vec_id"), col("pre_sim"),
+        oround(dot(col("e"), col("qe")), 4).as("full_sim"))
+      .orderBy(col("full_sim").desc, col("vec_id"))
+      .limit(10)
+    val exact = scoredAll
+      .select(col("vec_id"), oround(dot(col("e"), col("qe")), 4).as("xf"))
+      .orderBy(col("xf").desc, col("vec_id"))
+      .limit(10)
+    reranked
+      .join(exact.select(col("vec_id"), lit(true).as("hit")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("pre_sim"), col("full_sim"),
+        coalesce(col("hit"), lit(false)).as("in_exact_top10"))
+      .orderBy(col("full_sim").desc, col("vec_id"))
+  }
+
+  private val ov18 =
+    """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |q AS (SELECT e AS qe FROM c WHERE vec_id = 0),
+      |short AS (SELECT vec_id, e, qe,
+      |    ROUND(list_sum(list_transform(list_zip(e[1:16], qe[1:16]), x -> x[1]*x[2])), 4) AS pre_sim
+      |  FROM c, q ORDER BY pre_sim DESC, vec_id LIMIT 30),
+      |rr AS (SELECT vec_id, pre_sim,
+      |    ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2])), 4) AS full_sim
+      |  FROM short ORDER BY full_sim DESC, vec_id LIMIT 10),
+      |exact AS (SELECT vec_id,
+      |    ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2])), 4) AS xf
+      |  FROM c, q ORDER BY xf DESC, vec_id LIMIT 10)
+      |SELECT rr.vec_id, rr.pre_sim, rr.full_sim,
+      |  exact.vec_id IS NOT NULL AS in_exact_top10
+      |FROM rr LEFT JOIN exact ON rr.vec_id = exact.vec_id
+      |ORDER BY rr.full_sim DESC, rr.vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(ov01)),
     QueryDef("v02_srp_ann", v02, Some(ov02)),
@@ -840,5 +893,6 @@ object VectorQueries {
     QueryDef("v14_pq_audit", v14, Some(ov14)),
     QueryDef("v15_adc_topk", v15, Some(ov15)),
     QueryDef("v16_ivfpq_pipeline", v16, Some(ov16)),
-    QueryDef("v17_kmeans_iterated", v17, Some(ov17)))
+    QueryDef("v17_kmeans_iterated", v17, Some(ov17)),
+    QueryDef("v18_matryoshka_rerank", v18, Some(ov18)))
 }
