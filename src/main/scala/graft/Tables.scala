@@ -52,6 +52,12 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // NTZ estates (writers that stamp isAdjustedToUTC=false, e.g.
+      // DuckDB COPY): interpret the wall-clock instant in the session
+      // zone — UTC here, so the cast is the identity instant and every
+      // unix_micros/window expression downstream keeps working.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw // already a timestamp (e.g. future driver fix)
     }
   }

@@ -883,6 +883,68 @@ object AnalyticsQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** J9 — NEAREST-event join, both directions: each purchase matched to
+    * the closest same-user view by |Δt|, before OR after (q23 is the
+    * backward-only as-of; recommendation attribution wants the nearest
+    * neighbor regardless of side). The [[graft.ops.AsOfJoin]] union
+    * trick extended the w07 way: both streams share one user_id
+    * exchange, the backward neighbor is a running ignore-nulls frame
+    * over (ts, side) ascending — views sort before purchases at equal
+    * ts, making both directions INCLUSIVE — and the forward neighbor
+    * is the same frame shape over the ts-reversed order (side still
+    * ascending, preserving inclusivity). ZERO joins, O(n) frames, one
+    * exchange + two sorts. Output carries direction + gap only (never
+    * the view id): among equal-|Δt| ties the GAP is unique even when
+    * the row choice is not, which is what keeps both engines
+    * deterministic; equal back/fwd gaps resolve 'back'. */
+  private def j09(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("side"))
+    val wb = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("side"), col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viewTs = when(col("side") === 0, col("ts"))
+    val gapB = unix_micros(col("ts")) - unix_micros(col("bts"))
+    val gapF = unix_micros(col("fts")) - unix_micros(col("ts"))
+    ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("side"),
+        last(viewTs, ignoreNulls = true).over(wb).as("bts"),
+        last(viewTs, ignoreNulls = true).over(wf).as("fts"))
+      .filter(col("side") === 1)
+      .select(
+        col("event_id").as("purchase_id"),
+        when(col("bts").isNotNull && (col("fts").isNull || gapB <= gapF), "back")
+          .when(col("fts").isNotNull, "fwd")
+          .otherwise("none").as("direction"),
+        when(col("bts").isNotNull && (col("fts").isNull || gapB <= gapF), gapB)
+          .when(col("fts").isNotNull, gapF).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  private val oj09 =
+    """WITH p AS (SELECT event_id pid, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |back AS (SELECT p.pid, p.ts AS pts, v.ts AS bts
+      |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts),
+      |fwd AS (SELECT p.pid, v.ts AS fts
+      |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts)
+      |SELECT b.pid AS purchase_id,
+      |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL
+      |            OR epoch_us(b.pts) - epoch_us(b.bts) <= epoch_us(f.fts) - epoch_us(b.pts))
+      |       THEN 'back'
+      |       WHEN f.fts IS NOT NULL THEN 'fwd' ELSE 'none' END AS direction,
+      |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL
+      |            OR epoch_us(b.pts) - epoch_us(b.bts) <= epoch_us(f.fts) - epoch_us(b.pts))
+      |       THEN epoch_us(b.pts) - epoch_us(b.bts)
+      |       WHEN f.fts IS NOT NULL THEN epoch_us(f.fts) - epoch_us(b.pts) END AS gap_us
+      |FROM back b JOIN fwd f ON b.pid = f.pid
+      |ORDER BY purchase_id""".stripMargin
+
   /** A7 — ROBUST outlier detection via MAD (median absolute deviation),
     * the resistant twin of a04's z-score: one extreme value inflates a
     * mean/stddev enough to hide its siblings (masking), while the
@@ -1464,6 +1526,7 @@ object AnalyticsQueries {
     QueryDef("a06_column_profile", a06, Some(oa06)),
     QueryDef("a07_mad_outliers", a07, Some(oa07)),
     QueryDef("a08_psi_drift", a08, Some(oa08)),
+    QueryDef("j09_nearest_event", j09, Some(oj09)),
     QueryDef("j01_anti_join", j01, Some(oj01)),
     QueryDef("j02_banded_range_join", j02, Some(oj02)),
     QueryDef("j03_full_outer", j03, Some(oj03)),
