@@ -648,6 +648,56 @@ object TextQueries {
       |    AS chars_redacted
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** T17 — Unicode SCRIPT-MIX detection: per-document Han and Cyrillic
+    * character counts via script-property regex classes (`\p{IsHan}` in
+    * Java regex ≡ `\p{Han}` in RE2 — same BMP membership for the
+    * injected samples), the multilingual-curation signal a Latin-only
+    * lang-ID (t03) cannot produce: a document whose script mix
+    * disagrees with its declared lang is a mislabel or a mixed crawl
+    * page. Counting is the length-difference trick (strip the class,
+    * diff the lengths — both engines count BMP codepoints identically),
+    * a codegen'd narrow pass like t16; the corpus is ASCII so the
+    * samples are injected deterministically by doc_id (the t14 trick —
+    * the oracle pins injection AND detection). */
+  private def t17(s: SparkSession, d: String): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 5 === 0, lit(" 中文样本"))
+        .when(col("doc_id") % 5 === 1, lit(" Пример текста"))
+        .when(col("doc_id") % 5 === 2, lit(" 混合 текст"))
+        .otherwise(lit("")))
+    def stripped(cls: String) = regexp_replace(col("t2"), cls, "")
+    documents(s, d)
+      .select(col("lang"), col("doc_id"), injected.as("t2"))
+      .select(col("lang"),
+        (length(col("t2")) - length(stripped("\\p{IsHan}"))).as("han"),
+        (length(col("t2")) - length(stripped("\\p{IsCyrillic}"))).as("cyr"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("han") > 0, 1L).otherwise(0L)).as("docs_with_han"),
+        sum(when(col("cyr") > 0, 1L).otherwise(0L)).as("docs_with_cyrillic"),
+        sum("han").as("han_chars"),
+        sum("cyr").as("cyr_chars"))
+      .orderBy("lang")
+  }
+
+  private val ot17 =
+    """WITH t AS (SELECT lang,
+      |  text || CASE WHEN doc_id % 5 = 0 THEN ' 中文样本'
+      |               WHEN doc_id % 5 = 1 THEN ' Пример текста'
+      |               WHEN doc_id % 5 = 2 THEN ' 混合 текст'
+      |               ELSE '' END AS t2
+      |  FROM documents),
+      |c AS (SELECT lang,
+      |    len(t2) - len(regexp_replace(t2, '\p{Han}', '', 'g')) AS han,
+      |    len(t2) - len(regexp_replace(t2, '\p{Cyrillic}', '', 'g')) AS cyr
+      |  FROM t)
+      |SELECT lang, count(*) AS n_docs,
+      |  sum(CASE WHEN han > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_han,
+      |  sum(CASE WHEN cyr > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_cyrillic,
+      |  sum(han)::BIGINT AS han_chars, sum(cyr)::BIGINT AS cyr_chars
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
@@ -664,5 +714,6 @@ object TextQueries {
     QueryDef("t13_char_entropy", t13, Some(ot13)),
     QueryDef("t14_nfc_normalize", t14, Some(ot14)),
     QueryDef("t15_heavy_hitters", t15, Some(ot15)),
-    QueryDef("t16_pii_scrub", t16, Some(ot16)))
+    QueryDef("t16_pii_scrub", t16, Some(ot16)),
+    QueryDef("t17_script_mix", t17, Some(ot17)))
 }
