@@ -1509,6 +1509,136 @@ object AnalyticsQueries {
       |  ROUND(avg(quality), 3) AS avg_quality
       |FROM sp GROUP BY split ORDER BY split""".stripMargin
 
+  /** A9 — freshness audit: per event type, staleness of the newest row
+    * versus the global high-water mark plus the median inter-arrival gap.
+    * The feed-health monitor a 100 TB ingest estate runs per cycle: a
+    * stalled upstream shows up as staleness ≫ its own p50 gap. One
+    * partially-aggregated shuffle on event_type; the global max is a
+    * 1-row broadcast, never a driver-side collect. The gap window sorts
+    * within event_type — at production key cardinality that's the same
+    * exchange the aggregate already needs; with very few hot types,
+    * pre-bucket by (type, day) and take per-bucket medians instead. */
+  private def a09(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_type"), col("ts"), col("event_id"))
+    val gmax = e.agg(max("ts").as("gmx"))
+    val gapW = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    e.withColumn(
+        "gap_sec",
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(gapW))) / 1e6)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("ts")).as("tmx"),
+        oround(percentile(col("gap_sec"), lit(0.5)), 2).as("p50_gap_sec"))
+      .crossJoin(broadcast(gmax))
+      .select(
+        col("event_type"), col("n_events"),
+        oround((unix_micros(col("gmx")) - unix_micros(col("tmx"))) / 1e6, 2)
+          .as("staleness_sec"),
+        col("p50_gap_sec"))
+      .orderBy("event_type")
+  }
+
+  private val oa09 =
+    """WITH g AS (SELECT max(ts) AS gmx FROM events),
+      |t AS (SELECT event_type, ts,
+      |    (epoch_us(ts) - epoch_us(lag(ts) OVER (
+      |       PARTITION BY event_type ORDER BY ts, event_id))) / 1e6 AS gap_sec
+      |  FROM events)
+      |SELECT t.event_type, count(*) AS n_events,
+      |  ROUND((epoch_us(g.gmx) - epoch_us(max(t.ts))) / 1e6, 2) AS staleness_sec,
+      |  ROUND(quantile_cont(t.gap_sec, 0.5), 2) AS p50_gap_sec
+      |FROM t, g GROUP BY t.event_type, g.gmx ORDER BY t.event_type""".stripMargin
+
+  /** W9 — seasonal-baseline residuals: hourly averages scored against
+    * their own hour-of-day baseline (mean ± sd over all same-hour
+    * buckets), top-10 |z|. The de-seasonalized anomaly pass that plain
+    * z-scores (a04) get wrong on daily-cyclic metrics. Aggregation
+    * discipline: the raw scan collapses to |types|×|hours| rows in ONE
+    * partially-aggregated shuffle; both window passes run over that
+    * bounded aggregate (the a03/t10 rule — global windows only over
+    * already-aggregated small tables), so 100× the events changes only
+    * the first exchange. */
+  private def w09(s: SparkSession, d: String): DataFrame = {
+    val hodW = Window.partitionBy("event_type", "hod")
+    events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(avg("value").as("bucket_avg"))
+      .withColumn("hod", hour(col("bucket")))
+      .withColumn("baseline", avg("bucket_avg").over(hodW))
+      .withColumn("sd", stddev_samp(col("bucket_avg")).over(hodW))
+      .filter(col("sd") > 1e-9)
+      .select(
+        col("event_type"), col("bucket"),
+        oround(col("bucket_avg"), 2).as("hour_avg"),
+        oround(col("baseline"), 2).as("hod_baseline"),
+        oround((col("bucket_avg") - col("baseline")) / col("sd"), 2).as("z"))
+      .orderBy(abs(col("z")).desc, col("event_type"), col("bucket"))
+      .limit(10)
+  }
+
+  private val ow09 =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket, avg(value) AS bucket_avg
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, bucket, bucket_avg,
+      |    avg(bucket_avg) OVER (PARTITION BY event_type, hour(bucket)) AS baseline,
+      |    stddev_samp(bucket_avg) OVER (PARTITION BY event_type, hour(bucket)) AS sd
+      |  FROM h)
+      |SELECT event_type, bucket, ROUND(bucket_avg, 2) AS hour_avg,
+      |  ROUND(baseline, 2) AS hod_baseline,
+      |  ROUND((bucket_avg - baseline) / sd, 2) AS z
+      |FROM w WHERE sd > 1e-9
+      |ORDER BY abs(z) DESC, event_type, bucket LIMIT 10""".stripMargin
+
+  /** P11 — curriculum binning: per-source difficulty quintiles for
+    * curriculum-ordered training. Difficulty is pure column arithmetic
+    * (mean word length + a length term — no UDF, stays in codegen);
+    * ntile(5) is PARTITIONED by source, so each source sorts
+    * independently inside the exchange Spark already makes for the
+    * window — no global sort. At 100 TB with few giant sources, swap
+    * ntile for approx_percentile cutoffs (a02 licenses the error) and
+    * assign bins by comparison — same downstream contract. */
+  private def p11(s: SparkSession, d: String): DataFrame = {
+    val binW = Window.partitionBy("source").orderBy(col("score"), col("doc_id"))
+    documents(s, d)
+      .select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("double").as("n_tok"),
+        length(col("text")).cast("double").as("len_chars"))
+      .withColumn(
+        "score",
+        (col("len_chars") - col("n_tok") + 1) / col("n_tok") + col("n_tok") * 0.01)
+      .withColumn("bin", ntile(5).over(binW).cast("long"))
+      .groupBy("source", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        oround(min("score"), 4).as("min_score"),
+        oround(max("score"), 4).as("max_score"),
+        oround(avg("n_tok"), 2).as("avg_tok"))
+      .orderBy("source", "bin")
+  }
+
+  private val op11 =
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    len(string_split(text, ' '))::DOUBLE AS n_tok,
+      |    length(text)::DOUBLE AS len_chars
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, source, n_tok,
+      |    (len_chars - n_tok + 1) / n_tok + n_tok * 0.01 AS score
+      |  FROM f),
+      |b AS (
+      |  SELECT source, ntile(5) OVER (PARTITION BY source ORDER BY score, doc_id) AS bin,
+      |    score, n_tok
+      |  FROM sc)
+      |SELECT source, bin, count(*) AS n_docs,
+      |  ROUND(min(score), 4) AS min_score, ROUND(max(score), 4) AS max_score,
+      |  ROUND(avg(n_tok), 2) AS avg_tok
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_lag_delta", w01, Some(ow01)),
     QueryDef("w02_moving_avg", w02, Some(ow02)),
@@ -1518,6 +1648,7 @@ object AnalyticsQueries {
     QueryDef("w06_session_window", w06, Some(ow06)),
     QueryDef("w07_interpolate", w07, Some(ow07)),
     QueryDef("w08_ewma", w08, Some(ow08)),
+    QueryDef("w09_seasonal_residual", w09, Some(ow09)),
     QueryDef("a01_hll_audit", a01, Some(oa01)),
     QueryDef("a02_quantile_audit", a02, Some(oa02)),
     QueryDef("a03_quantile_drift", a03, Some(oa03)),
@@ -1526,6 +1657,7 @@ object AnalyticsQueries {
     QueryDef("a06_column_profile", a06, Some(oa06)),
     QueryDef("a07_mad_outliers", a07, Some(oa07)),
     QueryDef("a08_psi_drift", a08, Some(oa08)),
+    QueryDef("a09_freshness", a09, Some(oa09)),
     QueryDef("j09_nearest_event", j09, Some(oj09)),
     QueryDef("j01_anti_join", j01, Some(oj01)),
     QueryDef("j02_banded_range_join", j02, Some(oj02)),
@@ -1547,6 +1679,7 @@ object AnalyticsQueries {
     QueryDef("p08_temperature_mix", p08, Some(op08)),
     QueryDef("p09_source_stats", p09, Some(op09)),
     QueryDef("p10_temperature_sample", p10, Some(op10)),
+    QueryDef("p11_curriculum_bins", p11, Some(op11)),
     QueryDef("u01_incremental_agg", u01, Some(ou01)),
     QueryDef("u02_sketch_union", u02, Some(ou02)),
     QueryDef("u03_scd2_versions", u03, Some(ou03)),
