@@ -157,8 +157,61 @@ object GraphQueries {
       |  WHERE b.dist < 4)
       |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin
 
+  /** G4 — co-purchase link prediction: customer pairs ranked by Jaccard
+    * similarity of their purchased-part baskets. The wedge join on the
+    * shared part is the standard distributed common-neighbor count; its
+    * one scale hazard is hub items — a part in b baskets emits b² wedge
+    * pairs — so ubiquitous parts (> 40 distinct buyers) are pruned
+    * first, the item-cooccurrence analogue of stopword removal. After
+    * pruning, wedge volume is Σ min(b,40)² — linear in |edges| with a
+    * constant cap, and every join is an equi-join: no cross product,
+    * no driver state. Degrees join back on customer key (same hash
+    * partitioning the pair aggregation already produced). */
+  private def g04(s: SparkSession, d: String): DataFrame = {
+    val e = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .join(orders(s, d).select(col("o_orderkey").as("ok"), col("o_custkey").as("ck")), "ok")
+      .select("ck", "pk").distinct()
+    val kept = e.join(
+      e.groupBy("pk").agg(count(lit(1)).as("np")).filter(col("np") <= 40).select("pk"),
+      "pk")
+    val deg = kept.groupBy("ck").agg(count(lit(1)).as("deg"))
+    val pairs = kept.select(col("pk"), col("ck").as("ca"))
+      .join(kept.select(col("pk"), col("ck").as("cb")), "pk")
+      .filter(col("ca") < col("cb"))
+      .groupBy("ca", "cb")
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(deg.select(col("ck").as("ca"), col("deg").as("da")), "ca")
+      .join(deg.select(col("ck").as("cb"), col("deg").as("db")), "cb")
+      .select(
+        col("ca"), col("cb"), col("n_common"),
+        oround(col("n_common") / (col("da") + col("db") - col("n_common")), 4)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("ca"), col("cb"))
+      .limit(20)
+  }
+
+  private val og04 =
+    """WITH e AS (SELECT DISTINCT o_custkey ck, l_partkey pk
+      |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |kept AS (SELECT ck, pk FROM e WHERE pk IN (
+      |    SELECT pk FROM e GROUP BY pk HAVING count(*) <= 40)),
+      |deg AS (SELECT ck, count(*) AS deg FROM kept GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.ck ca, b.ck cb, count(*) AS n_common
+      |  FROM kept a JOIN kept b ON a.pk = b.pk AND a.ck < b.ck
+      |  GROUP BY 1, 2)
+      |SELECT ca, cb, n_common,
+      |  ROUND(n_common::DOUBLE / (da.deg + db.deg - n_common), 4) AS jaccard
+      |FROM pairs
+      |JOIN deg da ON pairs.ca = da.ck
+      |JOIN deg db ON pairs.cb = db.ck
+      |ORDER BY jaccard DESC, ca, cb LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", g01, Some(og01)),
     QueryDef("g02_triangles", g02, Some(og02)),
-    QueryDef("g03_bfs_hops", g03, Some(og03)))
+    QueryDef("g03_bfs_hops", g03, Some(og03)),
+    QueryDef("g04_copurchase_jaccard", g04, Some(og04)))
 }

@@ -698,6 +698,40 @@ object TextQueries {
       |  sum(han)::BIGINT AS han_chars, sum(cyr)::BIGINT AS cyr_chars
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** T18 — Zipf fit: least-squares slope of log-frequency vs log-rank
+    * over the top-500 corpus tokens, the one-number lexical-health
+    * check (natural text ≈ −1; template/boilerplate corpora flatten,
+    * spam steepens). Shape discipline: token counts collapse in one
+    * partially-aggregated shuffle; the top-500 cut is
+    * TakeOrderedAndProject (distributed heap top-k, no global vocab
+    * sort — vocabularies at 100 TB are billions of terms); ranking and
+    * the regression then run over ≤500 rows. regr_slope/regr_r2 are
+    * single-pass codegen'd aggregates in both engines. */
+  private def t18(s: SparkSession, d: String): DataFrame = {
+    val top = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(500)
+      .withColumn(
+        "rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    top.agg(
+      count(lit(1)).as("n_top"),
+      oround(regr_slope(log(col("cnt")), log(col("rnk"))), 4).as("zipf_slope"),
+      oround(regr_r2(log(col("cnt")), log(col("rnk"))), 4).as("fit_r2"))
+  }
+
+  private val ot18 =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+      |      FROM c ORDER BY cnt DESC, term LIMIT 500)
+      |SELECT count(*) AS n_top,
+      |  ROUND(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
+      |  ROUND(regr_r2(ln(cnt), ln(rnk)), 4) AS fit_r2
+      |FROM r""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
@@ -715,5 +749,6 @@ object TextQueries {
     QueryDef("t14_nfc_normalize", t14, Some(ot14)),
     QueryDef("t15_heavy_hitters", t15, Some(ot15)),
     QueryDef("t16_pii_scrub", t16, Some(ot16)),
-    QueryDef("t17_script_mix", t17, Some(ot17)))
+    QueryDef("t17_script_mix", t17, Some(ot17)),
+    QueryDef("t18_zipf_fit", t18, Some(ot18)))
 }
