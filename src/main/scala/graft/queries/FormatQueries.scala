@@ -202,11 +202,40 @@ object FormatQueries {
       |  min(ts) AS min_ts
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** X7 — hive-partitioned parquet layout: documents written
+    * `partitionBy("lang")` (the write-side clustering every 100 TB
+    * estate does on its highest-selectivity predicate column), read
+    * back with a `lang = 'en'` filter. The point is the PLAN: the
+    * predicate must land in `PartitionFilters` — directory-level
+    * pruning that never opens non-matching files — not in
+    * `PushedFilters` row-group stats (asserted in
+    * PlanAssertionsSpec). Oracle reads the original unpartitioned
+    * table; identical results prove partition columns survive the
+    * roundtrip (lang leaves the file bodies and comes back from
+    * directory names). */
+  private def x07(s: SparkSession, d: String): DataFrame = {
+    val path = ensureTextArtifact("docs_hive", d, p =>
+      documents(s, d).write.partitionBy("lang").parquet(p))
+    s.read.parquet(path)
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
+  private val ox07 =
+    """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_csv_source", x01, Some(ox01)),
     QueryDef("x02_jsonl_source", x02, Some(ox02)),
     QueryDef("x03_regex_extract", x03, Some(ox03)),
     QueryDef("x04_orc_source", x04, Some(ox04)),
     QueryDef("x05_avro_source", x05, Some(ox05)),
-    QueryDef("x06_avro_v2", x06, Some(ox06)))
+    QueryDef("x06_avro_v2", x06, Some(ox06)),
+    QueryDef("x07_hive_partitions", x07, Some(ox07)))
 }

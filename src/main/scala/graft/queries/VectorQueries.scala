@@ -876,6 +876,130 @@ object VectorQueries {
       |FROM rr LEFT JOIN exact ON rr.vec_id = exact.vec_id
       |ORDER BY rr.full_sim DESC, rr.vec_id""".stripMargin
 
+  /** V19 — int8 SEARCH path (v08 audits the quantization error; this
+    * serves with it): per-DIMENSION max-abs scales (64-row aggregate →
+    * one broadcast array row), symmetric quantize-dequantize of corpus
+    * and query, top-10 by dequantized dot, and the recall-vs-exact-dot
+    * audit in the same result. At 100 TB the quantized corpus is what
+    * sits in memory — 4× smaller than float32, 8× smaller than the
+    * double-widened compute form — and the scales row is metadata; the
+    * scan stays one narrow pass + TakeOrderedAndProject. floor(x+0.5)
+    * (not round) keeps half-way cases identical across engines. */
+  private def v19(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d).select(col("vec_id"), col("e"))
+    val scales = c.select(posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy("i").agg(greatest(max(abs(col("x"))), lit(1e-12)).as("sd"))
+      .agg(array_sort(collect_list(struct(col("i"), col("sd")))).as("p"))
+      .select(transform(col("p"), q => q.getField("sd")).as("sc"))
+    val cq = c.crossJoin(broadcast(scales))
+      .select(
+        col("vec_id"),
+        zip_with(col("e"), col("sc"),
+          (x, sd) => floor(x / sd * 127 + 0.5) * sd / 127).as("dqv"))
+    val qrow = cq.filter(col("vec_id") === 0).select(col("dqv").as("dqq"))
+    val ann = cq.crossJoin(broadcast(qrow))
+      .select(col("vec_id"), oround(dot(col("dqv"), col("dqq")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+    val q0 = c.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val exact = c.crossJoin(broadcast(q0))
+      .select(col("vec_id"), dot(col("e"), col("qe")).as("ds"))
+      .orderBy(col("ds").desc, col("vec_id"))
+      .limit(10).select("vec_id")
+    val hits = exact
+      .join(ann.select(col("vec_id").as("aid")), col("vec_id") === col("aid"), "left_semi")
+      .agg(count(lit(1)).as("nh"))
+      .select(oround(col("nh").cast("double") / 10, 2).as("recall10"))
+    ann.crossJoin(broadcast(hits)).orderBy(col("score").desc, col("vec_id"))
+  }
+
+  private val ov19 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |dm AS (SELECT i, greatest(max(abs(e[i])), 1e-12) sd
+      |       FROM n, (SELECT unnest(generate_series(1, 64)) i) GROUP BY i),
+      |sc AS (SELECT list(sd ORDER BY i) sc FROM dm),
+      |cq AS (SELECT vec_id,
+      |    list_transform(list_zip(e, sc.sc),
+      |      p -> floor(p[1]/p[2]*127 + 0.5)*p[2]/127) dqv FROM n, sc),
+      |q AS (SELECT dqv dqq FROM cq WHERE vec_id = 0),
+      |ann AS (SELECT vec_id,
+      |    ROUND(list_sum(list_transform(list_zip(dqv, dqq), x -> x[1]*x[2])), 4) score
+      |  FROM cq, q ORDER BY score DESC, vec_id LIMIT 10),
+      |q0 AS (SELECT e qe FROM n WHERE vec_id = 0),
+      |ex AS (SELECT vec_id FROM (
+      |    SELECT vec_id, list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2])) ds
+      |    FROM n, q0 ORDER BY ds DESC, vec_id LIMIT 10)),
+      |h AS (SELECT ROUND(count(*)/10.0, 2) recall10 FROM ann JOIN ex USING (vec_id))
+      |SELECT ann.vec_id, ann.score, h.recall10
+      |FROM ann, h ORDER BY score DESC, vec_id""".stripMargin
+
+  /** V20 — binary (sign-bit) quantization: 64 dims → two 32-bit halves
+    * (one 64-bit word would overflow the sign bit; two exact double
+    * sums of distinct powers stay < 2^53 in both engines), Hamming
+    * radius ≤ 24 candidate scan via popcount(xor), exact-cosine rerank
+    * of the survivors, recall audited in-query against v01. The 100 TB
+    * shape this rehearses: the signature table is 8 bytes + id per
+    * vector (32× smaller than float32), the radius scan is a narrow
+    * codegen'd pass with no shuffle, and only the ~dozens of candidates
+    * join back to the full-precision row store (equi-join on vec_id) —
+    * faiss's IndexBinaryFlat-then-rerank as a Spark plan. */
+  private def v20(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d).select(col("vec_id"), col("e"))
+      .withColumn("nrm", norm(col("e")))
+    def half(v: Column, lo: Int): Column =
+      aggregate(
+        transform(slice(v, lo + 1, 32),
+          (x, i) => when(x >= 0, pow(lit(2.0), i.cast("double"))).otherwise(lit(0.0))),
+        lit(0.0), (a, b) => a + b).cast("long")
+    val sig = c.select(
+      col("vec_id"),
+      half(col("e"), 0).as("h1"), half(col("e"), 32).as("h2"))
+    val qsig = sig.filter(col("vec_id") === 0)
+      .select(col("h1").as("qh1"), col("h2").as("qh2"))
+    val cand = sig.crossJoin(broadcast(qsig))
+      .select(
+        col("vec_id"),
+        (bit_count(col("h1").bitwiseXOR(col("qh1"))) +
+          bit_count(col("h2").bitwiseXOR(col("qh2")))).as("ham"))
+      .filter(col("ham") <= 24)
+      .select("vec_id")
+    val q0 = c.filter(col("vec_id") === 0).select(col("e").as("qe"), col("nrm").as("qn"))
+    val ann = c.join(cand, "vec_id")
+      .crossJoin(broadcast(q0))
+      .select(
+        col("vec_id"),
+        oround(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+    val hits = v01(s, d).select(col("vec_id"))
+      .join(ann.select(col("vec_id").as("aid")), col("vec_id") === col("aid"), "left_semi")
+      .agg(count(lit(1)).as("nh"))
+      .select(oround(col("nh").cast("double") / 10, 2).as("recall10"))
+    ann.crossJoin(broadcast(hits)).orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  private val ov20 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |m AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm FROM n),
+      |b AS (SELECT vec_id,
+      |    list_sum(list_transform(e[1:32],  (x,i) -> CASE WHEN x>=0 THEN 2^(i-1) ELSE 0 END))::BIGINT h1,
+      |    list_sum(list_transform(e[33:64], (x,i) -> CASE WHEN x>=0 THEN 2^(i-1) ELSE 0 END))::BIGINT h2
+      |  FROM n),
+      |qs AS (SELECT h1 qh1, h2 qh2 FROM b WHERE vec_id = 0),
+      |cand AS (SELECT vec_id FROM b, qs
+      |  WHERE bit_count(xor(h1, qh1)) + bit_count(xor(h2, qh2)) <= 24),
+      |q0 AS (SELECT e qe, nrm qn FROM m WHERE vec_id = 0),
+      |ann AS (SELECT m.vec_id,
+      |    ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) cos_sim
+      |  FROM m JOIN cand ON m.vec_id = cand.vec_id, q0
+      |  ORDER BY cos_sim DESC, m.vec_id LIMIT 10),
+      |ex AS (SELECT vec_id FROM (
+      |    SELECT vec_id, list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn) cs
+      |    FROM m, q0 ORDER BY cs DESC, vec_id LIMIT 10)),
+      |h AS (SELECT ROUND(count(*)/10.0, 2) recall10 FROM ann JOIN ex USING (vec_id))
+      |SELECT ann.vec_id, ann.cos_sim, h.recall10
+      |FROM ann, h ORDER BY cos_sim DESC, vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(ov01)),
     QueryDef("v02_srp_ann", v02, Some(ov02)),
@@ -894,5 +1018,7 @@ object VectorQueries {
     QueryDef("v15_adc_topk", v15, Some(ov15)),
     QueryDef("v16_ivfpq_pipeline", v16, Some(ov16)),
     QueryDef("v17_kmeans_iterated", v17, Some(ov17)),
-    QueryDef("v18_matryoshka_rerank", v18, Some(ov18)))
+    QueryDef("v18_matryoshka_rerank", v18, Some(ov18)),
+    QueryDef("v19_int8_search", v19, Some(ov19)),
+    QueryDef("v20_binary_rerank", v20, Some(ov20)))
 }

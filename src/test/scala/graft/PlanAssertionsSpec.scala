@@ -390,6 +390,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"d12 must read the checkpointed segments, not re-chunk the corpus:\n$finalPlan")
   }
 
+  test("x07: the lang predicate prunes hive partitions at the directory level") {
+    val df = SparkEntry.queries("x07_hive_partitions")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // directory-level pruning, not row-group stats: the filter must be a
+    // PartitionFilter on the partition column, so non-en directories are
+    // never even listed into the scan
+    assert(plan.contains("PartitionFilters") && plan.contains("isnotnull(lang"),
+      s"lang = 'en' must land in PartitionFilters, got:\n$plan")
+  }
+
+  test("v20: the Hamming radius scan stays codegen'd and shuffle-free") {
+    val df = SparkEntry.queries("v20_binary_rerank")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the signature pass is a narrow projection + broadcast of the 1-row
+    // query signature: no SortMergeJoin anywhere in the candidate scan
+    assert(!plan.contains("SortMergeJoin"),
+      s"v20's candidate generation must not shuffle-sort, got:\n$plan")
+  }
+
   test("q02: the whole predicate reaches the parquet scan") {
     val df = SparkEntry.queries("q02_filter_count")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
