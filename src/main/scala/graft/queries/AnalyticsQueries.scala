@@ -1639,6 +1639,193 @@ object AnalyticsQueries {
       |  ROUND(avg(n_tok), 2) AS avg_tok
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** A10 — ordered funnel: view → first later click → first later
+    * purchase per user, with stage conversion rates and the median
+    * view→purchase latency. The ordered-min-after chain (each stage's
+    * min(ts) strictly after the previous stage's) is three per-user
+    * aggregates joined on user_id — every shuffle is on the user key,
+    * the partitioning a 100 TB event store would already be bucketed
+    * by, and no stage materializes more than |users| rows. */
+  private def a10(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min("ts").as("tc"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("tc"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    val lat = p.join(v, "user_id")
+      .select(((unix_micros(col("tp")) - unix_micros(col("tv"))) / 1e6).as("sec"))
+      .agg(oround(percentile(col("sec"), lit(0.5)), 2).as("p50_latency_sec"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .crossJoin(lat)
+      .select(
+        col("n_view"), col("n_click"), col("n_purchase"),
+        oround(col("n_click").cast("double") / col("n_view"), 4).as("view_to_click"),
+        oround(col("n_purchase").cast("double") / col("n_click"), 4).as("click_to_purchase"),
+        col("p50_latency_sec"))
+  }
+
+  private val oa10 =
+    """WITH v AS (SELECT user_id, min(ts) tv FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) tc FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) tp FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1),
+      |l AS (SELECT (epoch_us(tp) - epoch_us(tv)) / 1e6 sec FROM p JOIN v USING (user_id))
+      |SELECT (SELECT count(*) FROM v) n_view,
+      |  (SELECT count(*) FROM c) n_click,
+      |  (SELECT count(*) FROM p) n_purchase,
+      |  ROUND((SELECT count(*) FROM c)::DOUBLE / (SELECT count(*) FROM v), 4) view_to_click,
+      |  ROUND((SELECT count(*) FROM p)::DOUBLE / (SELECT count(*) FROM c), 4) click_to_purchase,
+      |  (SELECT ROUND(quantile_cont(sec, 0.5), 2) FROM l) p50_latency_sec""".stripMargin
+
+  /** W10 — CUSUM changepoint scan: per event type, the day where the
+    * cumulative sum of (daily mean − overall mean) peaks in magnitude —
+    * the classic level-shift detector that catches slow drifts a04's
+    * pointwise z-scores miss. The raw scan collapses to |types|×|days|
+    * rows in one partially-aggregated shuffle; the overall mean, the
+    * running CUSUM and the peak-pick are three window passes over that
+    * bounded aggregate with NO further exchange (all share the
+    * event_type partitioning). The running frame is
+    * unboundedPreceding→currentRow — the O(n) incremental frame, never
+    * the O(n²) shrinking one (the w07 lesson). */
+  private def w10(s: SparkSession, d: String): DataFrame = {
+    val all = Window.partitionBy("event_type")
+    val run = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = Window.partitionBy("event_type")
+      .orderBy(abs(col("cusum")).desc, col("day"))
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg("value").as("dm"))
+      .withColumn("dev", col("dm") - avg("dm").over(all))
+      .withColumn("cusum", sum("dev").over(run))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_type"),
+        col("day").cast("timestamp").as("peak_day"),
+        oround(col("cusum"), 4).as("peak_cusum"))
+      .orderBy("event_type")
+  }
+
+  private val ow10 =
+    """WITH m AS (SELECT event_type, ts::DATE AS day, avg(value) AS dm
+      |      FROM events GROUP BY 1, 2),
+      |dev AS (SELECT event_type, day,
+      |      dm - avg(dm) OVER (PARTITION BY event_type) AS dev FROM m),
+      |cs AS (SELECT event_type, day,
+      |      sum(dev) OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |      FROM dev),
+      |r AS (SELECT event_type, day, cusum,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY abs(cusum) DESC, day) AS rn FROM cs)
+      |SELECT event_type, day AS peak_day, ROUND(cusum, 4) AS peak_cusum
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  /** P12 — epoch mixture plan: given a token budget and
+    * temperature-0.5 source weights (p08's upweighting curve), how many
+    * epochs of each source the sampler must schedule. Pure arithmetic
+    * over the 1-row-per-source aggregate — the planning step that turns
+    * p08's weights into an executable repeat count; at 100 TB this
+    * whole query runs on a |sources|-row table and its only real cost
+    * is the one token-counting scan. */
+  private def p12(s: SparkSession, d: String): DataFrame = {
+    val budget = lit(1000000.0)
+    val toks = documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).cast("double").as("n_tokens"))
+    val tot = toks.agg(sum(sqrt(col("n_tokens"))).as("z"))
+    toks.crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        oround(sqrt(col("n_tokens")) / col("z"), 6).as("weight"),
+        oround(budget * sqrt(col("n_tokens")) / col("z"), 1).as("target_tokens"),
+        ceil(budget * sqrt(col("n_tokens")) / col("z") / col("n_tokens"))
+          .cast("long").as("n_epochs"))
+      .orderBy("source")
+  }
+
+  private val op12 =
+    """WITH t AS (SELECT source, sum(len(string_split(text, ' ')))::DOUBLE AS n_tokens
+      |      FROM documents GROUP BY 1),
+      |z AS (SELECT sum(sqrt(n_tokens)) AS z FROM t)
+      |SELECT source, n_tokens::BIGINT AS n_tokens,
+      |  ROUND(sqrt(n_tokens) / z.z, 6) AS weight,
+      |  ROUND(1000000.0 * sqrt(n_tokens) / z.z, 1) AS target_tokens,
+      |  ceil(1000000.0 * sqrt(n_tokens) / z.z / n_tokens)::BIGINT AS n_epochs
+      |FROM t, z ORDER BY source""".stripMargin
+
+  /** U5 — compaction plan: assign each document to an output file group
+    * by running-size bucketing (group changes when the cumulative bytes
+    * BEFORE the row cross the 2 KiB target — the c03 packing shape
+    * applied to file layout). This is the planning half of small-file
+    * compaction: the write half is `df.repartitionByRange(source,
+    * file_group).write`, and the plan here shuffles once on source and
+    * sorts within partitions — exactly what that write needs anyway. A
+    * real estate runs this per ingest partition, not globally; the
+    * per-source window IS that partition-local pass. */
+  private def u05(s: SparkSession, d: String): DataFrame = {
+    val run = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cum", sum("n_chars").over(run))
+      .withColumn("file_group",
+        floor((col("cum") - col("n_chars")) / 2048).cast("long"))
+      .groupBy("source", "file_group")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("group_chars"))
+      .orderBy("source", "file_group")
+  }
+
+  private val ou05 =
+    """WITH c AS (SELECT doc_id, source, n_chars,
+      |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents)
+      |SELECT source, floor((cum - n_chars) / 2048)::BIGINT AS file_group,
+      |  count(*) AS n_docs, sum(n_chars)::BIGINT AS group_chars
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** A11 — cohort retention: users grouped by first-seen day, active-user
+    * counts per day offset for the first week. Two shuffles total — one
+    * on user_id (distinct activity days + first-day cohort, the key the
+    * event store is bucketed by) and one on the bounded (cohort, offset)
+    * grid. The distinct-before-join keeps each user contributing at most
+    * one row per day, so the final count(*) IS distinct users without a
+    * count(DISTINCT) shuffle. */
+  private def a11(s: SparkSession, d: String): DataFrame = {
+    val act = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val coh = act.groupBy("user_id").agg(min("day").as("cohort"))
+    act.join(coh, "user_id")
+      .select(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .select(
+        col("cohort").cast("timestamp").as("cohort"),
+        col("day_offset").cast("long").as("day_offset"),
+        col("n_active"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  private val oa11 =
+    """WITH act AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      |coh AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)
+      |SELECT cohort, datediff('day', cohort, day) AS day_offset,
+      |  count(*) AS n_active
+      |FROM act JOIN coh USING (user_id)
+      |WHERE datediff('day', cohort, day) <= 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_lag_delta", w01, Some(ow01)),
     QueryDef("w02_moving_avg", w02, Some(ow02)),
@@ -1658,6 +1845,9 @@ object AnalyticsQueries {
     QueryDef("a07_mad_outliers", a07, Some(oa07)),
     QueryDef("a08_psi_drift", a08, Some(oa08)),
     QueryDef("a09_freshness", a09, Some(oa09)),
+    QueryDef("a10_funnel", a10, Some(oa10)),
+    QueryDef("a11_retention", a11, Some(oa11)),
+    QueryDef("w10_cusum_changepoint", w10, Some(ow10)),
     QueryDef("j09_nearest_event", j09, Some(oj09)),
     QueryDef("j01_anti_join", j01, Some(oj01)),
     QueryDef("j02_banded_range_join", j02, Some(oj02)),
@@ -1680,8 +1870,10 @@ object AnalyticsQueries {
     QueryDef("p09_source_stats", p09, Some(op09)),
     QueryDef("p10_temperature_sample", p10, Some(op10)),
     QueryDef("p11_curriculum_bins", p11, Some(op11)),
+    QueryDef("p12_epoch_plan", p12, Some(op12)),
     QueryDef("u01_incremental_agg", u01, Some(ou01)),
     QueryDef("u02_sketch_union", u02, Some(ou02)),
     QueryDef("u03_scd2_versions", u03, Some(ou03)),
-    QueryDef("u04_merge_snapshot", u04, Some(ou04)))
+    QueryDef("u04_merge_snapshot", u04, Some(ou04)),
+    QueryDef("u05_compaction_plan", u05, Some(ou05)))
 }

@@ -691,6 +691,58 @@ object DedupQueries {
       |FROM seg JOIN g USING (seg)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** D13 — CONTAINMENT detection via a rare-shingle inverted index.
+    * Jaccard (d02/d04) misses subset duplicates — a short doc quoted
+    * whole inside a long one scores low symmetric similarity but
+    * containment |A∩B|/min(|A|,|B|) ≈ 1. Blocking here is the inverted
+    * index itself: trigram shingles with document frequency ≤ 20 (the
+    * p04 rare-k-gram discipline); the self-join on the shingle key is
+    * the posting-list pair emission, and the df cap bounds fan-out at
+    * df·(df−1)/2 pairs per shingle — pair volume stays linear in the
+    * posting-list mass no matter how the corpus grows. The shingle
+    * table is checkpointed once (the d02 compute-once rule): df filter,
+    * per-doc sizes and both join sides read the same materialization. */
+  private def d13(s: SparkSession, d: String): DataFrame = {
+    val sh = tokenized(s, d)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(TextFns.shinglesOf(col("toks"), 3)).as("sh"))
+      .localCheckpoint()
+    val rs = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select("sh"),
+      "sh").localCheckpoint()
+    val na = rs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    rs.select(col("sh"), col("doc_id").as("da"))
+      .join(rs.select(col("sh"), col("doc_id").as("db")), "sh")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      .join(na.select(col("doc_id").as("da"), col("n").as("nda")), "da")
+      .join(na.select(col("doc_id").as("db"), col("n").as("ndb")), "db")
+      .select(
+        col("da"), col("db"), col("ni"),
+        oround(col("ni").cast("double") / least(col("nda"), col("ndb")), 3)
+          .as("containment"))
+      .orderBy(col("containment").desc, col("da"), col("db"))
+      .limit(20)
+  }
+
+  private val od13 =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |        generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) sh
+      |      FROM t WHERE len(toks) >= 3),
+      |rs AS (SELECT s.doc_id, s.sh FROM s
+      |       JOIN (SELECT sh FROM s GROUP BY sh HAVING count(*) <= 20) r USING (sh)),
+      |na AS (SELECT doc_id, count(*) n FROM rs GROUP BY 1),
+      |p AS (SELECT a.doc_id da, b.doc_id db, count(*) ni
+      |      FROM rs a JOIN rs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT da, db, ni,
+      |  ROUND(ni::DOUBLE / least(va.n, vb.n), 3) AS containment
+      |FROM p JOIN na va ON p.da = va.doc_id JOIN na vb ON p.db = vb.doc_id
+      |ORDER BY containment DESC, da, db LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_fingerprint_blocks", d01, Some(od01)),
     QueryDef("d02_minhash_lsh_pairs", d02, Some(od02)),
@@ -703,5 +755,6 @@ object DedupQueries {
     QueryDef("d09_incremental_dedup", d09, Some(od09)),
     QueryDef("d10_minhash_calibration", d10, Some(od10)),
     QueryDef("d11_edit_distance", d11, Some(od11)),
-    QueryDef("d12_segment_dedup", d12, Some(od12)))
+    QueryDef("d12_segment_dedup", d12, Some(od12)),
+    QueryDef("d13_containment", d13, Some(od13)))
 }
