@@ -219,6 +219,66 @@ object MultimodalQueries {
       |  ROUND(avg(h), 2) AS avg_h, ROUND(avg(luma), 4) AS avg_luma
       |FROM m GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** M7 — binary content entropy WITHOUT a per-byte explode (t13's
+    * length-diff trick moved to the binary/media domain): the payload's
+    * hex form is counted into 16 nibble classes via 16 codegen'd
+    * replace terms, Shannon entropy from those counts, aggregated per
+    * event type. Low entropy ⇒ compressible/structured payload (here:
+    * the zero-padded tail), high ⇒ already-compressed media — the
+    * cheap content-type triage a 100 TB blob estate runs before
+    * routing to decoders. Per-row entropies are fixed to integer
+    * micro-units BEFORE the group sum (the a08 determinism rule:
+    * hash-aggregate float summation order is nondeterministic; long
+    * sums are order-free), so avg/min/max survive any partitioning. */
+  private def m07(s: SparkSession, d: String): DataFrame = {
+    val hx = upper(syntheticPayloadHex)
+    val n = lit(48.0)
+    val ent = "0123456789ABCDEF".map { c =>
+      val cnt = (length(hx) - length(regexp_replace(hx, c.toString, ""))).cast("double")
+      when(cnt > 0, -(cnt / n) * log2(cnt / n)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    events(s, d)
+      .filter(
+        get_json_object(col("props"), "$.k").isNotNull &&
+          col("value").isNotNull && col("user_id").isNotNull)
+      .select(
+        col("event_type"),
+        floor(ent * 1e6 + 0.5).cast("long").as("ent_u"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_payloads"),
+        oround(sum("ent_u") / (count(lit(1)) * 1e6), 4).as("avg_entropy"),
+        oround(min("ent_u") / 1e6, 4).as("min_entropy"),
+        oround(max("ent_u") / 1e6, 4).as("max_entropy"))
+      .orderBy("event_type")
+  }
+
+  private val om07 =
+    """WITH enc AS (SELECT event_type, upper(
+      |  '05'
+      |   || lpad(to_hex(((round(value*200)::BIGINT % 65536) + 65536) % 65536), 4, '0')
+      |   || lpad(to_hex((json_extract(props,'$.k')::BIGINT * 400) % 65536), 4, '0')
+      |   || lpad(to_hex((user_id * 100) % 65536), 4, '0')
+      |   || lpad(to_hex((((event_id % 2001) - 1000) + 65536) % 65536), 4, '0')
+      |   || lpad(to_hex((((event_id % 1999) - 999) + 65536) % 65536), 4, '0')
+      |   || lpad(to_hex((((event_id % 997) - 498) + 65536) % 65536), 4, '0')
+      |   || 'FFFF' || lpad(to_hex(event_id % 256), 2, '0') || '0000' || '000000000000') AS h
+      |  FROM events
+      |  WHERE json_extract(props,'$.k') IS NOT NULL
+      |    AND value IS NOT NULL AND user_id IS NOT NULL),
+      |e AS (SELECT event_type, floor(1e6 * (
+      |    SELECT -sum(CASE WHEN cnt > 0 THEN (cnt/48.0) * log2(cnt/48.0) ELSE 0 END)
+      |    FROM (SELECT len(h) - len(replace(h, d, '')) AS cnt
+      |          FROM (SELECT unnest(['0','1','2','3','4','5','6','7',
+      |                               '8','9','A','B','C','D','E','F']) d))
+      |  ) + 0.5)::BIGINT AS ent_u
+      |  FROM enc)
+      |SELECT event_type, count(*) AS n_payloads,
+      |  ROUND(sum(ent_u) / (count(*) * 1e6), 4) AS avg_entropy,
+      |  ROUND(min(ent_u) / 1e6, 4) AS min_entropy,
+      |  ROUND(max(ent_u) / 1e6, 4) AS max_entropy
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("m01_json_multikey", m01, Some(om01)),
     QueryDef("m02_binary_metadata", m02, Some(om02)),
@@ -226,5 +286,6 @@ object MultimodalQueries {
     QueryDef("m04_frame_sample", m04, Some(om04)),
     // same oracle as m03: the native expression must be indistinguishable
     QueryDef("m05_format5_native", m05, Some(om03)),
-    QueryDef("m06_media_features", m06, Some(om06)))
+    QueryDef("m06_media_features", m06, Some(om06)),
+    QueryDef("m07_byte_entropy", m07, Some(om07)))
 }

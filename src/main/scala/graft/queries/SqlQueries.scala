@@ -148,8 +148,28 @@ object SqlQueries {
       |WHERE levenshtein(a.n_name, b.n_name) <= 4
       |ORDER BY na, nb""".stripMargin
 
+  /** Q48 — ANSI `FILTER (WHERE …)` aggregate clauses: one scan, many
+    * conditional aggregates — the dashboard rollup a SQL user writes
+    * instead of N self-joins or CASE pyramids. Catalyst plans the
+    * FILTER clauses as conditional update expressions inside ONE
+    * hash aggregate (a single partially-aggregated shuffle on
+    * o_orderpriority), identical to the CASE WHEN form but reading as
+    * the standard says. Counts are BIGINT in both engines; the sums
+    * round 2-decimal money (see the family note above). */
+  private val q48Sql =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_orders,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+      |  ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS finished_revenue,
+      |  ROUND(AVG(o_totalprice) FILTER (WHERE o_totalprice > 200000), 2) AS avg_large
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q47_sql_fuzzy", sql(q47Sql), Some(q47Sql)),
+    QueryDef("q48_sql_filtered_agg", sql(q48Sql), Some(q48Sql)),
     QueryDef("q29_sql_window", sql(q29Sql), Some(q29Sql)),
     QueryDef("q30_sql_cte", sql(q30Sql), Some(q30Sql)),
     QueryDef("q31_sql_not_exists", sql(q31Sql), Some(q31Sql)),
