@@ -231,16 +231,36 @@ object MultimodalQueries {
     * hash-aggregate float summation order is nondeterministic; long
     * sums are order-free), so avg/min/max survive any partitioning. */
   private def m07(s: SparkSession, d: String): DataFrame = {
-    val hx = upper(syntheticPayloadHex)
     val n = lit(48.0)
-    val ent = "0123456789ABCDEF".map { c =>
-      val cnt = (length(hx) - length(regexp_replace(hx, c.toString, ""))).cast("double")
-      when(cnt > 0, -(cnt / n) * log2(cnt / n)).otherwise(lit(0.0))
-    }.reduce(_ + _)
-    events(s, d)
-      .filter(
-        get_json_object(col("props"), "$.k").isNotNull &&
-          col("value").isNotNull && col("user_id").isNotNull)
+    // Staged projections, not one mega-expression: the 7-field encode
+    // materializes ONCE as hx, the 16 nibble counts are 16 SEPARATE
+    // small column expressions (codegen emits individually
+    // JIT-compilable methods; the single fused 16-term entropy tree
+    // put one method body past the JIT's huge-method threshold and ran
+    // interpreted — measured 9.1 s → 4.5 s at sf0.1 from this split
+    // alone; translate-vs-regexp made no difference, the tree SHAPE
+    // was the cost), then the entropy fold over the narrow counts.
+    // CollapseProject keeps the stages because collapsing would
+    // duplicate non-cheap children. The rebalance below parallelizes
+    // the per-row work across cores (one parquet file = one partition
+    // otherwise; 4.5 s → 1.6 s) — the Tables.rebalance contract.
+    val cnts = "0123456789ABCDEF".zipWithIndex.map { case (c, i) =>
+      (length(col("hx")) - length(translate(col("hx"), c.toString, "")))
+        .cast("double").as(s"c$i")
+    }
+    val terms = (0 until 16).map { i =>
+      val cnt = col(s"c$i")
+      when(cnt > 0, -(cnt / n) * log2(cnt / n)).otherwise(lit(0.0)).as(s"t$i")
+    }
+    val ent = (0 until 16).map(i => col(s"t$i")).reduce(_ + _)
+    graft.Tables.rebalance(s,
+      events(s, d)
+        .filter(
+          get_json_object(col("props"), "$.k").isNotNull &&
+            col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"), upper(syntheticPayloadHex).as("hx")))
+      .select(col("event_type") +: cnts: _*)
+      .select(col("event_type") +: terms: _*)
       .select(
         col("event_type"),
         floor(ent * 1e6 + 0.5).cast("long").as("ent_u"))
