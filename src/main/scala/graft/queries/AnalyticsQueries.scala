@@ -1826,6 +1826,66 @@ object AnalyticsQueries {
       |WHERE datediff('day', cohort, day) <= 7
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** A12 — A/B experiment readout: deterministic hash-bucketed variant
+    * assignment (the q25 `hash60` trick, so assignment is reproducible
+    * across engines AND across reruns — the property a real experiment
+    * system needs), per-user conversion (a high-value purchase), and the pooled
+    * two-proportion z-test. Shape: one corpus-sized per-user aggregate
+    * (map-side combined), then ALL the statistics — counts, rates,
+    * pooled variance, z — collapse in a single-row aggregate; nothing
+    * after the first groupBy is bigger than one row, so at 100 TB this
+    * is one shuffle of |users| pre-combined rows and a driver-sized
+    * readout. z is computed from the unrounded rates (rounding feeds
+    * display, never downstream arithmetic). */
+  private def a12(s: SparkSession, d: String): DataFrame = {
+    val u = events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 90, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn(
+        "v",
+        pmod(graft.functions.TextFns.hash60(
+          concat(lit("v:"), col("user_id").cast("string"))), lit(2L)))
+    val counts = u.agg(
+      sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("v") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("v") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    val ra = col("conv_a").cast("double") / col("n_a")
+    val rb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    counts.select(
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      oround(ra, 4).as("rate_a"),
+      oround(rb, 4).as("rate_b"),
+      oround((rb - ra) / se, 3).as("z"))
+  }
+
+  private val oa12 =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 90
+      |             THEN 1 ELSE 0 END) AS conv,
+      |    ('0x'||substr(md5('v:'||user_id::VARCHAR),1,15))::BIGINT % 2 AS v
+      |  FROM events GROUP BY user_id),
+      |c AS (SELECT
+      |    sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+      |    sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+      |    sum(CASE WHEN v = 0 THEN conv ELSE 0 END)::BIGINT AS conv_a,
+      |    sum(CASE WHEN v = 1 THEN conv ELSE 0 END)::BIGINT AS conv_b
+      |  FROM u)
+      |SELECT n_a, n_b, conv_a, conv_b,
+      |  ROUND(conv_a::DOUBLE / n_a, 4) AS rate_a,
+      |  ROUND(conv_b::DOUBLE / n_b, 4) AS rate_b,
+      |  ROUND((conv_b::DOUBLE / n_b - conv_a::DOUBLE / n_a) /
+      |    sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b)
+      |      * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+      |      * (1.0 / n_a + 1.0 / n_b)), 3) AS z
+      |FROM c""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_lag_delta", w01, Some(ow01)),
     QueryDef("w02_moving_avg", w02, Some(ow02)),
@@ -1847,6 +1907,7 @@ object AnalyticsQueries {
     QueryDef("a09_freshness", a09, Some(oa09)),
     QueryDef("a10_funnel", a10, Some(oa10)),
     QueryDef("a11_retention", a11, Some(oa11)),
+    QueryDef("a12_ab_test", a12, Some(oa12)),
     QueryDef("w10_cusum_changepoint", w10, Some(ow10)),
     QueryDef("j09_nearest_event", j09, Some(oj09)),
     QueryDef("j01_anti_join", j01, Some(oj01)),

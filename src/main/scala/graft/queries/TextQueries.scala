@@ -732,6 +732,62 @@ object TextQueries {
       |  ROUND(regr_r2(ln(cnt), ln(rnk)), 4) AS fit_r2
       |FROM r""".stripMargin
 
+  /** T19 — PMI collocations: the top bigrams by pointwise mutual
+    * information `log2(N·c(w1,w2) / (c(w1,·)·c(·,w2)))` with a min-count
+    * guard — the classic multiword-expression miner (phrase tables,
+    * tokenizer merge candidates, boilerplate detection). All three count
+    * tables derive from ONE corpus tokenize pass: the bigram counts are
+    * localCheckpointed (the t07 discipline — without the barrier the
+    * left/right marginals and the total each re-run the corpus explode),
+    * and the marginals + total are vocab²-bounded aggregates OVER that
+    * checkpoint, never over the corpus. The final scoring join is
+    * vocab-sized, AQE picks broadcast when the marginals measure small,
+    * and the top-50 cut is a distributed heap (TakeOrderedAndProject),
+    * not a global sort — at 100 TB the only corpus-sized stage is the
+    * one map-side-combined bigram count. */
+  private def t19(s: SparkSession, d: String): DataFrame = {
+    val bg = graft.Tables.rebalance(s, documents(s, d))
+      .select(TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(
+          element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2")).localCheckpoint()
+    val cl = cb.groupBy("w1").agg(sum("c2").as("cl"))
+    val cr = cb.groupBy("w2").agg(sum("c2").as("cr"))
+    val nf = cb.agg(sum("c2").cast("double").as("n"))
+    cb.filter(col("c2") >= 5)
+      .join(cl, Seq("w1"))
+      .join(cr, Seq("w2"))
+      .crossJoin(broadcast(nf))
+      .select(
+        col("w1"), col("w2"), col("c2"),
+        oround(
+          log2(col("n") * col("c2") /
+            (col("cl").cast("double") * col("cr").cast("double"))),
+          4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  private val ot19 =
+    """WITH t AS (SELECT string_split(text,' ') toks FROM documents),
+      |bg AS (SELECT toks[i] w1, toks[i+1] w2
+      |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) i)
+      |       WHERE len(toks) >= 2),
+      |cb AS (SELECT w1, w2, count(*) c2 FROM bg GROUP BY w1, w2),
+      |cl AS (SELECT w1, sum(c2) cl FROM cb GROUP BY w1),
+      |cr AS (SELECT w2, sum(c2) cr FROM cb GROUP BY w2),
+      |n AS (SELECT sum(c2)::DOUBLE n FROM cb)
+      |SELECT cb.w1, cb.w2, cb.c2,
+      |  ROUND(log2(n.n * cb.c2 / (cl.cl::DOUBLE * cr.cr::DOUBLE)), 4) AS pmi
+      |FROM cb JOIN cl ON cb.w1 = cl.w1 JOIN cr ON cb.w2 = cr.w2, n
+      |WHERE cb.c2 >= 5
+      |ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 50""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
@@ -750,5 +806,6 @@ object TextQueries {
     QueryDef("t15_heavy_hitters", t15, Some(ot15)),
     QueryDef("t16_pii_scrub", t16, Some(ot16)),
     QueryDef("t17_script_mix", t17, Some(ot17)),
-    QueryDef("t18_zipf_fit", t18, Some(ot18)))
+    QueryDef("t18_zipf_fit", t18, Some(ot18)),
+    QueryDef("t19_pmi_collocations", t19, Some(ot19)))
 }

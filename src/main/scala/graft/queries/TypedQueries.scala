@@ -85,6 +85,41 @@ object TypedQueries {
       |  ON e.user_id = m.user_id
       |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
 
+  /** Q49 — per-group top-k through the typed `Aggregator` UDAF
+    * ([[graft.functions.TopKByValue]]): top-3 events by value per
+    * event_type, as a BOUNDED-STATE mergeable aggregate instead of
+    * j04's window `row_number` formulation. The plan difference is the
+    * point: the window path shuffles and sorts EVERY row; this path
+    * map-side-combines to ≤k rows per (group × partition) before the
+    * shuffle — per-group top-k at 100 TB is an aggregate, not a sort.
+    * The oracle is the window formulation, so the two plans are pinned
+    * to identical results. */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(
+      new graft.functions.TopKByValue(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+    events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(topk(col("event_id"), col("value")).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(
+        col("event_type"),
+        (col("pos") + 1L).cast("long").as("rank"),
+        col("col._1").as("event_id"),
+        col("col._2").as("value"))
+      .orderBy("event_type", "rank")
+  }
+
+  private val oq49 =
+    """SELECT event_type, rn AS rank, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value DESC, event_id) AS rn
+      |  FROM events WHERE value IS NOT NULL)
+      |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q41_typed_mapgroups", q41, Some(oq41)))
+    QueryDef("q41_typed_mapgroups", q41, Some(oq41)),
+    QueryDef("q49_typed_topk", q49, Some(oq49)))
 }
