@@ -1886,6 +1886,56 @@ object AnalyticsQueries {
       |      * (1.0 / n_a + 1.0 / n_b)), 3) AS z
       |FROM c""".stripMargin
 
+  /** J10 — star-schema multi-join (TPC-H Q5 shape): lineitem against
+    * four dimensions with the "local supplier" constraint
+    * (c_nationkey = s_nationkey). Join order IS the scale design:
+    * start from the fact, take the date-filtered orders first (the
+    * most selective fact-side cut, pushed to the scan), then supplier
+    * enriched by the ONLY force-broadcast side — nation⋈region, bounded
+    * by geography (≤25×5 rows) at ANY scale factor. Supplier and
+    * customer are deliberately NOT broadcast-hinted: at 100 TB both are
+    * billion-row tables, so the declarative plan shuffles them and AQE
+    * downgrades to broadcast only when the measured size allows —
+    * hinting them would OOM the driver exactly when the engine is
+    * needed most. */
+  private def j10(s: SparkSession, d: String): DataFrame = {
+    val dim = nation(s, d)
+      .join(region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = supplier(s, d)
+      .join(broadcast(dim), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(
+        customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(oround(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val oj10 =
+    """SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_lag_delta", w01, Some(ow01)),
     QueryDef("w02_moving_avg", w02, Some(ow02)),
@@ -1910,6 +1960,7 @@ object AnalyticsQueries {
     QueryDef("a12_ab_test", a12, Some(oa12)),
     QueryDef("w10_cusum_changepoint", w10, Some(ow10)),
     QueryDef("j09_nearest_event", j09, Some(oj09)),
+    QueryDef("j10_star_join", j10, Some(oj10)),
     QueryDef("j01_anti_join", j01, Some(oj01)),
     QueryDef("j02_banded_range_join", j02, Some(oj02)),
     QueryDef("j03_full_outer", j03, Some(oj03)),

@@ -230,6 +230,64 @@ object FormatQueries {
       |FROM documents WHERE lang = 'en'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** X8 — `binaryFile` source: the estate shape of a multimodal lake
+    * (one opaque blob per object — images, audio, serialized tensors)
+    * read DISTRIBUTED by Spark's binary-file reader: each task gets a
+    * partition of files, `pathGlobFilter` prunes non-matching objects
+    * before any byte is read, and the (path, length, content) schema
+    * feeds the same decode plumbing as the m-queries. The staged
+    * artifact is one 24-byte format-5 payload file per sampled event
+    * (driver-side FIXTURE write of ≤|events|/100 small files — staging,
+    * not dataflow); the oracle re-derives every byte from the events
+    * parquet through the shared m03 encode, so filename→key extraction,
+    * byte length and full content roundtrip are all pinned. At 100 TB
+    * the same plan reads billions of objects with no driver
+    * involvement — and the documented next step is compacting small
+    * blobs into parquet `binary` columns (m02's shape) precisely
+    * because per-file open cost dominates small-object estates. */
+  private def x08(s: SparkSession, d: String): DataFrame = {
+    val path = ensureTextArtifact("events_bin", d, p => {
+      Files.createDirectories(Paths.get(p))
+      val rows = events(s, d)
+        .filter(
+          get_json_object(col("props"), "$.k").isNotNull &&
+            col("value").isNotNull && col("user_id").isNotNull &&
+            pmod(col("event_id"), lit(100L)) === 0L)
+        .select(col("event_id"),
+          unhex(MultimodalQueries.syntheticPayloadHex).as("payload"))
+        .collect()
+      rows.foreach { r =>
+        Files.write(
+          Paths.get(p, s"ev_${r.getLong(0)}.bin"), r.getAs[Array[Byte]](1))
+      }
+    })
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(path)
+      .select(
+        regexp_extract(col("path"), "ev_(\\d+)\\.bin", 1)
+          .cast("bigint").as("event_id"),
+        col("length").as("n_bytes"),
+        hex(col("content")).as("payload_hex"))
+      .orderBy("event_id")
+  }
+
+  private val ox08 =
+    """WITH enc AS (SELECT event_id,
+      |  '05'
+      |   || lpad(to_hex(((round(value*200)::BIGINT % 65536) + 65536) % 65536), 4, '0')
+      |   || lpad(to_hex((json_extract(props,'$.k')::BIGINT * 400) % 65536), 4, '0')
+      |   || lpad(to_hex((user_id * 100) % 65536), 4, '0')
+      |   || lpad(to_hex((((event_id % 2001) - 1000) + 65536) % 65536), 4, '0')
+      |   || lpad(to_hex((((event_id % 1999) - 999) + 65536) % 65536), 4, '0')
+      |   || lpad(to_hex((((event_id % 997) - 498) + 65536) % 65536), 4, '0')
+      |   || 'FFFF' || lpad(to_hex(event_id % 256), 2, '0') || '0000' || '000000000000' AS h
+      |  FROM events
+      |  WHERE event_id % 100 = 0 AND json_extract(props,'$.k') IS NOT NULL
+      |    AND value IS NOT NULL AND user_id IS NOT NULL)
+      |SELECT event_id, (len(h) // 2)::BIGINT AS n_bytes, upper(h) AS payload_hex
+      |FROM enc ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_csv_source", x01, Some(ox01)),
     QueryDef("x02_jsonl_source", x02, Some(ox02)),
@@ -237,5 +295,6 @@ object FormatQueries {
     QueryDef("x04_orc_source", x04, Some(ox04)),
     QueryDef("x05_avro_source", x05, Some(ox05)),
     QueryDef("x06_avro_v2", x06, Some(ox06)),
-    QueryDef("x07_hive_partitions", x07, Some(ox07)))
+    QueryDef("x07_hive_partitions", x07, Some(ox07)),
+    QueryDef("x08_binary_files", x08, Some(ox08)))
 }

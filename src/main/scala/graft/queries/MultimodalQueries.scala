@@ -54,7 +54,7 @@ object MultimodalQueries {
     * native-vs-composed equivalence the pair proves can never drift on
     * the encode side. Every 16-bit field wraps mod 65536 (hex4's pmod),
     * mirrored in the oracle. */
-  private def syntheticPayloadHex = Format5.encodeHex(
+  private[queries] def syntheticPayloadHex = Format5.encodeHex(
     tempRaw = oround(col("value") * 200, 0).cast("long"),
     humRaw = get_json_object(col("props"), "$.k").cast("long") * 400,
     pressRaw = col("user_id") * 100,

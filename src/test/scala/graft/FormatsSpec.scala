@@ -172,4 +172,21 @@ class FormatsSpec extends AnyFunSuite {
     assert(pruned.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("a", 1L), ("b", 2L)))
   }
+
+  test("x08: binaryFile glob prunes foreign objects before any byte is read") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_binglob").toString
+    Files.write(Paths.get(dir, "ev_1.bin"), Array[Byte](5, 1, 2))
+    Files.write(Paths.get(dir, "ev_2.bin"), Array[Byte](5, 3, 4))
+    // a multimodal estate is never homogeneous: sidecar manifests,
+    // checksums, thumbnails live next to the blobs
+    Files.write(Paths.get(dir, "manifest.json"), "{}".getBytes)
+    Files.write(Paths.get(dir, "ev_3.txt"), Array[Byte](9))
+    val got = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir)
+    assert(got.count() === 2)
+    // and the content column carries the exact bytes
+    val bytes = got.orderBy("path").collect().map(_.getAs[Array[Byte]]("content").toSeq)
+    assert(bytes.toSeq === Seq(Seq[Byte](5, 1, 2), Seq[Byte](5, 3, 4)))
+  }
 }

@@ -464,4 +464,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"a04 must not shuffle the event stream to meet the stats:\n$plan")
   }
 
+  test("j10: star join broadcasts the geography dim and pushes the date cut") {
+    val plan = executedPlan("j10_star_join")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation⋈region (≤125 rows at any SF) must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"every j10 edge is an equi-join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the o_orderdate range must reach the orders scan:\n$plan")
+  }
+
 }
