@@ -1936,6 +1936,147 @@ object AnalyticsQueries {
       |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** U6 — right-to-be-forgotten cascade: a deterministic 5% of
+    * customers request deletion; the erasure propagates customer →
+    * their orders → those orders' lineitems, and the query emits the
+    * per-table audit (before / deleted / after) a compliance run must
+    * produce. Shape discipline: the request set is bounded by REQUESTS
+    * (not data size), so the customer and orders cuts are broadcast
+    * anti/semi joins; only the orders→lineitem hop can grow with data
+    * and that one is a key-shuffled semi join. Three counts, zero
+    * full-table rewrites — the audit precedes the actual delete, which
+    * at 100 TB is a partition-rewrite job driven by exactly these
+    * keys. */
+  private def u06(s: SparkSession, d: String): DataFrame = {
+    val delC = customer(s, d)
+      .filter(pmod(graft.functions.TextFns.hash60(
+        concat(lit("del:"), col("c_custkey").cast("string"))), lit(20L)) === 0L)
+      .select(col("c_custkey"))
+    val delO = orders(s, d)
+      .join(broadcast(delC), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    def audit(name: String, total: DataFrame, deleted: DataFrame) = {
+      val t = total.agg(count(lit(1)).as("n_before"))
+      val x = deleted.agg(count(lit(1)).as("n_deleted"))
+      t.crossJoin(x).select(
+        lit(name).as("tbl"), col("n_before"), col("n_deleted"),
+        (col("n_before") - col("n_deleted")).as("n_after"))
+    }
+    val c = audit("customer", customer(s, d),
+      customer(s, d).join(broadcast(delC), Seq("c_custkey"), "left_semi"))
+    val o = audit("orders", orders(s, d),
+      orders(s, d).join(
+        broadcast(delC), col("o_custkey") === col("c_custkey"), "left_semi"))
+    val l = audit("lineitem", lineitem(s, d),
+      lineitem(s, d).join(delO, col("l_orderkey") === col("o_orderkey"), "left_semi"))
+    c.unionByName(o).unionByName(l).orderBy("tbl")
+  }
+
+  private val ou06 =
+    """WITH delc AS (SELECT c_custkey FROM customer
+      |  WHERE ('0x'||substr(md5('del:'||c_custkey::VARCHAR),1,15))::BIGINT % 20 = 0),
+      |delo AS (SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM delc))
+      |SELECT 'customer' AS tbl, (SELECT count(*) FROM customer) AS n_before,
+      |  (SELECT count(*) FROM delc) AS n_deleted,
+      |  (SELECT count(*) FROM customer) - (SELECT count(*) FROM delc) AS n_after
+      |UNION ALL
+      |SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+      |  (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+      |  (SELECT count(*) FROM lineitem)
+      |    - (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+      |UNION ALL
+      |SELECT 'orders', (SELECT count(*) FROM orders),
+      |  (SELECT count(*) FROM delo),
+      |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM delo)
+      |ORDER BY tbl""".stripMargin
+
+  /** P13 — differentially-private-STYLE aggregate release: per-type
+    * event counts and value sums published with Laplace noise
+    * (sensitivity/ε scale) via the inverse-CDF transform. The noise
+    * seed is the q25 deterministic hash — that is what makes the
+    * release ORACLE-CHECKABLE here and is explicitly NOT a privacy
+    * guarantee (a real deployment swaps the seed for a secure RNG and
+    * this query's plan is unchanged; determinism is the test seam, the
+    * plan shape is the product). Scale shape: one map-side-combined
+    * aggregate to |types| rows, noise applied post-aggregate on the
+    * bounded result — the noise step costs nothing at any scale. */
+  private def p13(s: SparkSession, d: String): DataFrame = {
+    def unif(tag: String) = graft.functions.TextFns.hash60(
+      concat(lit(tag), col("event_type"))).cast("double") /
+      lit(1152921504606846976.0) // 2^60: hash60 ∈ [0, 2^60) → u ∈ [0, 1)
+    def lap(u: Column, b: Double) = {
+      val c = u - lit(0.5)
+      -lit(b) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    }
+    events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .select(
+        col("event_type"),
+        oround(col("n") + lap(unif("nc:"), 1.0), 3).as("n_released"),
+        oround(col("sv") + lap(unif("sv:"), 100.0), 3).as("sum_released"))
+      .orderBy("event_type")
+  }
+
+  private val op13 =
+    """WITH a AS (SELECT event_type, count(*) AS n, sum(value) AS sv
+      |  FROM events GROUP BY event_type),
+      |u AS (SELECT event_type, n, sv,
+      |  ('0x'||substr(md5('nc:'||event_type),1,15))::BIGINT
+      |    / 1152921504606846976.0 AS un,
+      |  ('0x'||substr(md5('sv:'||event_type),1,15))::BIGINT
+      |    / 1152921504606846976.0 AS us
+      |  FROM a)
+      |SELECT event_type,
+      |  ROUND(n + (-1.0 * sign(un - 0.5) * ln(1.0 - 2.0 * abs(un - 0.5))), 3)
+      |    AS n_released,
+      |  ROUND(sv + (-100.0 * sign(us - 0.5) * ln(1.0 - 2.0 * abs(us - 0.5))), 3)
+      |    AS sum_released
+      |FROM u ORDER BY event_type""".stripMargin
+
+  /** A13 — correlation matrix: pairwise Pearson r between the four
+    * lineitem measures in ONE aggregate pass (six `corr` co-moment
+    * aggregates, all mergeable partials — the single-shuffle profile
+    * a06 set for univariate stats, extended to bivariate). The unpivot
+    * to (x, y, r) rows happens on the 1-row aggregate result. Feature
+    * correlation screens (leakage detection, redundant-feature
+    * pruning) run exactly this plan over training tables. */
+  private def a13(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val exprs = pairs.map { case (x, y) =>
+      oround(corr(col(x), col(y)), 4).as(s"${x}__$y")
+    }
+    val agg = lineitem(s, d).agg(exprs.head, exprs.tail: _*)
+    agg.select(explode(array(
+      pairs.map { case (x, y) =>
+        struct(lit(x).as("x"), lit(y).as("y"), col(s"${x}__$y").as("r"))
+      }: _*)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"), col("p.r").as("r"))
+      .orderBy("x", "y")
+  }
+
+  private val oa13 =
+    """WITH a AS (SELECT
+      |  ROUND(corr(l_quantity, l_extendedprice), 4) AS qe,
+      |  ROUND(corr(l_quantity, l_discount), 4) AS qd,
+      |  ROUND(corr(l_quantity, l_tax), 4) AS qt,
+      |  ROUND(corr(l_extendedprice, l_discount), 4) AS ed,
+      |  ROUND(corr(l_extendedprice, l_tax), 4) AS et,
+      |  ROUND(corr(l_discount, l_tax), 4) AS dt
+      |  FROM lineitem)
+      |SELECT x, y, r FROM (
+      |  SELECT 'l_quantity' x, 'l_extendedprice' y, qe r FROM a
+      |  UNION ALL SELECT 'l_quantity', 'l_discount', qd FROM a
+      |  UNION ALL SELECT 'l_quantity', 'l_tax', qt FROM a
+      |  UNION ALL SELECT 'l_extendedprice', 'l_discount', ed FROM a
+      |  UNION ALL SELECT 'l_extendedprice', 'l_tax', et FROM a
+      |  UNION ALL SELECT 'l_discount', 'l_tax', dt FROM a)
+      |ORDER BY x, y""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_lag_delta", w01, Some(ow01)),
     QueryDef("w02_moving_avg", w02, Some(ow02)),
@@ -1958,6 +2099,7 @@ object AnalyticsQueries {
     QueryDef("a10_funnel", a10, Some(oa10)),
     QueryDef("a11_retention", a11, Some(oa11)),
     QueryDef("a12_ab_test", a12, Some(oa12)),
+    QueryDef("a13_corr_matrix", a13, Some(oa13)),
     QueryDef("w10_cusum_changepoint", w10, Some(ow10)),
     QueryDef("j09_nearest_event", j09, Some(oj09)),
     QueryDef("j10_star_join", j10, Some(oj10)),
@@ -1987,5 +2129,7 @@ object AnalyticsQueries {
     QueryDef("u02_sketch_union", u02, Some(ou02)),
     QueryDef("u03_scd2_versions", u03, Some(ou03)),
     QueryDef("u04_merge_snapshot", u04, Some(ou04)),
-    QueryDef("u05_compaction_plan", u05, Some(ou05)))
+    QueryDef("u05_compaction_plan", u05, Some(ou05)),
+    QueryDef("u06_gdpr_cascade", u06, Some(ou06)),
+    QueryDef("p13_dp_release", p13, Some(op13)))
 }
