@@ -288,6 +288,46 @@ object FormatQueries {
       |SELECT event_id, (len(h) // 2)::BIGINT AS n_bytes, upper(h) AS payload_hex
       |FROM enc ORDER BY event_id""".stripMargin
 
+  /** X9 — XML field extraction via `from_xml`: the fourth
+    * semi-structured codec after JSON (x02/m01), regex (x03) and the
+    * str_to_map config parse (q11) — feeds, sitemaps and legacy
+    * enterprise exports still arrive as XML. The document is built from
+    * event fields (attribute + three elements), parsed back with an
+    * EXPLICIT struct schema (attributes surface under the `_` prefix;
+    * never schema_of_xml on a lake — same full-extra-pass argument as
+    * x01's inferSchema), and aggregated. A malformed document yields a
+    * null struct whose group would fail the oracle, so the roundtrip
+    * pins escaping, attribute handling and numeric parsing end to end;
+    * the parse is a narrow per-row projection, scan-bound at any
+    * scale. */
+  private def x09(s: SparkSession, d: String): DataFrame = {
+    val xml = concat(
+      lit("<e id=\""), col("event_id"), lit("\"><t>"), col("event_type"),
+      lit("</t><u>"), col("user_id"), lit("</u><v>"), col("value"),
+      lit("</v></e>"))
+    events(s, d)
+      .filter(col("event_id").isNotNull && col("event_type").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull)
+      .select(from_xml(xml,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "_id BIGINT, t STRING, u BIGINT, v DOUBLE")).as("x"))
+      .groupBy(col("x.t").as("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("x.u")).as("n_users"),
+        oround(sum(col("x.v")), 2).as("sum_value"),
+        max(col("x._id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
+  private val ox09 =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+      |  ROUND(sum(value), 2) AS sum_value, max(event_id) AS max_id
+      |FROM events
+      |WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+      |  AND user_id IS NOT NULL AND value IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_csv_source", x01, Some(ox01)),
     QueryDef("x02_jsonl_source", x02, Some(ox02)),
@@ -296,5 +336,6 @@ object FormatQueries {
     QueryDef("x05_avro_source", x05, Some(ox05)),
     QueryDef("x06_avro_v2", x06, Some(ox06)),
     QueryDef("x07_hive_partitions", x07, Some(ox07)),
-    QueryDef("x08_binary_files", x08, Some(ox08)))
+    QueryDef("x08_binary_files", x08, Some(ox08)),
+    QueryDef("x09_xml_parse", x09, Some(ox09)))
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -209,9 +210,69 @@ object GraphQueries {
       |JOIN deg db ON pairs.cb = db.ck
       |ORDER BY jaccard DESC, ca, cb LIMIT 20""".stripMargin
 
+  /** G5 — community detection by synchronous MAJORITY label
+    * propagation over the g01 supplier↔customer graph: each node starts
+    * as its own community, and each round adopts the most frequent
+    * label among its neighbors with a fully deterministic tie-break
+    * (highest count, then smallest label — classic async LPA is
+    * run-order-dependent; the synchronous + total-order variant is what
+    * a distributed engine can actually promise). Two rounds, each ONE
+    * shuffle join (labels⋈edges on src, labels re-checkpointed per
+    * round like g01's loop) + one partially-aggregated count + a
+    * per-node arg-max window over the |neighbors-of-node| label counts.
+    * Result is the bounded top-20 community census. d06 is the
+    * CONNECTIVITY fixpoint (min-label, converges to components); this
+    * is the DENSITY heuristic (majority vote) — different algorithm,
+    * different answer, same per-round plan shape. */
+  private def g05(s: SparkSession, d: String): DataFrame = {
+    val pairs = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), (col("l_suppkey") + lit(1000000L)).as("supp"))
+      .join(orders(s, d).select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")), "ok")
+      .select("supp", "cust").distinct()
+    val edges = pairs.select(col("supp").as("src"), col("cust").as("dst"))
+      .unionAll(pairs.select(col("cust").as("src"), col("supp").as("dst")))
+      .localCheckpoint()
+    val byNode = Window.partitionBy("id").orderBy(col("c").desc, col("lbl"))
+    def round(labels: DataFrame): DataFrame =
+      edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+        .groupBy("id", "lbl").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lbl"))
+        .localCheckpoint()
+    val l0 = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    round(round(l0))
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+  }
+
+  private val og05 =
+    """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS supp, o_custkey AS cust
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT supp AS src, cust AS dst FROM e0
+      |  UNION ALL SELECT cust, supp FROM e0),
+      |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+      |c1 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+      |  FROM edges e JOIN l0 l ON e.src = l.id GROUP BY 1, 2),
+      |p1 AS (SELECT id, lbl FROM (SELECT id, lbl,
+      |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) rn FROM c1)
+      |  WHERE rn = 1),
+      |c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+      |  FROM edges e JOIN p1 l ON e.src = l.id GROUP BY 1, 2),
+      |p2 AS (SELECT id, lbl FROM (SELECT id, lbl,
+      |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) rn FROM c2)
+      |  WHERE rn = 1)
+      |SELECT lbl AS community, count(*) AS n_members FROM p2
+      |GROUP BY lbl ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", g01, Some(og01)),
     QueryDef("g02_triangles", g02, Some(og02)),
     QueryDef("g03_bfs_hops", g03, Some(og03)),
-    QueryDef("g04_copurchase_jaccard", g04, Some(og04)))
+    QueryDef("g04_copurchase_jaccard", g04, Some(og04)),
+    QueryDef("g05_labelprop", g05, Some(og05)))
 }

@@ -299,6 +299,58 @@ object MultimodalQueries {
       |  ROUND(max(ent_u) / 1e6, 4) AS max_entropy
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** M8 — image-header metadata extraction: synthesize a real PNG
+    * header (8-byte signature + IHDR chunk, width/height as big-endian
+    * u32 at byte offsets 17/21) per event, then parse it back OFF THE
+    * BYTES — magic-number validation (the OP-05 gate for an image
+    * estate: non-PNG blobs are dropped, not nulled) and
+    * substring-on-binary + conv decode, all codegen'd column
+    * expressions. The released result is the dimension census a vision
+    * curation pass runs before resize (orientation mix, mean dims, max
+    * pixel count); at 100 TB the same narrow parse runs scan-bound over
+    * binaryFile or parquet-binary inputs (x08/m02) with the aggregate
+    * bounded by |orientations|. The oracle re-derives width/height
+    * arithmetically, so every byte of the encode→slice→decode plumbing
+    * is pinned. */
+  private def m08(s: SparkSession, d: String): DataFrame = {
+    val w = (col("event_id") % 1857 + 64).cast("long")
+    val h = (col("event_id") % 1017 + 64).cast("long")
+    val hdrHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"))
+    val img = col("img")
+    val pw = conv(hex(substring(img, 17, 4)), 16, 10).cast("long")
+    val ph = conv(hex(substring(img, 21, 4)), 16, 10).cast("long")
+    events(s, d)
+      .select(unhex(hdrHex).as("img"))
+      .filter(hex(substring(img, 1, 8)) === "89504E470D0A1A0A" &&
+        hex(substring(img, 13, 4)) === "49484452")
+      .select(pw.as("w"), ph.as("h"))
+      .select(
+        when(col("w") > col("h"), "landscape")
+          .when(col("w") < col("h"), "portrait")
+          .otherwise("square").as("orient"),
+        col("w"), col("h"))
+      .groupBy("orient")
+      .agg(
+        count(lit(1)).as("n"),
+        oround(avg("w"), 2).as("avg_w"),
+        oround(avg("h"), 2).as("avg_h"),
+        max(col("w") * col("h")).as("max_px"))
+      .orderBy("orient")
+  }
+
+  private val om08 =
+    """WITH p AS (SELECT event_id % 1857 + 64 AS w, event_id % 1017 + 64 AS h
+      |  FROM events),
+      |o AS (SELECT w, h,
+      |  CASE WHEN w > h THEN 'landscape' WHEN w < h THEN 'portrait'
+      |       ELSE 'square' END AS orient FROM p)
+      |SELECT orient, count(*) AS n,
+      |  ROUND(avg(w), 2) AS avg_w, ROUND(avg(h), 2) AS avg_h,
+      |  max(w * h) AS max_px
+      |FROM o GROUP BY orient ORDER BY orient""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("m01_json_multikey", m01, Some(om01)),
     QueryDef("m02_binary_metadata", m02, Some(om02)),
@@ -307,5 +359,6 @@ object MultimodalQueries {
     // same oracle as m03: the native expression must be indistinguishable
     QueryDef("m05_format5_native", m05, Some(om03)),
     QueryDef("m06_media_features", m06, Some(om06)),
-    QueryDef("m07_byte_entropy", m07, Some(om07)))
+    QueryDef("m07_byte_entropy", m07, Some(om07)),
+    QueryDef("m08_image_dims", m08, Some(om08)))
 }

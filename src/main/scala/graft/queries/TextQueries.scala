@@ -788,6 +788,53 @@ object TextQueries {
       |WHERE cb.c2 >= 5
       |ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 50""".stripMargin
 
+  /** T20 — first-occurrence NOVELTY score: per document, the fraction
+    * of its distinct word 8-grams that appear for the FIRST time in the
+    * corpus (doc_id order = ingestion order; ties attribute to the
+    * earliest writer via `min`). Low-novelty documents are boilerplate /
+    * template reprints — the curation signal between exact dedup (d01)
+    * and containment (d13). Shape: one corpus tokenize pass, a
+    * map-side-combined min per gram, and the join back keys both sides
+    * on the gram hash — the aggregate output is already h-partitioned,
+    * so AQE reuses the exchange for the probe side. No all-pairs
+    * anywhere; the result is folded to a bounded decile histogram. */
+  private def t20(s: SparkSession, d: String): DataFrame = {
+    val g = graft.Tables.rebalance(s, documents(s, d))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.kgramHashes(col("toks"), 8))).as("h"))
+    val first = g.groupBy("h").agg(min("doc_id").as("first_doc"))
+    g.join(first, Seq("h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("double").as("n_g"),
+        sum(when(col("first_doc") === col("doc_id"), 1.0).otherwise(0.0))
+          .as("n_novel"))
+      .select(
+        least(floor(col("n_novel") / col("n_g") * 10), lit(9L))
+          .cast("long").as("decile"),
+        (col("n_novel") / col("n_g")).as("nov"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), oround(avg("nov"), 4).as("avg_novelty"))
+      .orderBy("decile")
+  }
+
+  private val ot20 =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |g AS (SELECT doc_id,
+      |    unnest(list_distinct(list_transform(generate_series(1, len(toks)-7),
+      |      i -> md5(toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '
+      |        ||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7])))) h
+      |  FROM t WHERE len(toks) >= 8),
+      |f AS (SELECT h, min(doc_id) first_doc FROM g GROUP BY h),
+      |p AS (SELECT g.doc_id, count(*)::DOUBLE n_g,
+      |    sum(CASE WHEN f.first_doc = g.doc_id THEN 1.0 ELSE 0.0 END) n_novel
+      |  FROM g JOIN f ON g.h = f.h GROUP BY g.doc_id)
+      |SELECT least(floor(n_novel/n_g*10), 9)::BIGINT AS decile,
+      |  count(*) AS n_docs, ROUND(avg(n_novel/n_g), 4) AS avg_novelty
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
@@ -807,5 +854,6 @@ object TextQueries {
     QueryDef("t16_pii_scrub", t16, Some(ot16)),
     QueryDef("t17_script_mix", t17, Some(ot17)),
     QueryDef("t18_zipf_fit", t18, Some(ot18)),
-    QueryDef("t19_pmi_collocations", t19, Some(ot19)))
+    QueryDef("t19_pmi_collocations", t19, Some(ot19)),
+    QueryDef("t20_novelty_score", t20, Some(ot20)))
 }
