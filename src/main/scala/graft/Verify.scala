@@ -20,12 +20,14 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.contains).toMap
+    var failed = List.empty[String]
     selected.foreach { case (name, fn) =>
       // coalesce(1) is for the tiny oracle dumps only (one file per query
       // for the driver's reader) — never a pattern for real sinks.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -41,9 +43,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Local single-query runs get an oracle restricted to the selection,
+    // so compare.py can flag a query that died BEFORE writing its dir
+    // (a plan-time failure used to vanish: no dir, no FAIL). The driver
+    // always passes two args and keeps the full map.
+    val oracleOut =
+      if (only.isEmpty) SparkEntry.oracleSql
+      else SparkEntry.oracleSql.view.filterKeys(only.contains).toMap
+    val json = oracleOut
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -1936,6 +1936,41 @@ object AnalyticsQueries {
       |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** W11 — rolling exact MEDIAN over a bounded 10-event frame per
+    * user: the robust smoother for spiky telemetry (a04/a07's outlier
+    * work as a windowed signal, not a global flag). Spark evaluates an
+    * exact-percentile aggregate over each sliding frame — O(frame) per
+    * row, safe ONLY because the frame is a constant 10 rows; an
+    * unbounded or span-proportional frame here would be the w07 lesson
+    * again. One exchange on user_id serves the single window. Spark
+    * refuses ordered-frame `median`, so the frame is materialized with
+    * `collect_list` (legal over any frame) and the median composed as
+    * the mean of the two middle order statistics — the interpolating
+    * definition DuckDB's windowed `median` uses; O(frame·log frame)
+    * per row, safe ONLY because the frame is 10 rows. */
+  private def w11(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+    val arr = array_sort(collect_list(col("value")).over(w))
+    val n = size(arr)
+    val lo = ((n + 1) / 2).cast("int") // Column `/` is double division;
+    val hi = (n / 2).cast("int") + 1   // cast truncates to the order stats
+    val med = (element_at(arr, lo) + element_at(arr, hi)) / 2
+    events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), oround(med, 4).as("roll_med"))
+      .orderBy("user_id", "event_id")
+      .limit(200)
+  }
+
+  private val ow11 =
+    """SELECT user_id, event_id,
+      |  ROUND(median(value) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4)
+      |    AS roll_med
+      |FROM events WHERE value IS NOT NULL
+      |ORDER BY user_id, event_id LIMIT 200""".stripMargin
+
   /** U6 — right-to-be-forgotten cascade: a deterministic 5% of
     * customers request deletion; the erasure propagates customer →
     * their orders → those orders' lineitems, and the query emits the
@@ -2101,6 +2136,7 @@ object AnalyticsQueries {
     QueryDef("a12_ab_test", a12, Some(oa12)),
     QueryDef("a13_corr_matrix", a13, Some(oa13)),
     QueryDef("w10_cusum_changepoint", w10, Some(ow10)),
+    QueryDef("w11_rolling_median", w11, Some(ow11)),
     QueryDef("j09_nearest_event", j09, Some(oj09)),
     QueryDef("j10_star_join", j10, Some(oj10)),
     QueryDef("j01_anti_join", j01, Some(oj01)),

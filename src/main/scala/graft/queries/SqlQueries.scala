@@ -167,7 +167,25 @@ object SqlQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Q50 — modern-dialect ergonomics BOTH parsers accept as identical
+    * text: an inline VALUES dimension (the "tiny lookup without a
+    * table" idiom — planned as a broadcast LocalRelation, never a
+    * scan), GROUP BY ALL (keys inferred from the non-aggregate select
+    * list) and ORDER BY ALL (total output order without restating
+    * columns). Ergonomics only — the plan is the same broadcast join +
+    * partial agg q30's explicit form produces. */
+  private val q50Sql =
+    """SELECT c_mktsegment, seg_rank, count(*) AS n_customers,
+      |  ROUND(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer
+      |JOIN (VALUES ('BUILDING', 1), ('MACHINERY', 2), ('AUTOMOBILE', 3))
+      |  AS seg(seg_name, seg_rank)
+      |  ON c_mktsegment = seg_name
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q50_sql_modern", sql(q50Sql), Some(q50Sql)),
     QueryDef("q47_sql_fuzzy", sql(q47Sql), Some(q47Sql)),
     QueryDef("q48_sql_filtered_agg", sql(q48Sql), Some(q48Sql)),
     QueryDef("q29_sql_window", sql(q29Sql), Some(q29Sql)),

@@ -30,6 +30,11 @@ def canon(df):
     return df
 
 fails = []
+# an oracle entry whose query died before writing its dir must FAIL,
+# not vanish (plan-time errors produce no output directory at all)
+have = {os.path.basename(d.rstrip("/")) for d in glob.glob(f"{out}/*/")}
+for name in sorted(set(oracle) - have):
+    fails.append(name); print(f"FAIL {name}: no spark output dir")
 for qdir in sorted(glob.glob(f"{out}/*/")):
     name = os.path.basename(qdir.rstrip("/"))
     files = glob.glob(f"{qdir}/*.parquet")
