@@ -743,6 +743,60 @@ object DedupQueries {
       |FROM p JOIN na va ON p.da = va.doc_id JOIN na vb ON p.db = vb.doc_id
       |ORDER BY containment DESC, da, db LIMIT 20""".stripMargin
 
+  /** D14 — RETENTION POLICY applied to the d06 clusters: production
+    * dedup doesn't stop at clustering, it decides WHICH member
+    * survives. Policy: keep the LONGEST member (`n_chars`; lower
+    * doc_id breaks ties) — the standard web-corpus choice, since the
+    * longest version of a near-dup family usually dominates its
+    * siblings' content. The keeper is `max(struct(n_chars, -doc_id))`
+    * — an associative, partial-aggregable argmax, so the shuffle
+    * carries one struct per (component × partition) instead of the
+    * row-per-member a window formulation would sort (the q49 lesson
+    * applied to dedup). dropped_chars = cluster char mass minus the
+    * keeper's: the training-token savings the policy realizes.
+    * Components reuse the d06 ConnectedComponents run over the shared
+    * [[lshVerifiedPairs]] edge set; the oracle replays the identical
+    * recursive-CTE closure, so d06/d14 can never disagree on clusters. */
+  private def d14(s: SparkSession, d: String): DataFrame =
+    graft.ops.ConnectedComponents
+      .run(lshVerifiedPairs(s, d)
+        .select(col("da").as("src"), col("db").as("dst"))
+        .distinct())
+      .join(documents(s, d).select(col("doc_id"), col("n_chars")),
+        col("v") === col("doc_id"))
+      .groupBy("component")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total"),
+        max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("negid"))).as("k"))
+      .select(
+        col("component"),
+        (-col("k.negid")).as("keeper"),
+        col("n_docs"),
+        (col("total") - col("k.nc")).as("dropped_chars"))
+      .orderBy("component")
+
+  private val od14 =
+    s"""WITH RECURSIVE
+      |$lshPairCtes,
+      |ej AS (SELECT da, db FROM j WHERE jac >= 0.8),
+      |und AS (SELECT da a, db b FROM ej UNION SELECT db, da FROM ej),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM und
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a
+      |),
+      |lbl AS (SELECT a AS v, LEAST(a, min(b)) AS component FROM reach GROUP BY a),
+      |m AS (SELECT l.v, l.component, d.n_chars
+      |      FROM lbl l JOIN documents d ON l.v = d.doc_id),
+      |r AS (SELECT component, v, n_chars,
+      |        row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, v) rn,
+      |        count(*) OVER (PARTITION BY component) n_docs,
+      |        sum(n_chars) OVER (PARTITION BY component) total
+      |      FROM m)
+      |SELECT component, v AS keeper, n_docs, (total - n_chars)::BIGINT AS dropped_chars
+      |FROM r WHERE rn = 1 ORDER BY component""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_fingerprint_blocks", d01, Some(od01)),
     QueryDef("d02_minhash_lsh_pairs", d02, Some(od02)),
@@ -756,5 +810,6 @@ object DedupQueries {
     QueryDef("d10_minhash_calibration", d10, Some(od10)),
     QueryDef("d11_edit_distance", d11, Some(od11)),
     QueryDef("d12_segment_dedup", d12, Some(od12)),
-    QueryDef("d13_containment", d13, Some(od13)))
+    QueryDef("d13_containment", d13, Some(od13)),
+    QueryDef("d14_cluster_retention", d14, Some(od14)))
 }

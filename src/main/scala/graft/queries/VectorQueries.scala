@@ -1000,6 +1000,43 @@ object VectorQueries {
       |SELECT ann.vec_id, ann.cos_sim, h.recall10
       |FROM ann, h ORDER BY cos_sim DESC, vec_id""".stripMargin
 
+  /** V21 — FILTERED vector search (the RAG shape: top-k similar AND a
+    * metadata predicate). The predicate composes with the IVF layout
+    * for free: the corpus at rest is partitioned BY `label`
+    * ([[graft.sources.VectorIndex.ensureIvf]]), so a label predicate
+    * is STATIC partition pruning — non-matching directories are never
+    * opened (no DPP machinery even needed; the literal reaches the
+    * scan as a partition filter), and the exact cosine re-rank runs
+    * only inside admitted partitions. PRE-filtering keeps recall
+    * exact: post-filtering an unfiltered ANN top-k under-fills k
+    * whenever the predicate is selective — the failure mode that makes
+    * filtered search its own operator class in vector stores. At
+    * 100 TB the same shape holds for any partition-aligned predicate
+    * (tenant, language, license tier); non-aligned predicates fall
+    * back to scan-level PushedFilters over the pruned partitions. */
+  private def v21(s: SparkSession, d: String): DataFrame = {
+    val (_, corpPath) = graft.sources.VectorIndex.ensureIvf(s, d)
+    val q = queryVec(s, d)
+    s.read.parquet(corpPath)
+      .filter(col("label").isin(1, 3))
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"), col("label"),
+        oround(dot(col("e"), col("qe")) / (norm(col("e")) * col("qn")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val ov21 =
+    """WITH n AS (SELECT vec_id, label, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |m AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm FROM n),
+      |q AS (SELECT e qe, nrm qn FROM m WHERE vec_id = 0)
+      |SELECT m.vec_id, m.label,
+      |  ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) AS cos_sim
+      |FROM m, q WHERE m.label IN (1, 3)
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(ov01)),
     QueryDef("v02_srp_ann", v02, Some(ov02)),
@@ -1020,5 +1057,6 @@ object VectorQueries {
     QueryDef("v17_kmeans_iterated", v17, Some(ov17)),
     QueryDef("v18_matryoshka_rerank", v18, Some(ov18)),
     QueryDef("v19_int8_search", v19, Some(ov19)),
-    QueryDef("v20_binary_rerank", v20, Some(ov20)))
+    QueryDef("v20_binary_rerank", v20, Some(ov20)),
+    QueryDef("v21_filtered_ann", v21, Some(ov21)))
 }
