@@ -400,6 +400,32 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"lang = 'en' must land in PartitionFilters, got:\n$plan")
   }
 
+  test("v21: the label predicate prunes IVF partitions statically") {
+    val df = SparkEntry.queries("v21_filtered_ann")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // filtered search = partition pruning: the literal IN-list must land
+    // in PartitionFilters on the label-partitioned corpus (8 of 10
+    // directories never listed), NOT as a post-scan row filter — and no
+    // DPP machinery is needed because the predicate is static
+    assert(plan.contains("PartitionFilters") && plan.contains("label"),
+      s"label IN (1,3) must land in PartitionFilters, got:\n$plan")
+    assert(!plan.contains("dynamicpruningexpression"),
+      s"static predicate must not need DPP, got:\n$plan")
+  }
+
+  test("d14: retention argmax partial-aggregates — no window over members") {
+    val df = SparkEntry.queries("d14_cluster_retention")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the keeper is max(struct(n_chars, -doc_id)) — an associative
+    // aggregate whose partials are one struct per component×partition; a
+    // Window formulation would shuffle and SORT every cluster member
+    assert(!plan.contains("Window"),
+      s"d14 must pick keepers by aggregate argmax, not a window, got:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"keeper argmax must partial-aggregate, got:\n$plan")
+  }
+
   test("v20: the Hamming radius scan stays codegen'd and shuffle-free") {
     val df = SparkEntry.queries("v20_binary_rerank")(spark, sf)
     df.collect()
