@@ -344,6 +344,47 @@ object Core {
       .orderBy("purchase_id")
   }
 
+  /** J11 — as-of join with a TOLERANCE bound (pandas `merge_asof
+    * (tolerance=...)`, kdb's `wj` window join): the most recent view at
+    * or before each purchase, but only if it's ≤ 10 min stale —
+    * attribution windows, sensor-staleness cutoffs. Same single
+    * exchange as q23: because [[graft.ops.AsOfJoin.lastPrior]] already
+    * carries the MOST RECENT prior row, the tolerance is a post-hoc
+    * null-out (if the latest prior is too old, nothing within the
+    * window exists) — no second window pass, no range join; the bound
+    * costs one `when`. DuckDB has no ASOF tolerance either; the oracle
+    * applies the identical CASE over its native ASOF join. */
+  private def j11(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.ops.AsOfJoin
+      .lastPrior(purchases, views, "user_id", "ts",
+        struct(col("ts").as("vts"), col("event_id").as("vid")))
+      .select(
+        col("event_id").as("purchase_id"),
+        col("asof.vid").as("vid"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("asof.vts"))).as("gap"))
+      .select(
+        col("purchase_id"),
+        when(col("gap") <= 600, col("vid")).as("view_id"),
+        when(col("gap") <= 600, col("gap")).as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
+  private val oj11 =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |a AS (SELECT p.event_id pid, v.event_id vid,
+      |        (epoch_us(p.ts) // 1000000 - epoch_us(v.ts) // 1000000) gap
+      |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
+      |SELECT pid AS purchase_id,
+      |  CASE WHEN gap <= 600 THEN vid END AS view_id,
+      |  (CASE WHEN gap <= 600 THEN gap END)::BIGINT AS gap_sec
+      |FROM a ORDER BY purchase_id""".stripMargin
+
   /** Q24 — gap-based sessionization (30-min inactivity closes a
     * session): a lag + running-sum window assigns session ids in one
     * shuffle on user_id; per-user session stats out. The standard
@@ -1415,6 +1456,7 @@ object Core {
     QueryDef("q21_duration_seconds", q21, Some(oq21)),
     QueryDef("q22_percentiles", q22, Some(oq22)),
     QueryDef("q23_asof_join", q23, Some(oq23)),
+    QueryDef("j11_asof_tolerance", j11, Some(oj11)),
     QueryDef("q24_sessionize", q24, Some(oq24)),
     QueryDef("q25_hash_sample", q25, Some(oq25)),
     QueryDef("q26_pipeline_parity", q26, Some(oq26)),

@@ -797,6 +797,72 @@ object DedupQueries {
       |SELECT component, v AS keeper, n_docs, (total - n_chars)::BIGINT AS dropped_chars
       |FROM r WHERE rn = 1 ORDER BY component""".stripMargin
 
+  /** P14 — dedup YIELD per source: the corpus-accounting report a
+    * curation pipeline publishes after applying d14's retention policy
+    * — per source, how many docs are near-dup cluster members, how
+    * many the keep-longest policy drops, and the surviving fraction.
+    * Cluster membership (one ConnectedComponents run over the shared
+    * [[lshVerifiedPairs]] edge set, joined to doc metadata) is
+    * localCheckpointed once and read twice — keeper election and the
+    * per-source drop census (the d02 compute-once rule). Both
+    * aggregates are member-bounded (|cluster members| ≪ |docs|); the
+    * source totals join is a tiny |sources|-row left join. Lives in
+    * the dedup file to share the edge-set definition: p-family report,
+    * d-family machinery, one oracle CTE chain with d14. */
+  private def p14(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"), col("source"))
+    val m = graft.ops.ConnectedComponents
+      .run(lshVerifiedPairs(s, d)
+        .select(col("da").as("src"), col("db").as("dst"))
+        .distinct())
+      .join(docs, col("v") === col("doc_id"))
+      .localCheckpoint()
+    val k = m.groupBy("component")
+      .agg(max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("negid"))).as("k"))
+      .select(col("component"), (-col("k.negid")).as("keeper"))
+    val drops = m.join(k, "component")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_dup_members"),
+        sum(when(col("v") === col("keeper"), 0L).otherwise(1L)).as("n_dropped"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(drops, Seq("source"), "left")
+      .select(
+        col("source"), col("n_docs"),
+        coalesce(col("n_dup_members"), lit(0L)).as("n_dup_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        oround(lit(1.0) - coalesce(col("n_dropped"), lit(0L)).cast("double") / col("n_docs"), 4)
+          .as("pct_kept"))
+      .orderBy("source")
+  }
+
+  private val op14 =
+    s"""WITH RECURSIVE
+      |$lshPairCtes,
+      |ej AS (SELECT da, db FROM j WHERE jac >= 0.8),
+      |und AS (SELECT da a, db b FROM ej UNION SELECT db, da FROM ej),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM und
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a
+      |),
+      |lbl AS (SELECT a AS v, LEAST(a, min(b)) AS component FROM reach GROUP BY a),
+      |m AS (SELECT l.v, l.component, d.n_chars, d.source
+      |      FROM lbl l JOIN documents d ON l.v = d.doc_id),
+      |r AS (SELECT component, v,
+      |        row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, v) rn
+      |      FROM m),
+      |drops AS (SELECT m.source, count(*) n_members,
+      |            sum(CASE WHEN r.rn = 1 THEN 0 ELSE 1 END) n_dropped
+      |          FROM m JOIN r ON m.component = r.component AND m.v = r.v
+      |          GROUP BY 1),
+      |tot AS (SELECT source, count(*) n_docs FROM documents GROUP BY 1)
+      |SELECT t.source, t.n_docs,
+      |  COALESCE(dr.n_members, 0)::BIGINT AS n_dup_members,
+      |  COALESCE(dr.n_dropped, 0)::BIGINT AS n_dropped,
+      |  ROUND(1.0 - COALESCE(dr.n_dropped, 0)::DOUBLE / t.n_docs, 4) AS pct_kept
+      |FROM tot t LEFT JOIN drops dr USING (source) ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_fingerprint_blocks", d01, Some(od01)),
     QueryDef("d02_minhash_lsh_pairs", d02, Some(od02)),
@@ -811,5 +877,6 @@ object DedupQueries {
     QueryDef("d11_edit_distance", d11, Some(od11)),
     QueryDef("d12_segment_dedup", d12, Some(od12)),
     QueryDef("d13_containment", d13, Some(od13)),
-    QueryDef("d14_cluster_retention", d14, Some(od14)))
+    QueryDef("d14_cluster_retention", d14, Some(od14)),
+    QueryDef("p14_retention_yield", p14, Some(op14)))
 }
