@@ -328,6 +328,82 @@ object FormatQueries {
       |  AND user_id IS NOT NULL AND value IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** X10 — SCHEMA EVOLUTION across ingest batches: batch 1 lands
+    * without `o_orderstatus`, batch 2 adds it — the single most common
+    * estate mutation (a producer ships a new field mid-stream). The
+    * batches are hive-style `batch=N` partitions of one dataset;
+    * `mergeSchema` unifies the two file schemas and pre-evolution rows
+    * surface the added column as NULL — the census pins that the
+    * merged read neither drops rows nor mis-aligns columns. At 100 TB
+    * the merge cost is footer-only (per-FILE schema union, no data
+    * pass); the lesson the query documents is to keep evolution
+    * ADDITIVE — renames/type-changes need a rewrite, added nullable
+    * columns are free. Oracle: the same census straight off the
+    * original orders table with the batch rule re-applied. */
+  private def x10(s: SparkSession, d: String): DataFrame = {
+    val path = ensureTextArtifact("orders_evo", d, p => {
+      val o = orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.parquet(p + "/batch=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.parquet(p + "/batch=2")
+    })
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce(col("o_orderstatus"), lit("<pre-evolution>")).as("status"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        oround(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("status")
+  }
+
+  private val ox10 =
+    """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+      |       ELSE '<pre-evolution>' END AS status,
+      |  count(*) AS n_orders, ROUND(sum(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** X11 — CORRUPT-RECORD handling: a crawl/export dump where some
+    * lines are not valid JSON (every 10th event here, deterministically
+    * by event_id). PERMISSIVE read with an explicit
+    * `_corrupt_record` column: bad lines surface as (nulls, raw-text)
+    * rows instead of killing the job (FAILFAST) or silently vanishing
+    * (DROPMALFORMED) — at 100 TB, failing a 6-hour scan on line 10^12
+    * or losing rows unaccounted are both unacceptable; the census IS
+    * the data-quality contract (quarantine count + valid-row stats).
+    * The corrupt column must be referenced alongside real columns
+    * (Spark refuses corrupt-only projections over JSON). Oracle: the
+    * corruption rule re-applied to the original events table. */
+  private def x11(s: SparkSession, d: String): DataFrame = {
+    val path = ensureTextArtifact("events_corrupt", d, p =>
+      events(s, d)
+        .select(
+          when(col("event_id") % 10 === 0, lit("{\"event_id\": oops"))
+            .otherwise(to_json(struct(col("event_id"), col("value"))))
+            .as("line"))
+        .write.text(p))
+    s.read
+      .schema("event_id BIGINT, value DOUBLE, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        count(col("event_id")).as("n_valid"),
+        oround(max(when(col("_corrupt_record").isNull, col("value"))), 4)
+          .as("max_valid_value"))
+  }
+
+  private val ox11 =
+    """SELECT count(*) AS n_lines,
+      |  sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_corrupt,
+      |  sum(CASE WHEN event_id % 10 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+      |  ROUND(max(CASE WHEN event_id % 10 <> 0 THEN value END), 4) AS max_valid_value
+      |FROM events""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_csv_source", x01, Some(ox01)),
     QueryDef("x02_jsonl_source", x02, Some(ox02)),
@@ -337,5 +413,7 @@ object FormatQueries {
     QueryDef("x06_avro_v2", x06, Some(ox06)),
     QueryDef("x07_hive_partitions", x07, Some(ox07)),
     QueryDef("x08_binary_files", x08, Some(ox08)),
-    QueryDef("x09_xml_parse", x09, Some(ox09)))
+    QueryDef("x09_xml_parse", x09, Some(ox09)),
+    QueryDef("x10_schema_evolution", x10, Some(ox10)),
+    QueryDef("x11_corrupt_records", x11, Some(ox11)))
 }
