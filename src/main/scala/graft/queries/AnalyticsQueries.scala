@@ -2118,6 +2118,87 @@ object AnalyticsQueries {
       |  UNION ALL SELECT 'l_discount', 'l_tax', dt FROM a)
       |ORDER BY x, y""".stripMargin
 
+  /** P15 — QUOTA sampling: downsample every source to ≤ 20 docs,
+    * deterministically (the per-source cap a mixture recipe applies
+    * before weighting — p05 samples by fraction, this caps by COUNT).
+    * Rank = md5 of a salted doc_id: uniform, reshuffle-stable,
+    * engine-portable (the p01/p05/q25 no-RNG discipline). The rank
+    * filter plans through WindowGroupLimit, so each source partition
+    * keeps a 20-row heap instead of fully sorting — at 100 TB the
+    * per-partition state is the quota, not the source size. */
+  private def p15(s: SparkSession, d: String): DataFrame = {
+    val rk = Window.partitionBy("source")
+      .orderBy(md5(concat_ws(":", lit("q"), col("doc_id"))))
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        row_number().over(rk).cast("long").as("rk"))
+      .filter(col("rk") <= 20)
+      .orderBy("source", "rk")
+  }
+
+  private val op15 =
+    """WITH r AS (SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5('q:'||doc_id::VARCHAR)) rk
+      |  FROM documents)
+      |SELECT source, doc_id, rk FROM r WHERE rk <= 20
+      |ORDER BY source, rk""".stripMargin
+
+  /** U07 — CDC NET-EFFECT compaction (the Debezium batch-collapse): a
+    * change log carrying insert/update/delete ops per key collapses to
+    * at most ONE net op — I+…+D cancels outright, I+…+U nets to I with
+    * the final payload, U-only nets to U, trailing D nets to D. Ops
+    * derive from event_type (purchase→I, error→D, else U). Both the
+    * FIRST and LAST op per key are associative struct argmin/argmax
+    * ((ts, event_id) is unique per user), so the whole collapse is ONE
+    * partial-aggregated groupBy — no window sort of the log (the
+    * d14/q49 bounded-state discipline); at 100 TB the shuffle carries
+    * two structs per key×partition regardless of log depth. u04 keeps
+    * the latest version; this nets the OPS — the distinction that
+    * decides whether a downstream MERGE inserts, updates, or skips. */
+  private def u07(s: SparkSession, d: String): DataFrame = {
+    val oped = events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "purchase", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"))
+    oped.groupBy("user_id")
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("op"))).as("f"),
+        max(struct(col("ts"), col("event_id"), col("op"), col("value"))).as("l"),
+        count(lit(1)).as("n_ops"))
+      .filter(!(col("l.op") === "D" && col("f.op") === "I"))
+      .select(
+        col("user_id"),
+        when(col("l.op") === "D", "D")
+          .when(col("f.op") === "I", "I")
+          .otherwise("U").as("net_op"),
+        oround(col("l.value"), 2).as("net_value"),
+        col("n_ops"))
+      .orderBy("user_id")
+  }
+
+  private val ou07 =
+    """WITH c AS (SELECT user_id, ts, event_id, value,
+      |    CASE WHEN event_type = 'purchase' THEN 'I'
+      |         WHEN event_type = 'error' THEN 'D' ELSE 'U' END op
+      |  FROM events WHERE ts IS NOT NULL),
+      |f AS (SELECT user_id, op fop,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn FROM c),
+      |l AS (SELECT user_id, op lop, value lval,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      |  FROM c),
+      |n AS (SELECT user_id, count(*) n_ops FROM c GROUP BY 1)
+      |SELECT f.user_id,
+      |  CASE WHEN l.lop = 'D' THEN 'D' WHEN f.fop = 'I' THEN 'I' ELSE 'U' END AS net_op,
+      |  ROUND(l.lval, 2) AS net_value, n.n_ops
+      |FROM (SELECT * FROM f WHERE rn = 1) f
+      |JOIN (SELECT * FROM l WHERE rn = 1) l USING (user_id)
+      |JOIN n USING (user_id)
+      |WHERE NOT (l.lop = 'D' AND f.fop = 'I')
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_lag_delta", w01, Some(ow01)),
     QueryDef("w02_moving_avg", w02, Some(ow02)),
@@ -2173,5 +2254,7 @@ object AnalyticsQueries {
     QueryDef("u04_merge_snapshot", u04, Some(ou04)),
     QueryDef("u05_compaction_plan", u05, Some(ou05)),
     QueryDef("u06_gdpr_cascade", u06, Some(ou06)),
-    QueryDef("p13_dp_release", p13, Some(op13)))
+    QueryDef("p13_dp_release", p13, Some(op13)),
+    QueryDef("p15_quota_sample", p15, Some(op15)),
+    QueryDef("u07_cdc_net", u07, Some(ou07)))
 }

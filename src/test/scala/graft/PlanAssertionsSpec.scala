@@ -426,6 +426,24 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"keeper argmax must partial-aggregate, got:\n$plan")
   }
 
+  test("p15: the quota rank filter plans through WindowGroupLimit") {
+    val plan = executedPlan("p15_quota_sample")
+    // rk <= 20 must push into the window sort as a per-partition 20-row
+    // heap — without it every source sorts ALL its docs to keep 20
+    assert(plan.contains("WindowGroupLimit"),
+      s"quota filter must trigger WindowGroupLimit, got:\n$plan")
+  }
+
+  test("u07: CDC net-effect is one aggregate — no window sort of the log") {
+    val plan = executedPlan("u07_cdc_net")
+    // first/last ops are associative struct argmin/argmax: partial
+    // aggregation, two structs per key×partition, never a full sort
+    assert(!plan.contains("Window"),
+      s"u07 must collapse via aggregate argmin/argmax, not a window, got:\n$plan")
+    assert(plan.contains("partial"),
+      s"u07's argmin/argmax must partial-aggregate, got:\n$plan")
+  }
+
   test("v20: the Hamming radius scan stays codegen'd and shuffle-free") {
     val df = SparkEntry.queries("v20_binary_rerank")(spark, sf)
     df.collect()
