@@ -2199,6 +2199,60 @@ object AnalyticsQueries {
       |WHERE NOT (l.lop = 'D' AND f.fop = 'I')
       |ORDER BY user_id""".stripMargin
 
+  /** A14 — data-quality CONSTRAINT SUITE (the Deequ `check` shape,
+    * distinct from a06's profile: a06 reports stats, this asserts
+    * CONTRACTS and returns pass/fail rows a pipeline gate can act on).
+    * Five checks in ONE narrow pass — row count, completeness,
+    * key uniqueness, value domain, numeric range; the lone exact
+    * countDistinct keeps the plan on the Expand-free two-level
+    * distinct aggregate (the a06 lesson), and the melt to one row per
+    * check is `inline` over the single aggregate row: zero extra
+    * shuffles. The domain check FAILS by design here ('error' is
+    * outside the allowed set) — a constraint report that can't show a
+    * failure isn't testing the gate. At 100 TB this is the same one
+    * pass; sketch swaps (approx distinct) are licensed by a01. */
+  private def a14(s: SparkSession, d: String): DataFrame = {
+    val m = events(s, d).agg(
+      count(lit(1)).cast("double").as("n"),
+      count(col("user_id")).cast("double").as("nu"),
+      countDistinct(col("event_id")).cast("double").as("nde"),
+      sum(when(col("event_type").isin("click", "purchase", "signup", "view"), 1)
+        .otherwise(0)).cast("double").as("dom"),
+      sum(when(col("value").between(-10000, 10000), 1)
+        .otherwise(0)).cast("double").as("rng"))
+    val checks = array(
+      struct(lit("completeness_user_id").as("check_name"),
+        oround(col("nu") / col("n"), 4).as("metric"),
+        (col("nu") / col("n") >= 0.99).as("passed")),
+      struct(lit("domain_event_type").as("check_name"),
+        oround(col("dom") / col("n"), 4).as("metric"),
+        (col("dom") >= col("n")).as("passed")),
+      struct(lit("range_value").as("check_name"),
+        oround(col("rng") / col("n"), 4).as("metric"),
+        (col("rng") >= col("n")).as("passed")),
+      struct(lit("row_count").as("check_name"),
+        col("n").as("metric"), (col("n") > 0).as("passed")),
+      struct(lit("uniqueness_event_id").as("check_name"),
+        oround(col("nde") / col("n"), 4).as("metric"),
+        (col("nde") >= col("n")).as("passed")))
+    m.select(inline(checks)).orderBy("check_name")
+  }
+
+  private val oa14 =
+    """WITH m AS (SELECT count(*)::DOUBLE n, count(user_id)::DOUBLE nu,
+      |    count(DISTINCT event_id)::DOUBLE nde,
+      |    sum(CASE WHEN event_type IN ('click','purchase','signup','view')
+      |        THEN 1 ELSE 0 END)::DOUBLE dom,
+      |    sum(CASE WHEN value BETWEEN -10000 AND 10000 THEN 1 ELSE 0 END)::DOUBLE rng
+      |  FROM events)
+      |SELECT * FROM (
+      |  SELECT 'completeness_user_id' check_name, ROUND(nu/n,4) metric, nu/n >= 0.99 passed FROM m
+      |  UNION ALL SELECT 'domain_event_type', ROUND(dom/n,4), dom >= n FROM m
+      |  UNION ALL SELECT 'range_value', ROUND(rng/n,4), rng >= n FROM m
+      |  UNION ALL SELECT 'row_count', n, n > 0 FROM m
+      |  UNION ALL SELECT 'uniqueness_event_id', ROUND(nde/n,4), nde >= n FROM m)
+      |ORDER BY check_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_lag_delta", w01, Some(ow01)),
     QueryDef("w02_moving_avg", w02, Some(ow02)),
@@ -2256,5 +2310,6 @@ object AnalyticsQueries {
     QueryDef("u06_gdpr_cascade", u06, Some(ou06)),
     QueryDef("p13_dp_release", p13, Some(op13)),
     QueryDef("p15_quota_sample", p15, Some(op15)),
-    QueryDef("u07_cdc_net", u07, Some(ou07)))
+    QueryDef("u07_cdc_net", u07, Some(ou07)),
+    QueryDef("a14_constraint_suite", a14, Some(oa14)))
 }

@@ -835,6 +835,47 @@ object TextQueries {
       |  count(*) AS n_docs, ROUND(avg(n_novel/n_g), 4) AS avg_novelty
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** T21 — Unicode HOMOGLYPH detection + scrub (the confusable attack:
+    * Cyrillic а/е/о visually identical to Latin a/e/o poison dedup
+    * keys, vocabulary counts and denylist matches — t09 literal
+    * matches miss them by construction). The corpus is ASCII, so the
+    * query stages its own dirty estate deterministically (every 7th
+    * doc gets the Latin→Cyrillic swap), then detects via the
+    * `translate`-delete length delta and scrubs with the inverse
+    * `translate` — all codegen'd string builtins, one narrow pass, one
+    * single-row aggregate; `n_restored == n_docs` is the in-query
+    * proof the scrub is lossless. At 100 TB the same pass extends to
+    * the full confusables table as a longer translate alphabet —
+    * per-row cost, no joins, no shuffle beyond the census row. */
+  private def t21(s: SparkSession, d: String): DataFrame = {
+    val cyr = "аео" // а е о
+    documents(s, d)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 7 === 0, translate(col("text"), "aeo", cyr))
+          .otherwise(col("text")).as("dirty"))
+      .select(col("text"),
+        (length(col("dirty")) - length(translate(col("dirty"), cyr, ""))).as("n_conf"),
+        translate(col("dirty"), cyr, "aeo").as("clean"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_conf") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        max(col("n_conf")).cast("long").as("max_confusables"),
+        sum(when(col("clean") === col("text"), 1L).otherwise(0L)).as("n_restored"))
+  }
+
+  private val ot21 =
+    """WITH d AS (SELECT doc_id, text,
+      |    CASE WHEN doc_id % 7 = 0 THEN translate(text, 'aeo', 'аео')
+      |         ELSE text END dirty FROM documents),
+      |m AS (SELECT text,
+      |    length(dirty) - length(translate(dirty, 'аео', '')) n_conf,
+      |    translate(dirty, 'аео', 'aeo') clean FROM d)
+      |SELECT count(*) AS n_docs,
+      |  sum(CASE WHEN n_conf > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+      |  max(n_conf)::BIGINT AS max_confusables,
+      |  sum(CASE WHEN clean = text THEN 1 ELSE 0 END)::BIGINT AS n_restored
+      |FROM m""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
@@ -855,5 +896,6 @@ object TextQueries {
     QueryDef("t17_script_mix", t17, Some(ot17)),
     QueryDef("t18_zipf_fit", t18, Some(ot18)),
     QueryDef("t19_pmi_collocations", t19, Some(ot19)),
-    QueryDef("t20_novelty_score", t20, Some(ot20)))
+    QueryDef("t20_novelty_score", t20, Some(ot20)),
+    QueryDef("t21_homoglyph_scrub", t21, Some(ot21)))
 }
