@@ -2199,6 +2199,55 @@ object AnalyticsQueries {
       |WHERE NOT (l.lop = 'D' AND f.fop = 'I')
       |ORDER BY user_id""".stripMargin
 
+  /** W12 — OHLC BARS (candlestick resampling): per type and 6-hour
+    * bucket, the open/high/low/close/volume summary — the standard
+    * time-series downsampler (finance bars, sensor roll-ups, metric
+    * compaction). Open and close are associative struct argmin/argmax
+    * over (ts, event_id, value) — (ts, event_id) is unique, so the
+    * payload never decides the order and partial aggregation ships ONE
+    * struct per bar×partition; no window sort anywhere (the u07/d14
+    * discipline — a first_value/last_value window would sort every
+    * event). Buckets are epoch-aligned by integer division on µs, not
+    * `window()`/`time_bucket`, because the two engines' bucket origins
+    * differ and the arithmetic form is origin-exact on both. */
+  private def w12(s: SparkSession, d: String): DataFrame = {
+    val barUs = 21600L * 1000000L // 6 hours
+    events(s, d)
+      .filter(col("ts").isNotNull)
+      .groupBy(
+        col("event_type"),
+        timestamp_micros((unix_micros(col("ts")).divide(barUs)).cast("long") * barUs)
+          .as("bar_start"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).getField("value")
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value"))).getField("value")
+          .as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type", "bar_start")
+  }
+
+  private val ow12 =
+    """WITH b AS (SELECT event_type, value, ts, event_id,
+      |    make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) bar_start
+      |  FROM events WHERE ts IS NOT NULL),
+      |f AS (SELECT event_type, bar_start, value fopen,
+      |    row_number() OVER (PARTITION BY event_type, bar_start ORDER BY ts, event_id) rn
+      |  FROM b),
+      |l AS (SELECT event_type, bar_start, value fclose,
+      |    row_number() OVER (PARTITION BY event_type, bar_start ORDER BY ts DESC, event_id DESC) rn
+      |  FROM b),
+      |g AS (SELECT event_type, bar_start, max(value) high, min(value) low,
+      |    count(*) n_events FROM b GROUP BY 1, 2)
+      |SELECT g.event_type, g.bar_start, f.fopen AS open, g.high, g.low,
+      |  l.fclose AS close, g.n_events
+      |FROM g
+      |JOIN (SELECT * FROM f WHERE rn = 1) f USING (event_type, bar_start)
+      |JOIN (SELECT * FROM l WHERE rn = 1) l USING (event_type, bar_start)
+      |ORDER BY event_type, bar_start""".stripMargin
+
   /** A14 — data-quality CONSTRAINT SUITE (the Deequ `check` shape,
     * distinct from a06's profile: a06 reports stats, this asserts
     * CONTRACTS and returns pass/fail rows a pipeline gate can act on).
@@ -2311,5 +2360,6 @@ object AnalyticsQueries {
     QueryDef("p13_dp_release", p13, Some(op13)),
     QueryDef("p15_quota_sample", p15, Some(op15)),
     QueryDef("u07_cdc_net", u07, Some(ou07)),
-    QueryDef("a14_constraint_suite", a14, Some(oa14)))
+    QueryDef("a14_constraint_suite", a14, Some(oa14)),
+    QueryDef("w12_ohlc_bars", w12, Some(ow12)))
 }

@@ -444,6 +444,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"u07's argmin/argmax must partial-aggregate, got:\n$plan")
   }
 
+  test("w12: OHLC open/close are aggregate argmin/argmax — no window sort") {
+    val plan = executedPlan("w12_ohlc_bars")
+    // first_value/last_value over (type, bar) windows would sort every
+    // event; the struct argmin/argmax ships one struct per bar×partition
+    assert(!plan.contains("Window"),
+      s"w12 must resample via aggregate argmin/argmax, got:\n$plan")
+    assert(plan.contains("partial"),
+      s"w12 bars must partial-aggregate, got:\n$plan")
+  }
+
   test("v20: the Hamming radius scan stays codegen'd and shuffle-free") {
     val df = SparkEntry.queries("v20_binary_rerank")(spark, sf)
     df.collect()
