@@ -269,10 +269,73 @@ object GraphQueries {
       |SELECT lbl AS community, count(*) AS n_members FROM p2
       |GROUP BY lbl ORDER BY n_members DESC, community LIMIT 20""".stripMargin
 
+  /** G6 — PERSONALIZED PageRank: teleport mass flows back to a SEED
+    * vertex instead of uniformly — the proximity score behind
+    * "customers like you" recommendations (random walks restarting at
+    * the seed). Same checkpointed-edge iteration discipline as g01
+    * (the (src, dst, deg) table is materialized once; three iterations
+    * re-join it); the differences are the init vector (1 at the seed,
+    * 0 elsewhere) and the teleport term (0.15 · 1[v = seed]). The seed
+    * arrives as a 1-row broadcast frame — never a driver-side collect
+    * — and after k iterations only the k-hop neighborhood holds mass,
+    * which is the point: proximity, not global centrality. Top-50. */
+  private def g06(s: SparkSession, d: String): DataFrame = {
+    val pairs = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), (col("l_suppkey") + lit(1000000L)).as("supp"))
+      .join(orders(s, d).select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")), "ok")
+      .select("supp", "cust").distinct()
+    val edges = pairs.select(col("supp").as("src"), col("cust").as("dst"))
+      .unionAll(pairs.select(col("cust").as("src"), col("supp").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ew = edges.join(deg, "src").localCheckpoint()
+    val seed = ew.select(min(when(col("src") < 1000000L, col("src"))).as("sid"))
+    val init = ew.select(col("src").as("id")).distinct()
+      .crossJoin(broadcast(seed))
+      .select(col("id"), when(col("id") === col("sid"), 1.0).otherwise(0.0).as("r"))
+    val ranks = (1 to 3).foldLeft(init) { (r, _) =>
+      ew.join(r, ew("src") === r("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("deg")).as("m"))
+        .crossJoin(broadcast(seed))
+        .select(col("id"),
+          (when(col("id") === col("sid"), 0.15).otherwise(0.0) + lit(0.85) * col("m"))
+            .as("r"))
+    }
+    ranks.filter(col("r") > 0)
+      .select(col("id"), oround(col("r"), 6).as("prox"))
+      .orderBy(col("prox").desc, col("id"))
+      .limit(50)
+  }
+
+  /** One PPR iteration in DuckDB — teleport to the seed only. */
+  private def pprIter(prev: String, out: String): String =
+    s"""$out AS (SELECT ew.dst AS id,
+       |  (CASE WHEN ew.dst = (SELECT sid FROM sd) THEN 0.15 ELSE 0.0 END)
+       |    + 0.85*sum($prev.r/ew.deg) AS r
+       |  FROM ew JOIN $prev ON ew.src = $prev.id GROUP BY ew.dst)""".stripMargin
+
+  private val og06 =
+    s"""WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS supp, o_custkey AS cust
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT supp AS src, cust AS dst FROM e0
+       |          UNION ALL SELECT cust AS src, supp AS dst FROM e0),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |ew AS (SELECT e.src, e.dst, dg.deg FROM edges e JOIN deg dg ON e.src = dg.src),
+       |sd AS (SELECT min(CASE WHEN src < 1000000 THEN src END) AS sid FROM ew),
+       |r0 AS (SELECT src AS id,
+       |         CASE WHEN src = (SELECT sid FROM sd) THEN 1.0 ELSE 0.0 END AS r
+       |       FROM deg),
+       |${pprIter("r0", "r1")},
+       |${pprIter("r1", "r2")},
+       |${pprIter("r2", "r3")}
+       |SELECT id, ROUND(r, 6) AS prox FROM r3 WHERE r > 0
+       |ORDER BY prox DESC, id LIMIT 50""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", g01, Some(og01)),
     QueryDef("g02_triangles", g02, Some(og02)),
     QueryDef("g03_bfs_hops", g03, Some(og03)),
     QueryDef("g04_copurchase_jaccard", g04, Some(og04)),
-    QueryDef("g05_labelprop", g05, Some(og05)))
+    QueryDef("g05_labelprop", g05, Some(og05)),
+    QueryDef("g06_personalized_pagerank", g06, Some(og06)))
 }

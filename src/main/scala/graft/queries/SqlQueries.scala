@@ -184,8 +184,33 @@ object SqlQueries {
       |GROUP BY ALL
       |ORDER BY ALL""".stripMargin
 
+  /** Q51 — the SQL PIVOT clause (the second dialect probe after q50):
+    * Spark parses the native `PIVOT (agg FOR col IN (...))` relation
+    * operator and plans it as the SAME conditional-aggregation tree
+    * the oracle text spells out longhand (one partial-aggregated pass,
+    * one column per IN-list entry — never a shuffle per pivot value).
+    * The two texts differ by design: DuckDB's PIVOT has different
+    * syntax/semantics, and pinning Spark's sugar against the portable
+    * GROUP BY CASE form proves the sugar changes nothing. Shared-text
+    * ROUND is safe here per the header note (o_totalprice carries
+    * exactly 2 decimals). */
+  private val q51Sql =
+    """SELECT * FROM (
+      |  SELECT o_orderpriority AS priority, o_orderstatus, o_totalprice FROM orders)
+      |PIVOT (ROUND(SUM(o_totalprice), 2)
+      |       FOR o_orderstatus IN ('F' AS f_total, 'O' AS o_total, 'P' AS p_total))
+      |ORDER BY priority""".stripMargin
+
+  private val oq51 =
+    """SELECT o_orderpriority AS priority,
+      |  ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_total,
+      |  ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o_total,
+      |  ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q50_sql_modern", sql(q50Sql), Some(q50Sql)),
+    QueryDef("q51_sql_pivot", sql(q51Sql), Some(oq51)),
     QueryDef("q47_sql_fuzzy", sql(q47Sql), Some(q47Sql)),
     QueryDef("q48_sql_filtered_agg", sql(q48Sql), Some(q48Sql)),
     QueryDef("q29_sql_window", sql(q29Sql), Some(q29Sql)),
