@@ -31,6 +31,11 @@ object DedupQueries {
 
   private val N = 2 // bigram shingles (see vocabulary note above)
 
+  /** d11's fingerprint-block document-frequency cap: blocks larger than
+    * this never enter pair enumeration (see d11's scaladoc). Public so
+    * the property spec pins the same bound the query applies. */
+  val D11BlockCap = 64
+
   /** Tokens staged as a materialized projection column — every downstream
     * lambda then reads the attribute instead of re-running `split` per
     * iteration (TextFns performance contract). */
@@ -563,6 +568,25 @@ object DedupQueries {
     * insertions that shift every downstream k-gram (the "same doc, one
     * sentence injected" near-dup) still score close here.
     *
+    * BLOCK BOUND (the d13 df≤20 discipline applied here): a fingerprint
+    * block participates in pair enumeration only when its document
+    * frequency is 2…[[D11BlockCap]]. Without the cap, one hot
+    * fingerprint — a boilerplate template page owning a large corpus
+    * fraction — makes the collect_list row gigabytes and the pair
+    * count quadratic in the corpus. The cap is applied BEFORE the
+    * collect (a count agg + equi-join on the 16-byte fp), so the
+    * oversized block's texts are never materialized into a single row;
+    * pairs per block are ≤ B(B−1)/2 = 2016 and total pair volume stays
+    * linear in corpus size no matter how skewed the fingerprints get.
+    * Oversized blocks are exactly the template-farm mass whose
+    * duplication is d12/d13's signal, not character-level edit
+    * distance's. The dropped-block census rides the job as a named
+    * observe (`d11_block_census`: docs dropped, max block size,
+    * dropped-pair mass) — surfaced, not silent, like d13's df cap and
+    * g04's ≤40-buyers cap. At sf0.1 the cap drops 23 of 206 blocks
+    * (including the 275-doc hot block) and cuts candidate pairs
+    * 315k → 22k; the DuckDB oracle applies the identical HAVING bound.
+    *
     * Two stages, split where the COST lives (the round-6 lesson —
     * measured 217 s → ~7 s at sf0.1):
     *
@@ -594,13 +618,27 @@ object DedupQueries {
     * (Parity note: DuckDB's levenshtein is byte-based, Spark's
     * is character-based — identical on this ASCII corpus; non-ASCII
     * corpora would need a byte-cast first.) */
-  private def d11(s: SparkSession, d: String): DataFrame = {
-    val K = 150
-    val pairs = tokenized(s, d)
+  /** d11's stage 1 — fingerprint, cap, pair-enumerate — split out so the
+    * plan spec can assert the cap join's shape (the barrier in [[d11]]
+    * hides this lineage from the final QueryExecution). */
+  private[graft] def d11Pairs(s: SparkSession, d: String): DataFrame = {
+    val B = D11BlockCap
+    val base = tokenized(s, d)
       .select(
         col("doc_id"),
         TextFns.fingerprintOf(col("toks"), col("text"), N).as("fp"),
         col("text"))
+      .localCheckpoint() // compute-once: block census + capped join read it
+    val sizes = base.groupBy("fp").agg(count(lit(1)).as("bn"))
+    base
+      .join(sizes, "fp")
+      .observe(
+        "d11_block_census",
+        sum(when(col("bn") > B, 1L).otherwise(0L)).as("docs_in_dropped_blocks"),
+        max(col("bn")).as("max_block_size"),
+        sum(when(col("bn") > B, (col("bn") - 1) / 2.0).otherwise(0.0))
+          .as("dropped_pair_mass"))
+      .filter(col("bn").between(2, B))
       .groupBy("fp")
       .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("text").as("tx"))))
         .as("ms"))
@@ -613,7 +651,11 @@ object DedupQueries {
             x.getField("tx").as("ta"), y.getField("tx").as("tb"))))))
         .as("p"))
       .select(col("p.*"))
-    rebalance(s, pairs)
+  }
+
+  private def d11(s: SparkSession, d: String): DataFrame = {
+    val K = 150
+    rebalance(s, d11Pairs(s, d))
       .select(
         col("da"), col("db"),
         levenshtein(col("ta"), col("tb"), K).as("lev"),
@@ -632,11 +674,13 @@ object DedupQueries {
       |s AS (SELECT doc_id, text, CASE WHEN len(toks) >= 2
       |  THEN list_min(list_transform(generate_series(1, len(toks)-1), i -> md5(toks[i] || ' ' || toks[i+1])))
       |  ELSE md5(text) END fp FROM t),
+      |bs AS (SELECT fp FROM s GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
+      |sk AS (SELECT s.* FROM s JOIN bs USING (fp)),
       |pairs AS (
       |  SELECT a.doc_id da, b.doc_id db,
       |    levenshtein(a.text, b.text) AS lev,
       |    greatest(len(a.text), len(b.text)) AS mx
-      |  FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+      |  FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id)
       |SELECT da, db, lev::BIGINT AS edit_dist, ROUND(1.0 - lev / mx, 4) AS sim
       |FROM pairs WHERE lev <= 150 ORDER BY da, db""".stripMargin
 

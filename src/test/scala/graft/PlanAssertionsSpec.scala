@@ -261,11 +261,24 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"w07 must shuffle twice (bounds agg + window), got $exchanges in:\n$plan")
   }
 
-  test("d11: blocked edit distance runs with ZERO joins") {
-    val plan = executedPlan("d11_edit_distance")
-    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-      "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
-      assert(!plan.contains(j), s"d11 must be join-free, found $j in:\n$plan"))
+  test("d11: pair enumeration is explode-based; the ONLY join is the block-size cap") {
+    // assert on stage 1 directly — the barrier in d11 hides this lineage
+    // from the final QueryExecution (Scan ExistingRDD leaf)
+    val df = graft.queries.DedupQueries.d11Pairs(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the df-cap joins block sizes back on the 16-byte fp — an equi-join,
+    // never a nested loop; pair generation itself stays explode-based
+    // (a self-join on fp would be a second equi-join → assert exactly one)
+    Seq("BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"d11 must never nested-loop, found $j in:\n$plan"))
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r.findAllIn(plan).length
+    assert(joins == 1,
+      s"d11 must have exactly ONE join (the fp block-size cap), got $joins in:\n$plan")
+    // the cap filter must run BELOW the collect_list aggregate: an
+    // oversized block's texts are never materialized into one row
+    val capBelowAgg = plan.contains("CollectMetrics") || plan.contains("bn#")
+    assert(capBelowAgg, s"block-size cap must ride the pre-aggregate stage:\n$plan")
   }
 
   test("q34: four grouping sets compute in ONE Expand + aggregate pass") {
