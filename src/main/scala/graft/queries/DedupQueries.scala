@@ -31,10 +31,12 @@ object DedupQueries {
 
   private val N = 2 // bigram shingles (see vocabulary note above)
 
-  /** d11's fingerprint-block document-frequency cap: blocks larger than
-    * this never enter pair enumeration (see d11's scaladoc). Public so
-    * the property spec pins the same bound the query applies. */
-  val D11BlockCap = 64
+  /** The fingerprint-block document-frequency cap shared by the two
+    * pair-enumerating blocked queries (d04, d11): blocks larger than
+    * this never enter pair enumeration (see d11's scaladoc for the
+    * full rationale). Public so the property spec pins the same bound
+    * the queries apply. */
+  val PairBlockCap = 64
 
   /** Tokens staged as a materialized projection column — every downstream
     * lambda then reads the attribute instead of re-running `split` per
@@ -229,18 +231,38 @@ object DedupQueries {
     * fingerprint blocks (same blocking key as D1) — the all-pairs
     * comparison never happens. Top-20 most similar pairs.
     *
-    * Same bucket-local shape as D2 (one scan, one shuffle, zero joins):
-    * group members by fingerprint, emit ordered pairs from the sorted
-    * list, score inline; top-20 via TakeOrderedAndProject. The earlier
+    * Same bucket-local shape as D2 (one scan, one shuffle): group
+    * members by fingerprint, emit ordered pairs from the sorted list,
+    * score inline; top-20 via TakeOrderedAndProject. The earlier
     * self-join-on-fp computed the tokenize→shingle subtree twice (lambda
-    * exprIds defeat exchange reuse, so ReuseExchange never fires). */
+    * exprIds defeat exchange reuse, so ReuseExchange never fires).
+    *
+    * BLOCK BOUND: same [[PairBlockCap]] df-cap as d11, applied before
+    * the collect — d04's block row carries SHINGLE ARRAYS per member,
+    * so a hot template fingerprint is even more dangerous here than in
+    * d11 (the one-row payload is |block|×|shingles| before the |block|²
+    * pair explosion even starts). A capped-out template block's
+    * duplication is d01/d12's exact-dup signal, not a Jaccard ranking's;
+    * dropped mass is surfaced via the `d04_block_census` observe and the
+    * DuckDB oracle applies the identical HAVING bound. */
   private def d04(s: SparkSession, d: String): DataFrame =
-    tokenized(s, d)
-      .filter(size(col("toks")) >= N)
-      .select(
-        col("doc_id"),
-        TextFns.fingerprintOf(col("toks"), col("text"), N).as("fp"),
-        TextFns.shinglesOf(col("toks"), N).as("sh"))
+    d04Pairs(s, d)
+      .orderBy(col("jaccard").desc, col("da"), col("db"))
+      .limit(20)
+
+  /** d04's capped pair stage ([[capBlocks]] discipline); `cap = None` is
+    * the probe-only uncapped twin — see [[d11Pairs]]. */
+  private[graft] def d04Pairs(
+      s: SparkSession, d: String,
+      cap: Option[Int] = Some(PairBlockCap)): DataFrame =
+    capBlocks(
+      tokenized(s, d)
+        .filter(size(col("toks")) >= N)
+        .select(
+          col("doc_id"),
+          TextFns.fingerprintOf(col("toks"), col("text"), N).as("fp"),
+          TextFns.shinglesOf(col("toks"), N).as("sh")),
+      "d04_block_census", cap)
       .groupBy("fp")
       .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("sh").as("sh"))))
         .as("ms"))
@@ -259,8 +281,6 @@ object DedupQueries {
       .select(col("p.da").as("da"), col("p.db").as("db"),
         oround(col("p.ni").cast("double") / (col("p.na") + col("p.nb") - col("p.ni")), 3)
           .as("jaccard"))
-      .orderBy(col("jaccard").desc, col("da"), col("db"))
-      .limit(20)
 
   /** The cosine near-dup EDGE SET shared by d05 and the graph family
     * ([[GraphQueries]] g02 counts triangles over exactly these edges):
@@ -343,10 +363,12 @@ object DedupQueries {
       |s AS (SELECT doc_id,
       |    list_min(list_transform(generate_series(1, len(toks)-1), i -> md5(toks[i]||' '||toks[i+1]))) fp,
       |    list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])) sh
-      |  FROM t WHERE len(toks) >= 2)
+      |  FROM t WHERE len(toks) >= 2),
+      |bs AS (SELECT fp FROM s GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
+      |sk AS (SELECT s.* FROM s JOIN bs USING (fp))
       |SELECT a.doc_id AS da, b.doc_id AS db,
       |  ROUND(len(list_intersect(a.sh,b.sh))::DOUBLE/(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3) AS jaccard
-      |FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |ORDER BY jaccard DESC, da, db LIMIT 20""".stripMargin
 
   /** The oracle twin of [[cosineEdges]] — yields CTE `ce(va, vb, cos)`
@@ -570,7 +592,7 @@ object DedupQueries {
     *
     * BLOCK BOUND (the d13 df≤20 discipline applied here): a fingerprint
     * block participates in pair enumeration only when its document
-    * frequency is 2…[[D11BlockCap]]. Without the cap, one hot
+    * frequency is 2…[[PairBlockCap]]. Without the cap, one hot
     * fingerprint — a boilerplate template page owning a large corpus
     * fraction — makes the collect_list row gigabytes and the pair
     * count quadratic in the corpus. The cap is applied BEFORE the
@@ -618,27 +640,44 @@ object DedupQueries {
     * (Parity note: DuckDB's levenshtein is byte-based, Spark's
     * is character-based — identical on this ASCII corpus; non-ASCII
     * corpora would need a byte-cast first.) */
+  /** The block bound both pair-enumerating queries apply BEFORE their
+    * collect_list: a count agg + equi-join on the 16-byte fp keeps an
+    * oversized block's payloads from ever materializing into one row,
+    * and the dropped mass rides the job as a named observe (surfaced,
+    * not silent — the d13 df≤20 / g04 ≤40-buyers discipline). `cap =
+    * None` is the probe-only uncapped twin ([[graft.examples
+    * .HotBlockProbe]]) that demonstrates the hazard the cap removes. */
+  private def capBlocks(
+      base: DataFrame, censusName: String, cap: Option[Int]): DataFrame =
+    cap match {
+      case None => base
+      case Some(b) =>
+        val sizes = base.groupBy("fp").agg(count(lit(1)).as("bn"))
+        base
+          .join(sizes, "fp")
+          .observe(
+            censusName,
+            sum(when(col("bn") > b, 1L).otherwise(0L)).as("docs_in_dropped_blocks"),
+            max(col("bn")).as("max_block_size"),
+            sum(when(col("bn") > b, (col("bn") - 1) / 2.0).otherwise(0.0))
+              .as("dropped_pair_mass"))
+          .filter(col("bn").between(2, b))
+          .drop("bn")
+    }
+
   /** d11's stage 1 — fingerprint, cap, pair-enumerate — split out so the
     * plan spec can assert the cap join's shape (the barrier in [[d11]]
     * hides this lineage from the final QueryExecution). */
-  private[graft] def d11Pairs(s: SparkSession, d: String): DataFrame = {
-    val B = D11BlockCap
+  private[graft] def d11Pairs(
+      s: SparkSession, d: String,
+      cap: Option[Int] = Some(PairBlockCap)): DataFrame = {
     val base = tokenized(s, d)
       .select(
         col("doc_id"),
         TextFns.fingerprintOf(col("toks"), col("text"), N).as("fp"),
         col("text"))
       .localCheckpoint() // compute-once: block census + capped join read it
-    val sizes = base.groupBy("fp").agg(count(lit(1)).as("bn"))
-    base
-      .join(sizes, "fp")
-      .observe(
-        "d11_block_census",
-        sum(when(col("bn") > B, 1L).otherwise(0L)).as("docs_in_dropped_blocks"),
-        max(col("bn")).as("max_block_size"),
-        sum(when(col("bn") > B, (col("bn") - 1) / 2.0).otherwise(0.0))
-          .as("dropped_pair_mass"))
-      .filter(col("bn").between(2, B))
+    capBlocks(base, "d11_block_census", cap)
       .groupBy("fp")
       .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("text").as("tx"))))
         .as("ms"))

@@ -13,7 +13,7 @@ class D11BlockCapSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("a block larger than D11BlockCap yields ZERO pairs; census reports it") {
-    val cap = DedupQueries.D11BlockCap
+    val cap = DedupQueries.PairBlockCap
     val hot = cap + 6 // one template page owning `hot` docs → one fp block
     val dir = java.nio.file.Files.createTempDirectory("graft_d11cap").toString
 
