@@ -170,4 +170,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(sensor.head.getAs[Double]("temperature") == 22.5)
     assert(sensor.head.getAs[Int]("samples") == 2)
   }
+
+  test("replay reconstruction RESUMES over the kept checkpoint with identical rows") {
+    // The per-JVM run-root cache (Core.Replay) means a second
+    // construction of any replay query resumes the stream — AvailableNow
+    // finds every staged file committed, drains zero batches, and the
+    // sink already holds the result. Pin that the resumed read equals
+    // the cold one for the three sink shapes: windowed parquet (q33),
+    // foreachBatch JDBC (q46), flatMapGroupsWithState parquet (q36).
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("q33_stream_replay", "q46_stream_jdbc", "q36_stream_sessions")) {
+      val cold = SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted
+      val resumed = SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted
+      assert(cold.nonEmpty, s"$q cold run produced no rows")
+      assert(resumed.toSeq == cold.toSeq,
+        s"$q resume diverged: cold=${cold.length} rows, resumed=${resumed.length}")
+    }
+  }
 }
