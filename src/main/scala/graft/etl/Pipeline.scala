@@ -205,6 +205,33 @@ object Pipeline {
       .option("batchsize", "1000")
       .jdbc(url, table, props)
 
+  /** OP-14's connect-level retry twin (`/root/reference/src/database/
+    * connection.rs:57-106`): the reference re-resolves and re-dials the
+    * database up to 100 times at 5 s intervals before giving up, so a
+    * daemon outlives a database restart. Spark owns write-side fault
+    * tolerance (task retry + idempotent batch replay), but the
+    * driver-side DELETE statement in [[writeJdbcMicroBatch]] still dials
+    * its own connection — a transient refusal there should wait out the
+    * restart rather than fail the micro-batch. Only the CONNECT phase
+    * retries; statement errors propagate immediately (a bad statement
+    * does not become good by retrying, and re-running non-idempotent
+    * SQL blindly is how duplicates happen). */
+  private[graft] def connectWithRetry(
+      url: String, props: java.util.Properties = new java.util.Properties,
+      attempts: Int = 100, backoffMs: Long = 5000): java.sql.Connection = {
+    var n = 0
+    while (true) {
+      try return java.sql.DriverManager.getConnection(url, props)
+      catch {
+        case e: java.sql.SQLException =>
+          n += 1
+          if (n >= attempts) throw e
+          Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Delete-then-insert idempotent micro-batch load: rows carry the
     * micro-batch id, and a replay first clears its own id. The DELETE is
     * one driver-side statement (indexable predicate), not a truncate —
@@ -215,7 +242,11 @@ object Pipeline {
       props: java.util.Properties = new java.util.Properties): Unit = {
     val cached = batchDf.cache()
     def load(df: DataFrame, table: String): Unit = {
-      val conn = java.sql.DriverManager.getConnection(url, props)
+      // 12×5 s (one minute), not the reference's 100×5 s: a micro-batch
+      // that cannot connect for a minute should fail loudly and let the
+      // CHECKPOINT replay it — the stream-level retry the reference
+      // daemon lacks is the engine's real recovery path (q44).
+      val conn = connectWithRetry(url, props, attempts = 12, backoffMs = 5000)
       try {
         val exists = {
           // Derby/Postgres fold unquoted identifiers to their own case;

@@ -167,4 +167,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.getAs[Int]("movement_counter") == 0) // single reading ⇒ delta 0
     assert(m.getAs[Double]("acceleration_y") == -0.004)
   }
+
+  test("connect retry waits out a database restart (OP-14 connect twin, connection.rs:57-106)") {
+    // The DB does not exist yet (create=false refuses); a "restarting
+    // database" thread brings it up mid-retry. The connect must survive
+    // the refused attempts and return the live connection.
+    val name = "graftretry"
+    val url = s"jdbc:derby:memory:$name"
+    intercept[java.sql.SQLException] { // sanity: refused while down
+      java.sql.DriverManager.getConnection(url)
+    }
+    val restarter = new Thread(() => {
+      Thread.sleep(600)
+      java.sql.DriverManager.getConnection(s"$url;create=true").close()
+    })
+    restarter.start()
+    val t0 = System.nanoTime()
+    val conn = Pipeline.connectWithRetry(url, attempts = 30, backoffMs = 200)
+    try {
+      assert(conn.isValid(2))
+      assert((System.nanoTime() - t0) / 1e6 >= 400, "must have actually waited through refusals")
+    } finally { conn.close(); restarter.join() }
+    // bounded: attempts exhausted -> the LAST refusal propagates
+    intercept[java.sql.SQLException] {
+      Pipeline.connectWithRetry("jdbc:derby:memory:neverexists", attempts = 2, backoffMs = 10)
+    }
+  }
 }
