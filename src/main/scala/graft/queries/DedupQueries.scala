@@ -89,12 +89,23 @@ object DedupQueries {
     * 4 bands of 2 rows; docs sharing a band key are candidates; candidates
     * are verified with exact Jaccard ≥ 0.8.
     *
-    * Plan shape — one scan, two shuffles, zero joins: signature = narrow
-    * per-row work; bands = 4× row explosion CARRYING the shingle array;
-    * candidate generation + verification happen inside the (band, key)
-    * bucket — group members into a sorted list, emit ordered pairs, score
-    * exact Jaccard inline, keep survivors. LSH bounds bucket sizes, so
-    * the per-bucket pair fan-out is |bucket|², not corpus². The earlier
+    * Plan shape — one scan, two shuffles, one tiny equi-join (the bucket
+    * cap): signature = narrow per-row work; bands = 4× row explosion
+    * CARRYING the shingle array; candidate generation + verification
+    * happen inside the (band, key) bucket — group members into a sorted
+    * list, emit ordered pairs, score exact Jaccard inline, keep
+    * survivors. LSH bounds bucket sizes for NEAR-dup density only —
+    * exact-dup mass defeats it: every copy of a template page carries an
+    * identical MinHash signature, so all copies share every band key and
+    * one bucket row holds |hot|×|shingles| payload before exploding
+    * |hot|² pairs, ×4 bands (the hazard [[graft.examples.HotBlockProbe]]
+    * measures). Hence the same [[PairBlockCap]] df-cap d04/d11 apply to
+    * fingerprint blocks rides the (band, bh) bucket here, BEFORE the
+    * collect; dropped mass is surfaced via the `d02_bucket_census`
+    * observe and the DuckDB oracle applies the identical HAVING bound.
+    * A capped-out bucket is exact-dup/template mass — d01/d12's signal,
+    * not a near-dup pair listing's; cluster formation over that mass is
+    * [[lshComponentEdges]]'s job, which needs no cap. The earlier
     * join-back-by-doc_id shape recomputed the tokenize→shingle subtree
     * three times across six AQE stages plus two broadcasts — measured 10 s
     * against ~2 s for this shape at sf0.1, same output. At 100 TB the
@@ -111,26 +122,40 @@ object DedupQueries {
       .distinct()
       .orderBy("da", "db")
 
-  /** The verified near-dup pair stream shared by D2 (pair listing) and
-    * D6 (cluster formation): (da < db, exact Jaccard ≥ 0.8), possibly
-    * repeated when a pair collides in several bands. */
-  private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = sigWithSh(s, d)
+  /** D2's verified near-dup pair stream: (da < db, exact Jaccard ≥ 0.8),
+    * possibly repeated when a pair collides in several bands, with the
+    * (band, bh) buckets df-capped at [[PairBlockCap]] ([[capBlocks]]
+    * discipline — the signature table is checkpointed first so the
+    * bucket census and the capped join read one materialization).
+    * `cap = None` is the probe-only uncapped hazard twin. */
+  private[graft] def lshVerifiedPairs(
+      s: SparkSession, d: String,
+      cap: Option[Int] = Some(PairBlockCap)): DataFrame = {
+    val sig0 = sigWithSh(s, d)
+    val sig = if (cap.isDefined) sig0.localCheckpoint() else sig0
     // band key = the two component values, delimited — no hashing needed,
     // the pair of longs IS the identity the band compares on
     val bands = sig.select(
       col("doc_id"), col("sh"),
       posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh")))
-    val buckets = bands
+    pairsFromShBuckets(
+      capBlocks(bands, Seq("band", "bh"), "d02_bucket_census", cap))
+  }
+
+  /** Bucket-local pair emission + exact-Jaccard verification over a
+    * (doc_id, sh, band, bh) band-exploded frame — the shared tail of
+    * [[lshVerifiedPairs]] (capped, corpus docs) and
+    * [[lshComponentEdges]] (uncapped, exact-dup class representatives).
+    * Emits (ids, |a∩b|, |a|, |b|) per pair — the intersection is computed
+    * ONCE inside the lambda and only 5 scalars leave it (materializing
+    * the two shingle arrays per pair would blow the row up |bucket|²×);
+    * the Jaccard ratio is derived from the scalars in the projection. */
+  private def pairsFromShBuckets(bands: DataFrame): DataFrame =
+    bands
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("sh").as("sh"))))
         .as("ms"))
       .filter(size(col("ms")) > 1)
-    // Emit (ids, |a∩b|, |a|, |b|) per pair — the intersection is computed
-    // ONCE inside the lambda and only 5 scalars leave it (materializing
-    // the two shingle arrays per pair would blow the row up |bucket|²×);
-    // the Jaccard ratio is derived from the scalars in the projection.
-    buckets
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(
           slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
@@ -141,6 +166,51 @@ object DedupQueries {
       .select(col("p.da").as("da"), col("p.db").as("db"),
         (col("p.ni").cast("double") / (col("p.na") + col("p.nb") - col("p.ni"))).as("jac"))
       .filter(col("jac") >= 0.8)
+
+  /** The near-dup EDGE SET for cluster formation (d06/d14/p14) — the
+    * all-pairs verified-edge graph's connected components, computed
+    * WITHOUT ever enumerating the quadratic exact-dup pair mass, and
+    * with NO cap semantics: docs are first collapsed into exact-dup
+    * classes (identical sorted shingle set ⇒ identical hs ⇒ identical
+    * MinHash signature ⇒ identical EVERY band key), each class
+    * contributes linear STAR edges (member ↔ class min — Jaccard 1.0
+    * within a class, no verification needed), and the LSH
+    * band/bucket/verify pipeline runs over one REPRESENTATIVE per class.
+    *
+    * This is exactly equivalent to components over the uncapped
+    * [[lshVerifiedPairs]] stream, because both band collision and
+    * Jaccard are functions of the shingle SET alone: for same-class docs
+    * x, y and any doc z, the edge (x, z) exists in the all-pairs graph
+    * iff (y, z) does, so the all-pairs graph is the union of intra-class
+    * cliques and complete bipartite graphs between adjacent classes —
+    * same components as stars + one rep edge per adjacent class pair.
+    * The oracle therefore replays the plain all-pairs closure, and the
+    * CompHotMass spec executes the equivalence on a hot corpus. After
+    * collapse the rep buckets hold only DISTINCT shingle sets, so bucket
+    * sizes are bounded by genuine near-dup density — the load LSH banding
+    * is actually designed for; a residual near-identical template farm
+    * (hot mass with per-copy perturbations) would still need d02's cap,
+    * at the cost of exactness. */
+  private def lshComponentEdges(s: SparkSession, d: String): DataFrame = {
+    val grouped = shingled(s, d)
+      .select(col("doc_id"), sort_array(col("sh")).as("sh"))
+      .groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .localCheckpoint() // star edges + rep pipeline read one materialization
+    val star = grouped
+      .filter(size(col("ids")) > 1)
+      .select(col("ids").getItem(0).as("src"),
+        explode(slice(col("ids"), 2, size(col("ids")))).as("dst"))
+    val reps = grouped.select(col("ids").getItem(0).as("doc_id"), col("sh"))
+    val sig = reps.select(col("doc_id"), col("sh"),
+      TextFns.shingleHashes(col("sh")).as("hs"))
+      .select(col("doc_id") +: col("sh") +: minhashCols: _*)
+    val repPairs = pairsFromShBuckets(
+      sig.select(col("doc_id"), col("sh"),
+        posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh"))))
+      .select(col("da").as("src"), col("db").as("dst"))
+      .distinct()
+    star.union(repPairs)
   }
 
   /** D7 — the SAME MinHash+LSH dedup as d02 in its at-scale JOIN-BACK
@@ -163,10 +233,16 @@ object DedupQueries {
   private def d07(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d).localCheckpoint()
     val withHs = sh.select(col("doc_id"), TextFns.shingleHashes(col("sh")).as("hs"))
-    val sig = withHs.select(col("doc_id") +: minhashCols: _*)
+    // second (narrow — 9 longs/doc) checkpoint: the bucket census and the
+    // capped join both derive bands from it, so the md5+permutation pass
+    // runs once (the same compute-once rule as d02's sig checkpoint)
+    val sig = withHs.select(col("doc_id") +: minhashCols: _*).localCheckpoint()
     val bands = sig.select(
       col("doc_id"), posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh")))
-    val pairs = bands
+    // the same PairBlockCap bucket bound as d02 (d07 claims oracle
+    // identity with d02, so the two caps must move together)
+    val pairs = capBlocks(bands, Seq("band", "bh"), "d07_bucket_census",
+        Some(PairBlockCap))
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -190,18 +266,21 @@ object DedupQueries {
   }
 
   /** D6 — duplicate CLUSTERS from the near-dup pairs: connected
-    * components over the D2 edge set ([[graft.ops.ConnectedComponents]]
-    * min-label propagation), labeled by the cluster's minimum doc_id —
-    * the representative a dedup pass would keep. This is the step
-    * production dedup actually needs (pairs alone under-delete:
-    * transitively-linked docs A–B–C must collapse to ONE keeper, not
-    * two independent pair decisions). Oracle: a recursive-CTE transitive
-    * closure over the identical edge set. */
+    * components over the verified edge graph ([[graft.ops
+    * .ConnectedComponents]] min-label propagation), labeled by the
+    * cluster's minimum doc_id — the representative a dedup pass would
+    * keep. This is the step production dedup actually needs (pairs alone
+    * under-delete: transitively-linked docs A–B–C must collapse to ONE
+    * keeper, not two independent pair decisions). The edge feed is
+    * [[lshComponentEdges]] — linear star edges over exact-dup classes +
+    * verified pairs over class representatives, provably the same
+    * components as the all-pairs stream with no hot-mass quadratics and
+    * no cap semantics. Oracle: a recursive-CTE transitive closure over
+    * the plain all-pairs edge set (the equivalence theorem lets the
+    * oracle stay in the naive form). */
   private def d06(s: SparkSession, d: String): DataFrame =
     graft.ops.ConnectedComponents
-      .run(lshVerifiedPairs(s, d)
-        .select(col("da").as("src"), col("db").as("dst"))
-        .distinct())
+      .run(lshComponentEdges(s, d))
       .groupBy("component")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("component")
@@ -261,8 +340,13 @@ object DedupQueries {
         .select(
           col("doc_id"),
           TextFns.fingerprintOf(col("toks"), col("text"), N).as("fp"),
-          TextFns.shinglesOf(col("toks"), N).as("sh")),
-      "d04_block_census", cap)
+          TextFns.shinglesOf(col("toks"), N).as("sh"))
+        // compute-once, mirroring d11Pairs: the census count and the
+        // capped equi-join both read this projection, and without the
+        // barrier the tokenize→fingerprint→shingle subtree runs twice
+        // (measured +0.9 s at sf0.1, VERDICT r7 #2)
+        .localCheckpoint(),
+      Seq("fp"), "d04_block_census", cap)
       .groupBy("fp")
       .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("sh").as("sh"))))
         .as("ms"))
@@ -640,21 +724,27 @@ object DedupQueries {
     * (Parity note: DuckDB's levenshtein is byte-based, Spark's
     * is character-based — identical on this ASCII corpus; non-ASCII
     * corpora would need a byte-cast first.) */
-  /** The block bound both pair-enumerating queries apply BEFORE their
-    * collect_list: a count agg + equi-join on the 16-byte fp keeps an
-    * oversized block's payloads from ever materializing into one row,
-    * and the dropped mass rides the job as a named observe (surfaced,
-    * not silent — the d13 df≤20 / g04 ≤40-buyers discipline). `cap =
-    * None` is the probe-only uncapped twin ([[graft.examples
-    * .HotBlockProbe]]) that demonstrates the hazard the cap removes. */
+  /** The block bound every pair-enumerating blocked query applies BEFORE
+    * its collect_list / self-join: a count agg + equi-join on the block
+    * key keeps an oversized block's payloads from ever materializing into
+    * one row, and the dropped mass rides the job as a named observe
+    * (surfaced, not silent — the d13 df≤20 / g04 ≤40-buyers discipline).
+    * `keys` is the blocking key — the 16-byte fingerprint for d04/d11,
+    * the (band, bh) LSH bucket for d02/d07. `cap = None` is the
+    * probe-only uncapped twin ([[graft.examples.HotBlockProbe]]) that
+    * demonstrates the hazard the cap removes. Callers checkpoint `base`'s
+    * lineage first: the size agg and the equi-join both read it, and
+    * lambda exprIds defeat ReuseExchange (the round-2 lesson — an
+    * unpinned base pays its projection twice, measured on d04 r7). */
   private def capBlocks(
-      base: DataFrame, censusName: String, cap: Option[Int]): DataFrame =
+      base: DataFrame, keys: Seq[String], censusName: String,
+      cap: Option[Int]): DataFrame =
     cap match {
       case None => base
       case Some(b) =>
-        val sizes = base.groupBy("fp").agg(count(lit(1)).as("bn"))
+        val sizes = base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
         base
-          .join(sizes, "fp")
+          .join(sizes, keys)
           .observe(
             censusName,
             sum(when(col("bn") > b, 1L).otherwise(0L)).as("docs_in_dropped_blocks"),
@@ -677,7 +767,7 @@ object DedupQueries {
         TextFns.fingerprintOf(col("toks"), col("text"), N).as("fp"),
         col("text"))
       .localCheckpoint() // compute-once: block census + capped join read it
-    capBlocks(base, "d11_block_census", cap)
+    capBlocks(base, Seq("fp"), "d11_block_census", cap)
       .groupBy("fp")
       .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("text").as("tx"))))
         .as("ms"))
@@ -838,13 +928,12 @@ object DedupQueries {
     * applied to dedup). dropped_chars = cluster char mass minus the
     * keeper's: the training-token savings the policy realizes.
     * Components reuse the d06 ConnectedComponents run over the shared
-    * [[lshVerifiedPairs]] edge set; the oracle replays the identical
-    * recursive-CTE closure, so d06/d14 can never disagree on clusters. */
+    * [[lshComponentEdges]] feed; the oracle replays the recursive-CTE
+    * closure over the equivalent all-pairs edge set, so d06/d14 can
+    * never disagree on clusters. */
   private def d14(s: SparkSession, d: String): DataFrame =
     graft.ops.ConnectedComponents
-      .run(lshVerifiedPairs(s, d)
-        .select(col("da").as("src"), col("db").as("dst"))
-        .distinct())
+      .run(lshComponentEdges(s, d))
       .join(documents(s, d).select(col("doc_id"), col("n_chars")),
         col("v") === col("doc_id"))
       .groupBy("component")
@@ -885,7 +974,7 @@ object DedupQueries {
     * — per source, how many docs are near-dup cluster members, how
     * many the keep-longest policy drops, and the surviving fraction.
     * Cluster membership (one ConnectedComponents run over the shared
-    * [[lshVerifiedPairs]] edge set, joined to doc metadata) is
+    * [[lshComponentEdges]] feed, joined to doc metadata) is
     * localCheckpointed once and read twice — keeper election and the
     * per-source drop census (the d02 compute-once rule). Both
     * aggregates are member-bounded (|cluster members| ≪ |docs|); the
@@ -895,9 +984,7 @@ object DedupQueries {
   private def p14(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("n_chars"), col("source"))
     val m = graft.ops.ConnectedComponents
-      .run(lshVerifiedPairs(s, d)
-        .select(col("da").as("src"), col("db").as("dst"))
-        .distinct())
+      .run(lshComponentEdges(s, d))
       .join(docs, col("v") === col("doc_id"))
       .localCheckpoint()
     val k = m.groupBy("component")
