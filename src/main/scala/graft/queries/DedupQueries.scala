@@ -200,7 +200,7 @@ object DedupQueries {
     val star = grouped
       .filter(size(col("ids")) > 1)
       .select(col("ids").getItem(0).as("src"),
-        explode(slice(col("ids"), 2, size(col("ids")))).as("dst"))
+        explode(slice(col("ids"), lit(2), size(col("ids")))).as("dst"))
     val reps = grouped.select(col("ids").getItem(0).as("doc_id"), col("sh"))
     val sig = reps.select(col("doc_id"), col("sh"),
       TextFns.shingleHashes(col("sh")).as("hs"))
@@ -414,10 +414,21 @@ object DedupQueries {
     .mkString(",\n      |   ")
 
   /** The shared oracle CTE chain producing the scored candidate pairs —
-    * interpolated into BOTH od02 and od06 so the two oracles can never
+    * interpolated into od02 AND od06/od14/op14 so the oracles can never
     * verify against different edge sets (mirrors the Scala side's shared
-    * [[lshVerifiedPairs]]). Yields CTE `j(da, db, jac)`. */
-  private val lshPairCtes =
+    * [[lshVerifiedPairs]]). Yields CTE `j(da, db, jac)`. `cap` mirrors
+    * [[capBlocks]]'s (band, bh) bucket bound: `Some(PairBlockCap)` for
+    * the pair-LISTING oracles (od02 — d02 and d07 both claim it), `None`
+    * for the component oracles, whose Scala side ([[lshComponentEdges]])
+    * is exactly-equivalent to the UNCAPPED closure and needs no bound. */
+  private def lshPairCtes(cap: Option[Int]): String = {
+    val bk = cap match {
+      case Some(c) =>
+        s"""bsz AS (SELECT b, bh FROM bands GROUP BY b, bh HAVING count(*) BETWEEN 2 AND $c),
+          |bk AS (SELECT bands.* FROM bands JOIN bsz USING (b, bh)),
+          |""".stripMargin
+      case None => "bk AS (SELECT * FROM bands),\n"
+    }
     s"""t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])) sh
       |      FROM t WHERE len(toks) >= 2),
@@ -425,13 +436,14 @@ object DedupQueries {
       |sig AS (SELECT doc_id, [$mhList] mh FROM hsed),
       |bands AS (SELECT doc_id, b, mh[2*b-1]::VARCHAR || ':' || mh[2*b]::VARCHAR bh
       |          FROM sig, (SELECT unnest(generate_series(1,4)) b)),
-      |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b
+      |${bk}cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bk a JOIN bk b
       |         ON a.b=b.b AND a.bh=b.bh AND a.doc_id<b.doc_id),
       |j AS (SELECT da, db, len(list_intersect(sa.sh,sb.sh))::DOUBLE/(len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh,sb.sh))) jac
       |      FROM cand JOIN s sa ON cand.da = sa.doc_id JOIN s sb ON cand.db = sb.doc_id)""".stripMargin
+  }
 
   private val od02 =
-    s"""WITH $lshPairCtes
+    s"""WITH ${lshPairCtes(Some(PairBlockCap))}
       |SELECT da, db, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.8 ORDER BY da, db""".stripMargin
 
   private val od03 =
@@ -475,7 +487,7 @@ object DedupQueries {
 
   private val od06 =
     s"""WITH RECURSIVE
-      |$lshPairCtes,
+      |${lshPairCtes(None)},
       |ej AS (SELECT da, db FROM j WHERE jac >= 0.8),
       |und AS (SELECT da a, db b FROM ej UNION SELECT db, da FROM ej),
       |reach(a, b) AS (
@@ -950,7 +962,7 @@ object DedupQueries {
 
   private val od14 =
     s"""WITH RECURSIVE
-      |$lshPairCtes,
+      |${lshPairCtes(None)},
       |ej AS (SELECT da, db FROM j WHERE jac >= 0.8),
       |und AS (SELECT da a, db b FROM ej UNION SELECT db, da FROM ej),
       |reach(a, b) AS (
@@ -1008,7 +1020,7 @@ object DedupQueries {
 
   private val op14 =
     s"""WITH RECURSIVE
-      |$lshPairCtes,
+      |${lshPairCtes(None)},
       |ej AS (SELECT da, db FROM j WHERE jac >= 0.8),
       |und AS (SELECT da a, db b FROM ej UNION SELECT db, da FROM ej),
       |reach(a, b) AS (
