@@ -54,16 +54,25 @@ object Bench {
       // Both raw timings to stderr: the cold/warm gap is the codegen +
       // artifact-staging cost, worth watching per query when profiling.
       System.err.println(f"[bench] $name run1=$first%.2f run2=$second%.2f")
-      name -> ((first, second) match {
+      val best = (first, second) match {
         case (a, b) if a >= 0 && b >= 0 => math.min(a, b)
         case (a, b)                     => math.max(a, b) // the non-negative one, or -1
-      })
+      }
+      (name, best, first, second)
     }
     errs.foreach(e => System.err.println(s"[bench] FAILED $e"))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def jmap(f: ((String, Double, Double, Double)) => Double): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_._2)
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    // `queries` stays min-of-2 (the driver's BENCH contract); the per-run
+    // maps persist what the min discards — run1 is the COLD execution
+    // (codegen + streaming-replay + artifact-staging cost, the number a
+    // first-time cluster job pays), run2 the resumed/warm one. The
+    // round-7/8 cold replay cost for the streams family survived only in
+    // stderr; now it rides the committed record.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_cold":${jmap(_._3)},"queries_resumed":${jmap(_._4)},"sf":"$sfDir"}"""
     println(json)
     // Also persist the full line: the driver's BENCH capture truncates
     // its tail at 2000 chars, which loses per-query data for most of the

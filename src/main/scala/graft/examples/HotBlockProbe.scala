@@ -31,15 +31,40 @@ object HotBlockProbe {
     val dir = stageEstate(spark, hotN)
     println(s"probe estate: $dir (sf0.01 base + $hotN hot template docs)")
 
-    // pair-count census first — the number the cap is ABOUT
+    // pair-count census first — the number the cap is ABOUT, for both
+    // hazards: the fingerprint block (d04/d11) and the LSH band bucket
+    // (d02/d07); d06's star-edge path has no cap and stays LINEAR in the
+    // hot mass by construction (one exact-dup class → |hot|-1 star edges)
     val un = DedupQueries.d11Pairs(spark, dir, cap = None).count()
     val cp = DedupQueries.d11Pairs(spark, dir).count()
-    println(f"candidate pairs: uncapped=$un%,d capped=$cp%,d")
+    println(f"d11 candidate pairs: uncapped=$un%,d capped=$cp%,d")
+    val unB = DedupQueries.lshVerifiedPairs(spark, dir, cap = None).count()
+    val cpB = DedupQueries.lshVerifiedPairs(spark, dir).count()
+    println(f"d02 verified pairs:  uncapped=$unB%,d capped=$cpB%,d")
+    val starEdges = DedupQueries.lshComponentEdges(spark, dir).count()
+    println(f"d06 star+rep edges:  $starEdges%,d (linear in hot mass)")
+    // d08's candidate axis: the census' dropped_pair_mass IS the band
+    // self-join output the cap refused to produce (the hot signature's
+    // 4 buckets); what remains is linear in the corpus
+    val d08c = DedupQueries.d08Pairs(spark, dir)
+    // collect, not count — count() wraps a NEW QueryExecution and the
+    // observe metrics ride only the plan they're attached to
+    val d08n = d08c.collect().length
+    val d08census = d08c.queryExecution.observedMetrics("d08_band_census")
+    println(f"d08 verified pairs:  capped=$d08n%,d; census avoided " +
+      f"${d08census.getAs[Double]("dropped_pair_mass")}%,.0f candidate pairs " +
+      f"(max bucket ${d08census.getAs[Long]("max_block_size")}%,d)")
 
     val rows = Seq(
       "d01_fingerprint_blocks" -> time(queryRun(spark, dir, "d01_fingerprint_blocks")),
+      "d02_capped" -> time(queryRun(spark, dir, "d02_minhash_lsh_pairs")),
+      "d02_UNCAPPED" -> time(() => d02Uncapped(spark, dir)),
       "d04_capped" -> time(queryRun(spark, dir, "d04_ngram_jaccard_topk")),
       "d04_UNCAPPED" -> time(() => d04Uncapped(spark, dir)),
+      "d06_star_components" -> time(queryRun(spark, dir, "d06_dup_components")),
+      "d08_capped" -> time(queryRun(spark, dir, "d08_simhash_hamming")),
+      "d08_UNCAPPED" -> time(() => DedupQueries.d08Pairs(spark, dir, cap = None)
+        .orderBy("hamming", "da", "db").limit(50)),
       "d11_capped" -> time(queryRun(spark, dir, "d11_edit_distance")),
       "d11_UNCAPPED" -> time(() => d11Uncapped(spark, dir)))
     println(f"${"query"}%-24s min-of-2 sec")
@@ -68,7 +93,15 @@ object HotBlockProbe {
 
   /** The hazard twins: the shipped pair stages with the cap disabled,
     * finished with the shipped scoring shapes (top-20 Jaccard / bounded
-    * Levenshtein) so capped-vs-uncapped differs ONLY in the bound. */
+    * Levenshtein / distinct verified pairs) so capped-vs-uncapped
+    * differs ONLY in the bound. */
+  private def d02Uncapped(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.lshVerifiedPairs(s, dir, cap = None)
+      .select(col("da"), col("db"),
+        graft.functions.Num.oround(col("jac"), 3).as("jaccard"))
+      .distinct()
+      .orderBy("da", "db")
+
   private def d04Uncapped(s: SparkSession, dir: String): DataFrame =
     DedupQueries.d04Pairs(s, dir, cap = None)
       .orderBy(col("jaccard").desc, col("da"), col("db"))

@@ -126,15 +126,26 @@ object TextFns {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  /** 16-bit SimHash from a materialized token-hash array (`hash60` per
-    * token): bit j is the sign of Σ±1 over the tokens' bit j. */
-  def simhash16(hashes: Column): Column =
+  /** `bits`-wide SimHash from a materialized token-hash array (`hash60`
+    * per token): bit j is the sign of Σ±1 over the tokens' bit j. The
+    * 16-bit form backs d03's exact-signature clusters; d08's banded
+    * Hamming search uses the full 60-bit width of `hash60` so its
+    * 15-bit band VALUES are sparse (32768 keys per band index — bucket
+    * membership is near-dup signal, not |corpus|/16 by construction).
+    * `bits` ≤ 60 (the hash width) keeps the value positive in a signed
+    * long in both engines. */
+  def simhashW(hashes: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 60, s"simhash width must be 1..60, got $bits")
     aggregate(
-      sequence(lit(0), lit(15)), lit(0L),
+      sequence(lit(0), lit(bits - 1)), lit(0L),
       (acc, j) =>
         acc + when(
           aggregate(hashes, lit(0), (a, h) =>
             a + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, 1)
               .otherwise(-1)) >= 0,
           call_function("shiftleft", lit(1L), j)).otherwise(0L))
+  }
+
+  /** 16-bit SimHash — see [[simhashW]]. */
+  def simhash16(hashes: Column): Column = simhashW(hashes, 16)
 }

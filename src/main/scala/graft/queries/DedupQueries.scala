@@ -191,7 +191,7 @@ object DedupQueries {
     * is actually designed for; a residual near-identical template farm
     * (hot mass with per-copy perturbations) would still need d02's cap,
     * at the cost of exactness. */
-  private def lshComponentEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lshComponentEdges(s: SparkSession, d: String): DataFrame = {
     val grouped = shingled(s, d)
       .select(col("doc_id"), sort_array(col("sh")).as("sh"))
       .groupBy("sh")
@@ -291,9 +291,11 @@ object DedupQueries {
     * buckets; wider Hamming radii would probe bit-flipped buckets the same
     * way). Nested higher-order folds — zero UDFs, zero extra shuffles
     * beyond the final groupBy. */
-  /** The ONE (doc_id, simhash) signature table — d03's exact groups
-    * and d08's Hamming neighborhoods must agree on what a signature is
-    * (same discipline as minhashCols for d02/d07). */
+  /** The (doc_id, 16-bit simhash) signature table for d03's
+    * exact-signature groups (d08's banded Hamming search uses the
+    * 60-bit [[simhashed60]] — wider signature so its band keys are
+    * sparse; the two queries answer different questions and each pins
+    * its own width). */
   private def simhashed(s: SparkSession, d: String): DataFrame =
     tokenized(s, d)
       .select(col("doc_id"), transform(col("toks"), w => TextFns.hash60(w)).as("hs"))
@@ -502,27 +504,54 @@ object DedupQueries {
 
   /** D8 — SimHash near-dup at Hamming distance ≤ 3 via banded
     * multi-index blocking (Manku et al., WWW '07 — the canonical
-    * web-scale simhash scheme): the 16-bit signature splits into 4
-    * bands of 4 bits, and two signatures within Hamming 3 differ in at
-    * most 3 bands, so they agree EXACTLY on at least one band
-    * (pigeonhole) — candidates are an equi-join on (band index, band
-    * value), never all-pairs, and the Hamming verify runs only inside
-    * band buckets. d03 groups identical signatures; this finds the
-    * neighborhood around them (hd 1–3). The 4× band explosion carries
-    * two longs per row; at more bits, bands widen and the same shape
-    * holds (64-bit simhash = 4×16-bit bands for hd ≤ 3). */
-  private def d08(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint: the self-join would otherwise recompute the
-    // tokenize→hash60→simhash fold on BOTH sides (lambda exprIds defeat
-    // ReuseExchange — the d04/d07 lesson); the checkpointed table is two
-    // longs per doc
-    val k = simhashed(s, d).localCheckpoint()
+    * web-scale simhash scheme): the signature splits into 4 bands, and
+    * two signatures within Hamming 3 differ in at most 3 bands, so they
+    * agree EXACTLY on at least one band (pigeonhole) — candidates are an
+    * equi-join on (band index, band value), never all-pairs, and the
+    * Hamming verify runs only inside band buckets. d03 groups identical
+    * signatures; this finds the neighborhood around them (hd 1–3).
+    *
+    * SIGNATURE WIDTH IS THE SCALE BOUND (round-8 `weak` fix): at 16
+    * bits a 4-bit band has 16 possible values, so the expected bucket is
+    * |corpus|/16 REGARDLESS of skew and the band join is ~|corpus|²/64
+    * by construction. This uses the full 60-bit width of `hash60`
+    * (4 bands × 15 bits = 32768 keys per band index): an exact 15-bit
+    * band agreement between random docs is ~3·10⁻⁵, so bucket
+    * membership is genuine near-dup signal and the candidate count is
+    * linear in the corpus ([[graft.examples.HotBlockProbe]] measures the
+    * axis). Exact-dup template mass still defeats any banding — every
+    * copy carries the identical signature — so the same [[PairBlockCap]]
+    * df-cap as d02/d04/d11 rides the (j, band) bucket as belt-and-braces
+    * ([[D08BandCapSpec]] pins it; a capped-out bucket is d01/d03's
+    * exact-dup signal, and its hd-0 pairs were never d08 output anyway).
+    * Dropped mass is surfaced via `d08_band_census`; the DuckDB oracle
+    * applies the identical HAVING bound. */
+  private def d08(s: SparkSession, d: String): DataFrame =
+    d08Pairs(s, d)
+      .orderBy("hamming", "da", "db")
+      .limit(50)
+
+  /** d08's capped pair stage ([[capBlocks]] discipline); `cap = None` is
+    * the probe-only uncapped twin — see [[d11Pairs]]. */
+  private[graft] def d08Pairs(
+      s: SparkSession, d: String,
+      cap: Option[Int] = Some(PairBlockCap)): DataFrame = {
+    // localCheckpoint: the census, the cap join and BOTH self-join sides
+    // would otherwise each recompute the tokenize→hash60→simhash fold
+    // (lambda exprIds defeat ReuseExchange — the d04/d07 lesson); the
+    // checkpointed table is two longs per doc
+    val k = simhashed60(s, d).localCheckpoint()
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("j"))
       .select(col("doc_id"), col("simhash"), col("j"),
-        call_function("shiftright", col("simhash"), col("j") * 4)
-          .bitwiseAND(lit(15L)).as("band"))
-    val a = k.toDF("da", "sa", "ja", "ba")
-    val b = k.toDF("db", "sb", "jb", "bb")
+        call_function("shiftright", col("simhash"), col("j") * 15)
+          .bitwiseAND(lit(32767L)).as("band"))
+    // capBlocks' using-join reorders columns (join keys first) — pin the
+    // order by NAME before the positional rename, or da/sa silently bind
+    // to band index/value (caught by the sf0.01 oracle in round 9)
+    val capped = capBlocks(k, Seq("j", "band"), "d08_band_census", cap)
+      .select("doc_id", "simhash", "j", "band")
+    val a = capped.toDF("da", "sa", "ja", "ba")
+    val b = capped.toDF("db", "sb", "jb", "bb")
     a.join(b,
         col("ja") === col("jb") && col("ba") === col("bb") && col("da") < col("db"))
       .select(col("da"), col("db"), col("sa"), col("sb"))
@@ -531,19 +560,26 @@ object DedupQueries {
         call_function("bit_count", col("sa").bitwiseXOR(col("sb")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= 3 && col("hamming") > 0)
-      .orderBy("hamming", "da", "db")
-      .limit(50)
   }
+
+  /** The ONE (doc_id, 60-bit simhash) signature table for d08 — same
+    * compute-once discipline as [[simhashed]] (d03's 16-bit twin). */
+  private def simhashed60(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .select(col("doc_id"), transform(col("toks"), w => TextFns.hash60(w)).as("hs"))
+      .select(col("doc_id"), TextFns.simhashW(col("hs"), 60).as("simhash"))
 
   private val od08 =
     """WITH t AS (SELECT doc_id, list_transform(string_split(text,' '), w -> ('0x'||substr(md5(w),1,15))::BIGINT) hs FROM documents),
-      |sh AS (SELECT doc_id, list_sum(list_transform(generate_series(0,15), j ->
+      |sh AS (SELECT doc_id, list_sum(list_transform(generate_series(0,59), j ->
       |   CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
       |   THEN (1::BIGINT << j) ELSE 0 END))::BIGINT simhash FROM t),
-      |k AS (SELECT doc_id, simhash, j, (simhash >> (4*j)) & 15 AS band
+      |k AS (SELECT doc_id, simhash, j, (simhash >> (15*j)) & 32767 AS band
       |      FROM sh, (SELECT unnest(generate_series(0,3)) j)),
+      |kc AS (SELECT j, band FROM k GROUP BY j, band HAVING count(*) BETWEEN 2 AND 64),
+      |kf AS (SELECT k.* FROM k JOIN kc USING (j, band)),
       |pairs AS (SELECT DISTINCT a.doc_id da, b.doc_id db, a.simhash sa, b.simhash sb
-      |  FROM k a JOIN k b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id),
+      |  FROM kf a JOIN kf b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id),
       |ham AS (SELECT da, db, bit_count(xor(sa, sb)) hd FROM pairs)
       |SELECT da, db, hd::BIGINT AS hamming FROM ham WHERE hd <= 3 AND hd > 0
       |ORDER BY hd, da, db LIMIT 50""".stripMargin

@@ -66,11 +66,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"frontier expansion must stay an equi-join, got:\n$plan")
   }
 
-  test("d02: bucket-local LSH verification runs with ZERO joins") {
-    val plan = executedPlan("d02_minhash_lsh_pairs")
-    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-      "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
-      assert(!plan.contains(j), s"d02 must be join-free, found $j in:\n$plan"))
+  test("d02: the ONLY join is the (band,bh) bucket-size cap; verify tail join-free") {
+    // round-8 plan shape: the capBlocks census equi-join on the band
+    // bucket key is the ONE permitted join (the d11 discipline at :264);
+    // pair emission + Jaccard verification still run bucket-locally with
+    // no join — a second equi-join would mean the verify tail regressed
+    // to the join-back shape (that's d07's job, benched separately)
+    val plan = executedPlan("d02_minhash_lsh_pairs").split("== Initial Plan ==")(0)
+    Seq("BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"d02 must never nested-loop, found $j in:\n$plan"))
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r.findAllIn(plan).length
+    assert(joins == 1,
+      s"d02 must have exactly ONE join (the (band,bh) bucket cap), got $joins in:\n$plan")
+    // the cap must ride BELOW the collect_list aggregate (census observe +
+    // bucket-size filter before any bucket row materializes its members)
+    assert(plan.contains("CollectMetrics"),
+      s"d02's bucket census observe must ride the job:\n$plan")
   }
 
   test("q13: top-20 is TakeOrderedAndProject, dimensions broadcast") {
