@@ -160,6 +160,45 @@ object Core {
       .orderBy("mac")
   }
 
+  /** Q52 — OP-16's LEGACY config fallback
+    * (`/root/reference/src/config.rs:57-69`): when the packed
+    * `RUUVI_TAGS` form (q11) is absent, the daemon scans the WHOLE
+    * environment for `RUUVI_TAG_<idx>_MAC` / `RUUVI_TAG_<idx>_NAME`
+    * pairs and keeps a (mac → name) entry only when BOTH halves of an
+    * index exist — a MAC without its NAME is dropped, not defaulted,
+    * and the index is an arbitrary string, not necessarily numeric.
+    * Re-expressed relationally: the environment is a (key, value)
+    * table, the _MAC and _NAME rows are two regexp-derived projections
+    * of it, and the reference's "look up the sibling variable" rule is
+    * an inner equi-join on the extracted index. Config-sized literal
+    * frame — broadcast-trivial at any scale; the fixture rows include
+    * the cases the reference's loop silently skips (orphan MAC, orphan
+    * NAME, non-matching keys, `RUUVI_TAGS_MAC` whose prefix almost
+    * matches). */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val env = Seq(
+      "RUUVI_TAG_1_MAC" -> "AA:BB:CC:DD:EE:01",
+      "RUUVI_TAG_1_NAME" -> "Kitchen",
+      "RUUVI_TAG_2_MAC" -> "AA:BB:CC:DD:EE:02",
+      "RUUVI_TAG_2_NAME" -> "Sauna",
+      "RUUVI_TAG_porch_MAC" -> "AA:BB:CC:DD:EE:03", // non-numeric index
+      "RUUVI_TAG_porch_NAME" -> "Garage",
+      "RUUVI_TAG_9_MAC" -> "AA:BB:CC:DD:EE:09", // orphan MAC → dropped
+      "RUUVI_TAG_10_NAME" -> "Attic", // orphan NAME → dropped
+      "RUUVI_TAGS_MAC" -> "not-a-tag", // prefix almost matches → skipped
+      "PATH" -> "/usr/bin").toDF("key", "value")
+    val macs = env
+      .filter(col("key").rlike("^RUUVI_TAG_(.*)_MAC$"))
+      .select(regexp_extract(col("key"), "^RUUVI_TAG_(.*)_MAC$", 1).as("idx"),
+        col("value").as("mac"))
+    val names = env
+      .filter(col("key").rlike("^RUUVI_TAG_(.*)_NAME$"))
+      .select(regexp_extract(col("key"), "^RUUVI_TAG_(.*)_NAME$", 1).as("idx"),
+        col("value").as("name"))
+    macs.join(names, "idx").select("mac", "name").orderBy("mac")
+  }
+
   /** Q12 — union of micro-batches (OP-09, `/root/reference/src/main.rs:96-102`):
     * unionByName then aggregate; Catalyst pushes the aggregate's partial
     * phase below the union, so the union itself never materializes. */
@@ -1302,6 +1341,24 @@ object Core {
       |  'AA:BB:CC:DD:EE:01=Kitchen,AA:BB:CC:DD:EE:02=Sauna,AA:BB:CC:DD:EE:03=Garage',
       |  ',')) AS kv) ORDER BY mac""".stripMargin
 
+  private val oq52 =
+    """WITH env(key, value) AS (VALUES
+      |  ('RUUVI_TAG_1_MAC','AA:BB:CC:DD:EE:01'),
+      |  ('RUUVI_TAG_1_NAME','Kitchen'),
+      |  ('RUUVI_TAG_2_MAC','AA:BB:CC:DD:EE:02'),
+      |  ('RUUVI_TAG_2_NAME','Sauna'),
+      |  ('RUUVI_TAG_porch_MAC','AA:BB:CC:DD:EE:03'),
+      |  ('RUUVI_TAG_porch_NAME','Garage'),
+      |  ('RUUVI_TAG_9_MAC','AA:BB:CC:DD:EE:09'),
+      |  ('RUUVI_TAG_10_NAME','Attic'),
+      |  ('RUUVI_TAGS_MAC','not-a-tag'),
+      |  ('PATH','/usr/bin')),
+      |m AS (SELECT regexp_extract(key, '^RUUVI_TAG_(.*)_MAC$', 1) AS idx, value AS mac
+      |      FROM env WHERE regexp_matches(key, '^RUUVI_TAG_(.*)_MAC$')),
+      |n AS (SELECT regexp_extract(key, '^RUUVI_TAG_(.*)_NAME$', 1) AS idx, value AS name
+      |      FROM env WHERE regexp_matches(key, '^RUUVI_TAG_(.*)_NAME$'))
+      |SELECT mac, name FROM m JOIN n USING (idx) ORDER BY mac""".stripMargin
+
   private val oq12 =
     """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value FROM (
       |  SELECT * FROM events WHERE event_id % 2 = 0
@@ -1506,6 +1563,7 @@ object Core {
     QueryDef("q09b_sink_movement", q09b, Some(oq09b)),
     QueryDef("q10_datetime_format", q10, Some(oq10)),
     QueryDef("q11_config_parse", q11, Some(oq11)),
+    QueryDef("q52_config_env_fallback", q52, Some(oq52)),
     QueryDef("q12_union_batches", q12, Some(oq12)),
     QueryDef("q13_join_tpch_q3", q13, Some(oq13)),
     QueryDef("q14_topk", q14, Some(oq14)),

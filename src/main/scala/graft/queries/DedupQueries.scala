@@ -192,10 +192,21 @@ object DedupQueries {
     * (hot mass with per-copy perturbations) would still need d02's cap,
     * at the cost of exactness. */
   private[graft] def lshComponentEdges(s: SparkSession, d: String): DataFrame = {
+    // class key = md5 of the sorted shingle array, NOT the array itself:
+    // grouping by the array would shuffle every doc's full shingle
+    // payload as the comparison key; the 16-byte hash shuffles instead,
+    // and the array rides as an agg VALUE (first() — all members carry
+    // the identical array), collapsing map-side per class. The \u0001 delimiter never
+    // appears in space-split tokens, so the concat is injective; an md5
+    // collision across distinct shingle sets is the usual 2^-128
+    // non-event every fingerprint in this file already accepts.
     val grouped = shingled(s, d)
       .select(col("doc_id"), sort_array(col("sh")).as("sh"))
-      .groupBy("sh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("doc_id"), col("sh"),
+        md5(concat_ws("\u0001", col("sh")).cast("binary")).as("ck"))
+      .groupBy("ck")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+        first(col("sh")).as("sh"))
       .localCheckpoint() // star edges + rep pipeline read one materialization
     val star = grouped
       .filter(size(col("ids")) > 1)
@@ -279,11 +290,30 @@ object DedupQueries {
     * the plain all-pairs edge set (the equivalence theorem lets the
     * oracle stay in the naive form). */
   private def d06(s: SparkSession, d: String): DataFrame =
-    graft.ops.ConnectedComponents
-      .run(lshComponentEdges(s, d))
+    componentLabels(s, d)
       .groupBy("component")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("component")
+
+  /** The ONE near-dup component labeling per (session, dataset) —
+    * d06/d14/p14 all consume the same clusters, and label propagation is
+    * the expensive part of all three (measured ~3-4 s each at sf0.1 when
+    * every query re-ran its own ConnectedComponents over the shared
+    * edge feed). Cached per (session, dataset dir) under the
+    * [[graft.sources.Layout.ensureBucketedArtifact]] discipline: at
+    * deployment the labeling is a one-time indexing job whose artifact
+    * downstream queries read; here the localCheckpoint'd label table
+    * stands in for that artifact. `synchronized` for the same reason as
+    * Layout: concurrent test suites sharing the session must not race
+    * two labelings of one dataset. */
+  private val ccCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[graft] def componentLabels(s: SparkSession, d: String): DataFrame =
+    ccCache.synchronized {
+      ccCache.getOrElseUpdate((s, d),
+        graft.ops.ConnectedComponents.run(lshComponentEdges(s, d))
+          .localCheckpoint())
+    }
 
   /** D3 — SimHash: 16-bit signature over the token multiset. Each bit j is
     * the sign of Σ±1 over token-hashes' bit j (hash60 = first 60 bits of
@@ -980,8 +1010,7 @@ object DedupQueries {
     * closure over the equivalent all-pairs edge set, so d06/d14 can
     * never disagree on clusters. */
   private def d14(s: SparkSession, d: String): DataFrame =
-    graft.ops.ConnectedComponents
-      .run(lshComponentEdges(s, d))
+    componentLabels(s, d)
       .join(documents(s, d).select(col("doc_id"), col("n_chars")),
         col("v") === col("doc_id"))
       .groupBy("component")
@@ -1031,8 +1060,7 @@ object DedupQueries {
     * d-family machinery, one oracle CTE chain with d14. */
   private def p14(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("n_chars"), col("source"))
-    val m = graft.ops.ConnectedComponents
-      .run(lshComponentEdges(s, d))
+    val m = componentLabels(s, d)
       .join(docs, col("v") === col("doc_id"))
       .localCheckpoint()
     val k = m.groupBy("component")

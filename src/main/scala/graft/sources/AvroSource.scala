@@ -76,37 +76,70 @@ object AvroSource {
     Schema.createRecord(name, null, "graft", false, fields)
   }
 
-  /** One avro container file per partition under `path`. */
+  /** One avro container file per partition under `path`, through a
+    * task-commit protocol (the Hadoop FileOutputCommitter discipline
+    * scoped to the one-file-per-partition case): every attempt writes a
+    * task-attempt-unique `_tmp-` file and RENAMES it into place only
+    * after a successful close. A retried or speculative attempt can
+    * therefore never interleave bytes with a concurrent sibling writing
+    * the same `part-NNNNN.avro`, and a crashed attempt leaves only a
+    * `_tmp-` orphan — which Hadoop's input formats (and [[read]]) skip
+    * as a hidden file — never a truncated `part-` file a later scan
+    * would treat as data. The first attempt to commit a partition wins;
+    * a losing attempt discards its temp (deterministic partitions make
+    * either winner byte-equivalent). The driver clears prior `part-` /
+    * `_tmp-` files first, so re-writing a directory can never leave a
+    * stale partition from a previous wider job alongside fresh output. */
   def write(df: DataFrame, path: String): Unit = {
     val sparkSchema = df.schema
     val json = avroSchema(sparkSchema).toString
+    locally { // job setup (driver): overwrite semantics + orphan cleanup
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.mkdirs(dir)
+      fs.listStatus(dir).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") || p.getName.startsWith("_tmp-"))
+        .foreach(p => fs.delete(p, false))
+    }
     df.rdd.foreachPartition { rows =>
       val sch = new Schema.Parser().parse(json)
       val conf = new org.apache.hadoop.conf.Configuration()
       val dir = new org.apache.hadoop.fs.Path(path)
       val fs = dir.getFileSystem(conf)
-      fs.mkdirs(dir)
-      val pid = TaskContext.get().partitionId()
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.avro"), true)
+      val tc = TaskContext.get()
+      val pid = tc.partitionId()
+      val dest = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.avro")
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir, f"_tmp-part-$pid%05d-attempt-${tc.taskAttemptId()}.avro")
       val writer = new org.apache.avro.file.DataFileWriter(
         new org.apache.avro.generic.GenericDatumWriter[GenericRecord](sch))
-        .create(sch, out)
-      try rows.foreach { row =>
-        val rec = new GenericData.Record(sch)
-        var i = 0
-        while (i < sparkSchema.length) {
-          rec.put(i, if (row.isNullAt(i)) null else sparkSchema(i).dataType match {
-            case TimestampType =>
-              val ts = row.getAs[java.sql.Timestamp](i)
-              java.lang.Long.valueOf(ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
-            case BinaryType => ByteBuffer.wrap(row.getAs[Array[Byte]](i))
-            case _          => row.get(i).asInstanceOf[AnyRef]
-          })
-          i += 1
-        }
-        writer.append(rec)
-      } finally writer.close()
+        .create(sch, fs.create(tmp, true))
+      try {
+        try rows.foreach { row =>
+          val rec = new GenericData.Record(sch)
+          var i = 0
+          while (i < sparkSchema.length) {
+            rec.put(i, if (row.isNullAt(i)) null else sparkSchema(i).dataType match {
+              case TimestampType =>
+                val ts = row.getAs[java.sql.Timestamp](i)
+                java.lang.Long.valueOf(ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
+              case BinaryType => ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+              case _          => row.get(i).asInstanceOf[AnyRef]
+            })
+            i += 1
+          }
+          writer.append(rec)
+        } finally writer.close()
+      } catch {
+        case e: Throwable => fs.delete(tmp, false); throw e
+      }
+      // task commit: atomic rename; losing against an already-committed
+      // sibling attempt is success (keep theirs, drop ours)
+      if (!fs.rename(tmp, dest)) {
+        fs.delete(tmp, false)
+        if (!fs.exists(dest))
+          throw new java.io.IOException(s"avro task commit failed: $tmp -> $dest")
+      }
     }
   }
 

@@ -97,7 +97,14 @@ object AvroV2 {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(new Configuration())
     val it = fs.listStatus(dir).iterator
-    it.filter(s => s.isFile && s.getPath.getName.endsWith(".avro")).map(_.getPath).toSeq
+    // the `_`/`.` prefix filter is Hadoop's hidden-file convention —
+    // [[AvroSource.write]]'s commit protocol relies on it so a crashed
+    // attempt's `_tmp-` orphan (possibly truncated) is never scanned
+    it.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && n.endsWith(".avro") &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath).toSeq
   }
 
   private def firstFile(path: String): org.apache.hadoop.fs.Path =

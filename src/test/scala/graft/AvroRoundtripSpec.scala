@@ -76,4 +76,71 @@ class AvroRoundtripSpec extends AnyFunSuite {
       .orderBy("id").collect().map(canon).toSeq
     assert(viaV2 == expect, "V2 connector read (inferred schema) must roundtrip exactly")
   }
+
+  // --- task-commit protocol (round-9: attempt-unique temp + rename) ---
+
+  private val tinySchema = StructType(Seq(
+    StructField("id", LongType, nullable = false)))
+
+  private def tinyDf(n: Int, parts: Int) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      (0L until n).map(Row(_)).asJava, tinySchema).repartition(parts)
+  }
+
+  test("re-writing a directory clears stale partitions from a wider prior job") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-commit1").toString
+    graft.sources.AvroSource.write(tinyDf(30, 5), dir)
+    graft.sources.AvroSource.write(tinyDf(10, 2), dir)
+    // local FS adds hidden .crc checksum twins — only visible files count
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).sorted.toSeq
+    assert(files == Seq("part-00000.avro", "part-00001.avro"),
+      s"stale part files must not survive an overwrite, got $files")
+    val got = graft.sources.AvroSource.read(spark, dir, tinySchema)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 10L), s"got $got")
+  }
+
+  test("a failed attempt leaves no temp garbage and no truncated part file") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-commit2").toString
+    val poisoned = spark.createDataFrame(
+      spark.sparkContext.parallelize(0L until 20L, 2).mapPartitions { it =>
+        it.map { i =>
+          if (i == 15L) throw new RuntimeException("poisoned row")
+          Row(i)
+        }
+      }, tinySchema)
+    intercept[org.apache.spark.SparkException] {
+      graft.sources.AvroSource.write(poisoned, dir)
+    }
+    val leftover = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(!leftover.exists(_.startsWith("_tmp-")),
+      s"failed attempts must delete their temp file, got $leftover")
+    // whatever partitions DID commit must be complete, readable containers
+    val survivors = graft.sources.AvroSource.read(spark, dir, tinySchema)
+      .collect().map(_.getLong(0)).toSeq
+    assert(survivors.forall(i => i >= 0 && i < 20 && i != 15))
+    // and a fresh write over the same directory fully recovers it
+    graft.sources.AvroSource.write(tinyDf(6, 2), dir)
+    val got = graft.sources.AvroSource.read(spark, dir, tinySchema)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 6L), s"got $got")
+  }
+
+  test("orphan _tmp files are invisible to readers (hidden-file filter)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-commit3").toString
+    graft.sources.AvroSource.write(tinyDf(8, 2), dir)
+    // a truncated container a crashed attempt might leave behind
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_tmp-part-00099-attempt-999.avro"),
+      Array[Byte](0x4f, 0x62, 0x6a, 0x01)) // "Obj\1" magic, then nothing
+    val viaBridge = graft.sources.AvroSource.read(spark, dir, tinySchema)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaBridge == (0L until 8L), s"got $viaBridge")
+    val viaV2 = spark.read.format("graft-avro").load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaV2 == (0L until 8L), s"got $viaV2")
+  }
 }
