@@ -46,11 +46,14 @@ object HotBlockProbe {
     // d08's candidate axis: the census' dropped_pair_mass IS the band
     // self-join output the cap refused to produce (the hot signature's
     // 4 buckets); what remains is linear in the corpus
-    val d08c = DedupQueries.d08Pairs(spark, dir)
-    // collect, not count — count() wraps a NEW QueryExecution and the
-    // observe metrics ride only the plan they're attached to
-    val d08n = d08c.collect().length
-    val d08census = d08c.queryExecution.observedMetrics("d08_band_census")
+    val d08n = DedupQueries.d08Pairs(spark, dir).count()
+    // census from the banded stage (d08Pairs checkpoints it, cutting the
+    // CollectMetrics out of its own lineage); collect, not count —
+    // count() wraps a NEW QueryExecution and the observe metrics ride
+    // only the plan they're attached to
+    val d08b = DedupQueries.d08Banded(spark, dir)
+    d08b.collect()
+    val d08census = d08b.queryExecution.observedMetrics("d08_band_census")
     println(f"d08 verified pairs:  capped=$d08n%,d; census avoided " +
       f"${d08census.getAs[Double]("dropped_pair_mass")}%,.0f candidate pairs " +
       f"(max bucket ${d08census.getAs[Long]("max_block_size")}%,d)")

@@ -561,25 +561,40 @@ object DedupQueries {
       .orderBy("hamming", "da", "db")
       .limit(50)
 
-  /** d08's capped pair stage ([[capBlocks]] discipline); `cap = None` is
-    * the probe-only uncapped twin — see [[d11Pairs]]. */
-  private[graft] def d08Pairs(
+  /** d08's banded + capped signature stage, split out so census readers
+    * (the cap spec, [[graft.examples.HotBlockProbe]]) can observe
+    * `d08_band_census` on the stage it rides — [[d08Pairs]] checkpoints
+    * this frame, which cuts the CollectMetrics out of the final query's
+    * lineage. */
+  private[graft] def d08Banded(
       s: SparkSession, d: String,
       cap: Option[Int] = Some(PairBlockCap)): DataFrame = {
-    // localCheckpoint: the census, the cap join and BOTH self-join sides
-    // would otherwise each recompute the tokenize→hash60→simhash fold
-    // (lambda exprIds defeat ReuseExchange — the d04/d07 lesson); the
-    // checkpointed table is two longs per doc
+    // localCheckpoint: the census and the cap join would otherwise each
+    // recompute the tokenize→hash60→simhash fold (lambda exprIds defeat
+    // ReuseExchange — the d04/d07 lesson); the checkpointed table is two
+    // longs per doc
     val k = simhashed60(s, d).localCheckpoint()
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("j"))
       .select(col("doc_id"), col("simhash"), col("j"),
         call_function("shiftright", col("simhash"), col("j") * 15)
           .bitwiseAND(lit(32767L)).as("band"))
     // capBlocks' using-join reorders columns (join keys first) — pin the
-    // order by NAME before the positional rename, or da/sa silently bind
-    // to band index/value (caught by the sf0.01 oracle in round 9)
-    val capped = capBlocks(k, Seq("j", "band"), "d08_band_census", cap)
+    // order by NAME before the positional rename in d08Pairs, or da/sa
+    // silently bind to band index/value (caught by the sf0.01 oracle)
+    capBlocks(k, Seq("j", "band"), "d08_band_census", cap)
       .select("doc_id", "simhash", "j", "band")
+  }
+
+  /** d08's capped pair stage ([[capBlocks]] discipline); `cap = None` is
+    * the probe-only uncapped twin — see [[d11Pairs]]. */
+  private[graft] def d08Pairs(
+      s: SparkSession, d: String,
+      cap: Option[Int] = Some(PairBlockCap)): DataFrame = {
+    // second (narrow — 4 longs/row) checkpoint: BOTH self-join sides
+    // read the capped band table from one materialization; without it
+    // the census agg + cap equi-join execute once per side (seen as
+    // three joins in the round-9 plan audit)
+    val capped = d08Banded(s, d, cap).localCheckpoint()
     val a = capped.toDF("da", "sa", "ja", "ba")
     val b = capped.toDF("db", "sb", "jb", "bb")
     a.join(b,
@@ -1124,5 +1139,99 @@ object DedupQueries {
     QueryDef("d12_segment_dedup", d12, Some(od12)),
     QueryDef("d13_containment", d13, Some(od13)),
     QueryDef("d14_cluster_retention", d14, Some(od14)),
-    QueryDef("p14_retention_yield", p14, Some(op14)))
+    QueryDef("p14_retention_yield", p14, Some(op14)),
+    QueryDef("d15_source_overlap", d15, Some(od15)))
+
+  /** D15 — CROSS-SOURCE corpus overlap (round 9): for every source
+    * pair, the MinHash-ESTIMATED shingle-set Jaccard — the one-pass
+    * corpus-accounting number a curation pipeline reads before deciding
+    * which crawls to merge (two mirrors of the same site → overlap ≈ 1;
+    * independent corpora → ≈ 0) — plus the exact value as an in-query
+    * audit (the v09 recall-audit discipline).
+    *
+    * The SKETCH is the scale path: a source's union-set signature
+    * component is the min over its docs' per-doc components (min of
+    * mins — associative and partial-aggregable, so the map side emits 8
+    * longs per (source × partition) and duplicate shingles change
+    * nothing), and the estimate is a |sources|² comparison of 8-long
+    * rows — `P[min_A(π) = min_B(π)] = J(A,B)` per permutation π, agree
+    * count / 8 estimates J. The signature definitions are the shared
+    * [[minhashCols]] (d02/d07/d09's constants — one edit moves every
+    * oracle together). The EXACT audit shuffles distinct (source,
+    * shingle) once and self-joins on the shingle; at 100 TB that audit
+    * is the expensive half and a production run drops it — the sketch
+    * column is the product, 8 longs per source however large the
+    * corpus. */
+  private def d15(s: SparkSession, d: String): DataFrame = {
+    val withHs = graft.Tables.rebalance(s, documents(s, d))
+      .select(col("source"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= N)
+      .select(col("source"), TextFns.shinglesOf(col("toks"), N).as("sh"))
+      .select(col("source"), col("sh"), TextFns.shingleHashes(col("sh")).as("hs"))
+      .localCheckpoint() // sketch agg + exact audit read one materialization
+    val sk = withHs
+      .select(col("source") +: minhashCols: _*)
+      .groupBy("source")
+      .agg(min("mh0").as("mh0"), (1 until 8).map(i => min(s"mh$i").as(s"mh$i")): _*)
+    val ska = sk.select(col("source").as("sa") +:
+      (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val skb = sk.select(col("source").as("sb") +:
+      (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val agree = (0 until 8)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    // |sources| rows × 8 longs: the non-equi pair join is a broadcast
+    // nested loop over a sketch-sized frame BY DESIGN — that boundedness
+    // is the whole point of sketching before comparing
+    val est = ska.join(broadcast(skb), col("sa") < col("sb"))
+      .select(col("sa"), col("sb"), agree.as("mh_agree"))
+    val ex = withHs.select(col("source"), explode(col("sh")).as("k")).distinct()
+      .localCheckpoint() // sizes + both intersection sides read it
+    val na = ex.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = ex.select(col("source").as("sa"), col("k"))
+      .join(ex.select(col("source").as("sb"), col("k")), "k")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
+    est
+      .join(inter, Seq("sa", "sb"), "left")
+      .join(na.select(col("source").as("sa"), col("n").as("nna")), "sa")
+      .join(na.select(col("source").as("sb"), col("n").as("nnb")), "sb")
+      .select(
+        col("sa"), col("sb"),
+        oround(col("mh_agree") / lit(8.0), 3).as("est_jaccard"),
+        oround(coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("nna") + col("nnb") - coalesce(col("n_inter"), lit(0L))), 3)
+          .as("jaccard"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .orderBy("sa", "sb")
+  }
+
+  // lazy: declared below the QueryDef list that captures it — an eager
+  // val would be null at object init (declaration order)
+  private lazy val od15 = {
+    val mins = (0 until 8).map(i => s"min(mh[${i + 1}]) m$i").mkString(", ")
+    val agree = (0 until 8)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, source, string_split(text,' ') toks FROM documents),
+      |s AS (SELECT source, list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])) sh
+      |      FROM t WHERE len(toks) >= 2),
+      |hsed AS (SELECT source, sh, list_transform(sh, x -> ('0x'||substr(md5(x),1,7))::BIGINT) hs FROM s),
+      |perdoc AS (SELECT source, [$mhList] mh FROM hsed),
+      |sk AS (SELECT source, $mins FROM perdoc GROUP BY source),
+      |est AS (SELECT a.source sa, b.source sb, ($agree) mh_agree
+      |        FROM sk a JOIN sk b ON a.source < b.source),
+      |ex AS (SELECT DISTINCT source, unnest(sh) k FROM s),
+      |na AS (SELECT source, count(*) n FROM ex GROUP BY source),
+      |inter AS (SELECT a.source sa, b.source sb, count(*) ni
+      |          FROM ex a JOIN ex b ON a.k = b.k AND a.source < b.source
+      |          GROUP BY 1, 2)
+      |SELECT est.sa, est.sb,
+      |  ROUND(mh_agree / 8.0, 3) AS est_jaccard,
+      |  ROUND(COALESCE(ni, 0)::DOUBLE / (va.n + vb.n - COALESCE(ni, 0)), 3) AS jaccard,
+      |  COALESCE(ni, 0) AS n_inter
+      |FROM est LEFT JOIN inter ON est.sa = inter.sa AND est.sb = inter.sb
+      |JOIN na va ON est.sa = va.source JOIN na vb ON est.sb = vb.source
+      |ORDER BY est.sa, est.sb""".stripMargin
+  }
 }

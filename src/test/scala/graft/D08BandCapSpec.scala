@@ -49,7 +49,9 @@ class D08BandCapSpec extends AnyFunSuite {
 
   test("d08_band_census reports the dropped template mass exactly") {
     val hot = cap + 6
-    val stage1 = DedupQueries.d08Pairs(spark, stage(hot))
+    // the banded stage, not d08Pairs — the pair stage checkpoints it,
+    // which cuts the CollectMetrics out of the final query's lineage
+    val stage1 = DedupQueries.d08Banded(spark, stage(hot))
     stage1.collect()
     val census = stage1.queryExecution.observedMetrics("d08_band_census")
     // every hot doc sits in all 4 of its band buckets, each oversized;

@@ -84,6 +84,39 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"d02's bucket census observe must ride the job:\n$plan")
   }
 
+  test("d08: banded stage = one cap join + census; pair stage = one self-join") {
+    // stage 1 (banded + capped): exactly the cap's equi-join, census riding
+    val st1 = graft.queries.DedupQueries.d08Banded(spark, sf)
+    st1.collect()
+    val p1 = st1.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val j1 = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r.findAllIn(p1).length
+    assert(j1 == 1, s"d08 banded stage must have ONE join (the cap), got $j1 in:\n$p1")
+    assert(p1.contains("CollectMetrics"),
+      s"d08's band census observe must ride the banded stage:\n$p1")
+    // full query: the band-candidate self-join is the ONLY live join (the
+    // capped table is checkpointed once for both sides)
+    val plan = executedPlan("d08_simhash_hamming").split("== Initial Plan ==")(0)
+    Seq("BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"d08 must never nested-loop, found $j in:\n$plan"))
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r.findAllIn(plan).length
+    assert(joins == 1,
+      s"d08 must have exactly ONE live join (the band self-join over the " +
+        s"checkpointed capped table), got $joins in:\n$plan")
+  }
+
+  test("d15: the sketch pair comparison is sketch-sized; corpus never self-joins raw") {
+    // the non-equi (sa < sb) pair join runs over the 8-long-per-source
+    // SKETCH frame (broadcast nested loop over |sources| rows — bounded
+    // by design); the only corpus-scale joins are the exact-audit's
+    // shingle equi-joins. A CartesianProduct would mean the pair join
+    // regressed to corpus scale.
+    val plan = executedPlan("d15_source_overlap").split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"d15's sketch pair join must be the broadcast NLJ over sketch rows:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"d15 must never cartesian, got:\n$plan")
+  }
+
   test("q13: top-20 is TakeOrderedAndProject, dimensions broadcast") {
     val plan = executedPlan("q13_join_tpch_q3")
     assert(plan.contains("TakeOrderedAndProject"),
