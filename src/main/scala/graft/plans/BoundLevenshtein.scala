@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.IntegerType
   * DataFrame code, `spark.sql` text, a BI tool on the SQL surface —
   * gets the banded form without knowing it exists (q47 exercises the
   * SQL path under the oracle; the rewrite is asserted in
-  * NativeExprSpec). The rule is idempotent: the rewritten expression
+  * BoundLevenshteinSpec). The rule is idempotent: the rewritten expression
   * carries a threshold and no longer matches the pattern.
   */
 object BoundLevenshtein extends Rule[LogicalPlan] {

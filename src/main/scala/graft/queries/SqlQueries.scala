@@ -135,7 +135,7 @@ object SqlQueries {
     * [[graft.plans.BoundLevenshtein]] optimizer rule end-to-end: the
     * WHERE's unbounded `levenshtein(...) <= 4` is rewritten by the
     * injected rule to the banded early-abandon form (asserted in
-    * NativeExprSpec), while the PROJECTED distance stays unbounded —
+    * BoundLevenshteinSpec), while the PROJECTED distance stays unbounded —
     * both paths in one statement, the DuckDB oracle running the
     * identical text on its own (unbounded) levenshtein. Byte-vs-char
     * parity: nation names are ASCII, where the two definitions agree.
