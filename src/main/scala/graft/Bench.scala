@@ -54,6 +54,13 @@ object Bench {
       // Both raw timings to stderr: the cold/warm gap is the codegen +
       // artifact-staging cost, worth watching per query when profiling.
       System.err.println(f"[bench] $name run1=$first%.2f run2=$second%.2f")
+      // Untimed GC between queries: localCheckpoint blocks are released
+      // by the ContextCleaner only after the owning RDD is GC'd on the
+      // driver, so a 200-query run otherwise accumulates dead checkpoint
+      // storage that bleeds into later queries' memory headroom — the
+      // inter-query hygiene a per-job cluster gets for free from JVM
+      // teardown.
+      System.gc()
       val best = (first, second) match {
         case (a, b) if a >= 0 && b >= 0 => math.min(a, b)
         case (a, b)                     => math.max(a, b) // the non-negative one, or -1
