@@ -71,6 +71,49 @@ object MediaFeatures {
     }
   }
 
+  /** A planned resize for one blob: source dims (stub-decoded), target
+    * dims (integer box fit), and the output payload size the resized
+    * frame would occupy (1 byte/pixel grayscale stand-in). */
+  case class ResizePlan(
+      media_id: Long,
+      kind: String,
+      w: Int,
+      h: Int,
+      rw: Int,
+      rh: Int,
+      out_bytes: Long,
+      downscaled: Boolean)
+
+  /** Aspect-preserving fit of (w, h) into a `box`×`box` square, in
+    * INTEGER arithmetic only (floor division on the scaled minor side)
+    * so the DuckDB oracle reproduces it exactly — never upscales. */
+  def fitBox(w: Int, h: Int, box: Int): (Int, Int) =
+    if (math.max(w, h) <= box) (w, h)
+    else if (w >= h) (box, h * box / w)
+    else (w * box / h, box)
+
+  /** The RESIZE stage of the media pipeline: decode (stub codec — a
+    * real deployment swaps in the native library, same seam as
+    * [[extract]]) then plan the aspect-preserving fit into `box`. Same
+    * mapPartitions discipline: codec init amortized per partition, one
+    * narrow typed pass, the payload itself never crosses a shuffle —
+    * downstream decides from the PLAN (out_bytes, downscaled) which
+    * blobs are worth re-encoding before the expensive write. */
+  def resizePlan(
+      media: Dataset[MediaRow], box: Int,
+      codec: MediaCodec = Stub): Dataset[ResizePlan] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+        val (w, h, _) = codec.decode(r.kind, payload)
+        val (rw, rh) = fitBox(w, h, box)
+        ResizePlan(r.media_id, r.kind, w, h, rw, rh,
+          rw.toLong * rh.toLong, math.max(w, h) > box)
+      }
+    }
+  }
+
   /** Documents table → synthetic media rows (text bytes standing in for
     * media payloads; kind alternates image/audio deterministically). */
   def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {

@@ -360,5 +360,49 @@ object MultimodalQueries {
     QueryDef("m05_format5_native", m05, Some(om03)),
     QueryDef("m06_media_features", m06, Some(om06)),
     QueryDef("m07_byte_entropy", m07, Some(om07)),
-    QueryDef("m08_image_dims", m08, Some(om08)))
+    QueryDef("m08_image_dims", m08, Some(om08)),
+    QueryDef("m09_resize_plan", m09, Some(om09)))
+
+  /** M9 — the RESIZE stage of the media pipeline (the last of the
+    * brief's four multimodal verbs — decode m03/m05, feature-extract
+    * m06/m07, frame-sample m04, resize here): stub-decode each image
+    * blob's dimensions, plan the aspect-preserving integer fit into a
+    * 48-box, and report per-kind how much of the corpus needs
+    * downscaling and the output byte budget the re-encode would
+    * produce. The plan, not the pixels, is the product at this stage —
+    * a curation pipeline sizes the (expensive) re-encode job from
+    * exactly this aggregate before paying for it. Same
+    * [[graft.multimodal.MediaFeatures]] mapPartitions seam as m06;
+    * integer-only fit arithmetic keeps the DuckDB oracle bit-exact. */
+  private def m09(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.MediaFeatures
+      .resizePlan(graft.multimodal.MediaFeatures.fromDocuments(s, d), 48)
+      .toDF()
+      .filter(col("kind") === "image")
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        oround(avg("rw"), 2).as("avg_w"),
+        oround(avg("rh"), 2).as("avg_h"),
+        sum(when(col("downscaled"), 1L).otherwise(0L)).as("n_downscaled"),
+        sum("out_bytes").as("out_bytes"))
+      .orderBy("kind")
+
+  // lazy: declared below the defs list that captures it (the d15 lesson)
+  private lazy val om09 =
+    """WITH m AS (SELECT doc_id,
+      |  16 + length(text) % 64 AS w,
+      |  16 + (length(text) // 64) % 64 AS h
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |r AS (SELECT w, h,
+      |  CASE WHEN greatest(w, h) <= 48 THEN w
+      |       WHEN w >= h THEN 48 ELSE (w * 48) // h END rw,
+      |  CASE WHEN greatest(w, h) <= 48 THEN h
+      |       WHEN w >= h THEN (h * 48) // w ELSE 48 END rh
+      |  FROM m)
+      |SELECT 'image' AS kind, count(*) AS n,
+      |  ROUND(avg(rw), 2) AS avg_w, ROUND(avg(rh), 2) AS avg_h,
+      |  sum(CASE WHEN greatest(w, h) > 48 THEN 1 ELSE 0 END)::BIGINT AS n_downscaled,
+      |  sum(rw * rh)::BIGINT AS out_bytes
+      |FROM r""".stripMargin
 }

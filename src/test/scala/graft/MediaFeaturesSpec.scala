@@ -42,4 +42,33 @@ class MediaFeaturesSpec extends AnyFunSuite {
     assert(out.forall(_.mean_luma == 0.0))
     assert(out.forall(_.header == ""))
   }
+
+  test("fitBox: never upscales, bounds both sides, keeps aspect within floor error") {
+    for (w <- 1 to 120; h <- 1 to 120; box <- Seq(16, 48, 64)) {
+      val (rw, rh) = MediaFeatures.fitBox(w, h, box)
+      assert(rw <= math.max(w, box) && rh <= math.max(h, box))
+      assert(rw <= box && rh <= box, s"($w,$h,$box) -> ($rw,$rh) exceeds box")
+      assert(rw <= w && rh <= h, s"($w,$h,$box) -> ($rw,$rh) upscaled")
+      if (math.max(w, h) <= box) assert((rw, rh) == (w, h), "in-box must be identity")
+      else {
+        // aspect preserved up to integer floor on the minor side
+        val exact = if (w >= h) h.toDouble * box / w else w.toDouble * box / h
+        val minor = if (w >= h) rh else rw
+        assert(minor == math.floor(exact).toInt, s"($w,$h,$box) minor side $minor != floor($exact)")
+      }
+    }
+  }
+
+  test("resizePlan: out_bytes = rw*rh; downscaled iff source exceeds the box") {
+    val media = MediaFeatures.fromDocuments(spark, "/root/testdata/sf0.001")
+    val plans = MediaFeatures.resizePlan(media, 48).collect()
+    assert(plans.nonEmpty)
+    plans.foreach { p =>
+      assert(p.out_bytes == p.rw.toLong * p.rh)
+      assert(p.downscaled == (math.max(p.w, p.h) > 48))
+      if (!p.downscaled) assert((p.rw, p.rh) == (p.w, p.h))
+    }
+    assert(plans.exists(_.downscaled) && plans.exists(!_.downscaled),
+      "the stub corpus must exercise both branches")
+  }
 }
