@@ -175,9 +175,8 @@ object Core {
     * the cases the reference's loop silently skips (orphan MAC, orphan
     * NAME, non-matching keys, `RUUVI_TAGS_MAC` whose prefix almost
     * matches). */
-  private def q52(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val env = Seq(
+  private def q52(s: SparkSession, d: String): DataFrame =
+    envFallback(s, Seq(
       "RUUVI_TAG_1_MAC" -> "AA:BB:CC:DD:EE:01",
       "RUUVI_TAG_1_NAME" -> "Kitchen",
       "RUUVI_TAG_2_MAC" -> "AA:BB:CC:DD:EE:02",
@@ -187,7 +186,15 @@ object Core {
       "RUUVI_TAG_9_MAC" -> "AA:BB:CC:DD:EE:09", // orphan MAC → dropped
       "RUUVI_TAG_10_NAME" -> "Attic", // orphan NAME → dropped
       "RUUVI_TAGS_MAC" -> "not-a-tag", // prefix almost matches → skipped
-      "PATH" -> "/usr/bin").toDF("key", "value")
+      "PATH" -> "/usr/bin"))
+
+  /** The q52 dataflow over an arbitrary environment (split out so
+    * Q52PropSpec can drive generated environments through the SAME
+    * plan and compare against a direct model of the reference loop). */
+  private[graft] def envFallback(
+      s: SparkSession, envPairs: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    val env = envPairs.toDF("key", "value")
     val macs = env
       .filter(col("key").rlike("^RUUVI_TAG_(.*)_MAC$"))
       .select(regexp_extract(col("key"), "^RUUVI_TAG_(.*)_MAC$", 1).as("idx"),
