@@ -35,12 +35,12 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
     val unioned = left
       .select((leftCols.map(col) :+ lit(1).as("__side") :+
-        lit(null).cast(r.schema("__rp").dataType).as("__rp")): _*)
+        lit(null).cast(r.schema("__rp").dataType).as("__rp")).toIndexedSeq: _*)
       .unionByName(
         r.select((leftCols.map(c =>
           if (c == key || c == tsCol) col(c)
           else lit(null).cast(left.schema(c).dataType).as(c))
-          :+ col("__side") :+ col("__rp")): _*))
+          :+ col("__side") :+ col("__rp")).toIndexedSeq: _*))
     // __rp as the final sort key makes ties deterministic: when several
     // right rows share (key, ts), the carried payload is always the
     // struct-wise greatest one, on every run. (Payload fields must be

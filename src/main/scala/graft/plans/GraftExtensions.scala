@@ -31,7 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "format5_decode(payload) - Decodes a 24-byte RuuviTag data-format-5 payload " +
           "into (temperature, humidity, pressure, acceleration_x/y/z, movement_counter); " +
           "NULL when the payload is not a valid format-5 frame.",
-        ""),
+        "", "", "", "misc_funcs", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => {
         require(children.length == 1,
           s"format5_decode expects 1 argument (payload BINARY), got ${children.length}")
@@ -45,7 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "vector_dot",
         "vector_dot(a, b) - Sequential-fold dot product of two ARRAY<DOUBLE> vectors; " +
           "NULL on length mismatch or NULL elements.",
-        ""),
+        "", "", "", "misc_funcs", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => {
         require(children.length == 2,
           s"vector_dot expects 2 arguments (a, b ARRAY<DOUBLE>), got ${children.length}")
@@ -59,7 +59,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "nfc_normalize",
         "nfc_normalize(s) - Unicode NFC normalization of a string; identity on " +
           "ASCII and already-normalized input, NULL on NULL.",
-        ""),
+        "", "", "", "misc_funcs", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => {
         require(children.length == 1,
           s"nfc_normalize expects 1 argument (s STRING), got ${children.length}")

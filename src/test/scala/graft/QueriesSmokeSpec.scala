@@ -76,7 +76,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
   test("IVF probe returns vectors from at most nprobe=2 coarse partitions") {
     val ann = SparkEntry.queries("v03_ivf_centroid")(spark, sf).collect().map(_.getLong(0))
     val labels = Tables.embeddings(spark, sf)
-      .filter(col("vec_id").isin(ann: _*))
+      .filter(col("vec_id").isin(ann.toIndexedSeq: _*))
       .select("label").distinct().collect()
     assert(labels.length <= 2, "IVF re-rank stays within the probed partitions")
   }
