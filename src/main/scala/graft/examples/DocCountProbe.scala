@@ -26,8 +26,9 @@ import graft.queries.DedupQueries
   *    customer count.
   *
   * Usage: `sbt "runMain graft.examples.DocCountProbe [copies]"`
-  * (default 10). α = log10(t_×10 / t_base) — α=1 is linear scaling,
-  * α>1 super-linear (a scale bug on this axis). */
+  * (default 10). α = log(t_big / t_base) / log(copies) — α=1 is linear
+  * scaling at any fan-out, α>1 super-linear (a scale bug on this
+  * axis). */
 object DocCountProbe {
   private val Base = "/root/testdata/sf0.1"
 
@@ -70,7 +71,9 @@ object DocCountProbe {
       "g04_copurchase_jaccard" -> both(spark, dir, "g04_copurchase_jaccard"))
     println(f"${"query"}%-24s ${"base"}%8s ${"x" + copies}%8s ${"alpha"}%7s")
     rows.foreach { case (n, (t1, t10)) =>
-      val a = math.log10(t10 / t1)
+      // normalize by the actual fan-out so α=1 means linear for ANY
+      // `copies`, not just the default 10 (round-9 review finding)
+      val a = math.log(t10 / t1) / math.log(copies.toDouble)
       println(f"$n%-24s $t1%8.2f $t10%8.2f $a%7.2f")
     }
     spark.stop()

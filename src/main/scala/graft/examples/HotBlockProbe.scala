@@ -64,7 +64,11 @@ object HotBlockProbe {
       "d02_UNCAPPED" -> time(() => d02Uncapped(spark, dir)),
       "d04_capped" -> time(queryRun(spark, dir, "d04_ngram_jaccard_topk")),
       "d04_UNCAPPED" -> time(() => d04Uncapped(spark, dir)),
-      "d06_star_components" -> time(queryRun(spark, dir, "d06_dup_components")),
+      // bypass the componentLabels cache — min-of-2 over the cached
+      // query would time a cache HIT and hide any scaling regression in
+      // cluster formation itself (the DocCountProbe discipline)
+      "d06_star_components" -> time(() => graft.ops.ConnectedComponents
+        .run(DedupQueries.lshComponentEdges(spark, dir))),
       "d08_capped" -> time(queryRun(spark, dir, "d08_simhash_hamming")),
       "d08_UNCAPPED" -> time(() => DedupQueries.d08Pairs(spark, dir, cap = None)
         .orderBy("hamming", "da", "db").limit(50)),

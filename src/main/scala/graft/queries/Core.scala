@@ -195,15 +195,21 @@ object Core {
       s: SparkSession, envPairs: Seq[(String, String)]): DataFrame = {
     import s.implicits._
     val env = envPairs.toDF("key", "value")
-    val macs = env
-      .filter(col("key").rlike("^RUUVI_TAG_(.*)_MAC$"))
-      .select(regexp_extract(col("key"), "^RUUVI_TAG_(.*)_MAC$", 1).as("idx"),
-        col("value").as("mac"))
-    val names = env
-      .filter(col("key").rlike("^RUUVI_TAG_(.*)_NAME$"))
-      .select(regexp_extract(col("key"), "^RUUVI_TAG_(.*)_NAME$", 1).as("idx"),
-        col("value").as("name"))
-    macs.join(names, "idx").select("mac", "name").orderBy("mac")
+    // startsWith/endsWith + substring, NOT an anchored regex: Java's $
+    // matches before a trailing newline and .* stops at one, so regex
+    // anchoring silently diverges from the reference's byte-literal
+    // strip_prefix/strip_suffix on keys containing \n (round-9 review
+    // finding; Q52PropSpec generates such keys). The suffix test runs
+    // on the REMAINDER after the prefix — "RUUVI_TAG_MAC" must fall
+    // out, exactly as the reference's Option-chained strips do.
+    def half(suffix: String, out: String): DataFrame = env
+      .filter(col("key").startsWith("RUUVI_TAG_") &&
+        expr(s"endswith(substring(key, 11), '$suffix')"))
+      .select(
+        expr(s"substring(key, 11, length(key) - ${10 + suffix.length})").as("idx"),
+        col("value").as(out))
+    half("_MAC", "mac").join(half("_NAME", "name"), "idx")
+      .select("mac", "name").orderBy("mac")
   }
 
   /** Q12 — union of micro-batches (OP-09, `/root/reference/src/main.rs:96-102`):
@@ -1360,10 +1366,12 @@ object Core {
       |  ('RUUVI_TAG_10_NAME','Attic'),
       |  ('RUUVI_TAGS_MAC','not-a-tag'),
       |  ('PATH','/usr/bin')),
-      |m AS (SELECT regexp_extract(key, '^RUUVI_TAG_(.*)_MAC$', 1) AS idx, value AS mac
-      |      FROM env WHERE regexp_matches(key, '^RUUVI_TAG_(.*)_MAC$')),
-      |n AS (SELECT regexp_extract(key, '^RUUVI_TAG_(.*)_NAME$', 1) AS idx, value AS name
-      |      FROM env WHERE regexp_matches(key, '^RUUVI_TAG_(.*)_NAME$'))
+      |m AS (SELECT substr(key, 11, length(key) - 14) AS idx, value AS mac
+      |      FROM env WHERE starts_with(key, 'RUUVI_TAG_')
+      |        AND ends_with(substr(key, 11), '_MAC')),
+      |n AS (SELECT substr(key, 11, length(key) - 15) AS idx, value AS name
+      |      FROM env WHERE starts_with(key, 'RUUVI_TAG_')
+      |        AND ends_with(substr(key, 11), '_NAME'))
       |SELECT mac, name FROM m JOIN n USING (idx) ORDER BY mac""".stripMargin
 
   private val oq12 =

@@ -192,18 +192,22 @@ object DedupQueries {
     * (hot mass with per-copy perturbations) would still need d02's cap,
     * at the cost of exactness. */
   private[graft] def lshComponentEdges(s: SparkSession, d: String): DataFrame = {
-    // class key = md5 of the sorted shingle array, NOT the array itself:
-    // grouping by the array would shuffle every doc's full shingle
-    // payload as the comparison key; the 16-byte hash shuffles instead,
-    // and the array rides as an agg VALUE (first() — all members carry
-    // the identical array), collapsing map-side per class. The \u0001 delimiter never
-    // appears in space-split tokens, so the concat is injective; an md5
-    // collision across distinct shingle sets is the usual 2^-128
-    // non-event every fingerprint in this file already accepts.
+    // class key = md5 over the sorted shingle array, NOT the array
+    // itself: grouping by the array would shuffle every doc's full
+    // shingle payload as the comparison key; the 16-byte hash shuffles
+    // instead, and the array rides as an agg VALUE (first() — all
+    // members carry the identical array), collapsing map-side per
+    // class. Injectivity: each shingle maps to its fixed-width 32-hex
+    // md5 block first, so the concatenation decomposes uniquely no
+    // matter what bytes the tokens contain (a delimiter-based concat is
+    // NOT injective when a token can contain the delimiter — round-9
+    // review finding); a residual md5 collision across distinct sets is
+    // the usual 2^-128 non-event every fingerprint in this file accepts.
     val grouped = shingled(s, d)
       .select(col("doc_id"), sort_array(col("sh")).as("sh"))
       .select(col("doc_id"), col("sh"),
-        md5(concat_ws("\u0001", col("sh")).cast("binary")).as("ck"))
+        md5(concat_ws("", transform(col("sh"), x => md5(x.cast("binary"))))
+          .cast("binary")).as("ck"))
       .groupBy("ck")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
         first(col("sh")).as("sh"))
@@ -305,7 +309,13 @@ object DedupQueries {
     * downstream queries read; here the localCheckpoint'd label table
     * stands in for that artifact. `synchronized` for the same reason as
     * Layout: concurrent test suites sharing the session must not race
-    * two labelings of one dataset. */
+    * two labelings of one dataset. The cache carries Layout's
+    * assumptions too: a dataset directory is immutable for the
+    * session's lifetime (restaging a path would serve stale labels —
+    * tests stage unique temp dirs for exactly this reason), and entries
+    * live until the session ends (bounded by the handful of dirs a
+    * process queries; probes that must time the labeling itself bypass
+    * the cache and call [[graft.ops.ConnectedComponents]] directly). */
   private val ccCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private[graft] def componentLabels(s: SparkSession, d: String): DataFrame =

@@ -376,9 +376,14 @@ object MultimodalQueries {
     * integer-only fit arithmetic keeps the DuckDB oracle bit-exact. */
   private def m09(s: SparkSession, d: String): DataFrame =
     graft.multimodal.MediaFeatures
-      .resizePlan(graft.multimodal.MediaFeatures.fromDocuments(s, d), 48)
+      // filter BEFORE the typed seam: a Column filter after
+      // mapPartitions can't push below it, so the audio half of the
+      // corpus would pay full decode cost only to be dropped — with a
+      // real codec that's half the pipeline's bill (round-9 review)
+      .resizePlan(
+        graft.multimodal.MediaFeatures.fromDocuments(s, d)
+          .filter(col("kind") === "image"), 48)
       .toDF()
-      .filter(col("kind") === "image")
       .groupBy("kind")
       .agg(
         count(lit(1)).as("n"),

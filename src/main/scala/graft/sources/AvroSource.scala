@@ -85,9 +85,11 @@ object AvroSource {
     * the same `part-NNNNN.avro`, and a crashed attempt leaves only a
     * `_tmp-` orphan — which Hadoop's input formats (and [[read]]) skip
     * as a hidden file — never a truncated `part-` file a later scan
-    * would treat as data. The first attempt to commit a partition wins;
-    * a losing attempt discards its temp (deterministic partitions make
-    * either winner byte-equivalent). The driver clears prior `part-` /
+    * would treat as data. One complete attempt's file survives per
+    * partition — first-wins on HDFS-like stores (rename refuses an
+    * existing dest) and guarded-first / last-complete-wins on POSIX
+    * (rename replaces); deterministic partitions make any winner
+    * byte-equivalent. The driver clears prior `part-` /
     * `_tmp-` files first, so re-writing a directory can never leave a
     * stale partition from a previous wider job alongside fresh output. */
   def write(df: DataFrame, path: String): Unit = {
@@ -133,9 +135,18 @@ object AvroSource {
       } catch {
         case e: Throwable => fs.delete(tmp, false); throw e
       }
-      // task commit: atomic rename; losing against an already-committed
-      // sibling attempt is success (keep theirs, drop ours)
-      if (!fs.rename(tmp, dest)) {
+      // task commit: atomic rename. Filesystem semantics differ — HDFS
+      // rename refuses an existing dest (first committed attempt wins),
+      // POSIX rename REPLACES it (last complete attempt wins) — but
+      // under either rule every visible part file is a complete
+      // container some attempt fully wrote and closed, which is the
+      // corruption-safety invariant; the exists-guard below keeps the
+      // first-wins behavior on local FS too outside the narrow
+      // check-to-rename window. Losing against an already-committed
+      // sibling is success (keep theirs, drop ours) — partitions are
+      // deterministic, so either winner is byte-equivalent.
+      if (fs.exists(dest)) fs.delete(tmp, false)
+      else if (!fs.rename(tmp, dest)) {
         fs.delete(tmp, false)
         if (!fs.exists(dest))
           throw new java.io.IOException(s"avro task commit failed: $tmp -> $dest")

@@ -33,8 +33,13 @@ class Q52PropSpec extends AnyFunSuite {
 
   private val keyGen: Gen[String] = for {
     prefix <- Gen.oneOf("RUUVI_TAG_", "RUUVI_TAGS_", "XRUUVI_TAG_", "RUUVI_TA_")
-    idx <- Gen.oneOf("", "1", "2", "42", "porch", "A_MAC", "B_NAME", "_", "MAC")
-    suffix <- Gen.oneOf("_MAC", "_NAME", "_NOTE", "MAC", "NAME", "")
+    // newline-bearing indexes pin the byte-literal semantics: an
+    // anchored Java regex would accept a trailing-\n key ($ matches
+    // before it) and reject an embedded-\n index (.* stops at it),
+    // both diverging from the reference's strip_prefix/strip_suffix
+    idx <- Gen.oneOf("", "1", "2", "42", "porch", "A_MAC", "B_NAME", "_",
+      "MAC", "a\nb", "1\n")
+    suffix <- Gen.oneOf("_MAC", "_NAME", "_NOTE", "MAC", "NAME", "", "_MAC\n")
   } yield prefix + idx + suffix
 
   test("generated environments: regexp-join dataflow ≡ the reference loop") {
