@@ -174,7 +174,8 @@ object Core {
     * frame — broadcast-trivial at any scale; the fixture rows include
     * the cases the reference's loop silently skips (orphan MAC, orphan
     * NAME, non-matching keys, `RUUVI_TAGS_MAC` whose prefix almost
-    * matches). */
+    * matches) plus a duplicate-mac index pair exercising
+    * [[envFallback]]'s smallest-index-wins dedup. */
   private def q52(s: SparkSession, d: String): DataFrame =
     envFallback(s, Seq(
       "RUUVI_TAG_1_MAC" -> "AA:BB:CC:DD:EE:01",
@@ -183,6 +184,8 @@ object Core {
       "RUUVI_TAG_2_NAME" -> "Sauna",
       "RUUVI_TAG_porch_MAC" -> "AA:BB:CC:DD:EE:03", // non-numeric index
       "RUUVI_TAG_porch_NAME" -> "Garage",
+      "RUUVI_TAG_7_MAC" -> "AA:BB:CC:DD:EE:02", // duplicate mac (idx 2 has
+      "RUUVI_TAG_7_NAME" -> "Basement", // it too) → smallest index wins
       "RUUVI_TAG_9_MAC" -> "AA:BB:CC:DD:EE:09", // orphan MAC → dropped
       "RUUVI_TAG_10_NAME" -> "Attic", // orphan NAME → dropped
       "RUUVI_TAGS_MAC" -> "not-a-tag", // prefix almost matches → skipped
@@ -190,7 +193,19 @@ object Core {
 
   /** The q52 dataflow over an arbitrary environment (split out so
     * Q52PropSpec can drive generated environments through the SAME
-    * plan and compare against a direct model of the reference loop). */
+    * plan and compare against a direct model of the reference loop).
+    *
+    * Duplicate-MAC rule: the reference keeps ONE entry per mac (its
+    * `tags` HashMap is keyed by the mac VALUE, `config.rs:66`) but
+    * which index's name survives depends on `env::vars()` iteration
+    * order — nondeterministic in Rust. A relational plan must pick a
+    * DETERMINISTIC refinement of that, so the engine pins
+    * smallest-index-wins (`min_by` over the idx string): every output
+    * is one the reference could have produced under SOME env order,
+    * and repeated runs agree. `min_by` is commutative/associative, so
+    * the choice is partition-order-free at any scale (the a08
+    * determinism discipline). Q52PropSpec generates duplicate-mac
+    * environments and pins both properties. */
   private[graft] def envFallback(
       s: SparkSession, envPairs: Seq[(String, String)]): DataFrame = {
     import s.implicits._
@@ -209,7 +224,9 @@ object Core {
         expr(s"substring(key, 11, length(key) - ${10 + suffix.length})").as("idx"),
         col("value").as(out))
     half("_MAC", "mac").join(half("_NAME", "name"), "idx")
-      .select("mac", "name").orderBy("mac")
+      .groupBy("mac")
+      .agg(min_by(col("name"), col("idx")).as("name"))
+      .orderBy("mac")
   }
 
   /** Q12 — union of micro-batches (OP-09, `/root/reference/src/main.rs:96-102`):
@@ -1362,6 +1379,8 @@ object Core {
       |  ('RUUVI_TAG_2_NAME','Sauna'),
       |  ('RUUVI_TAG_porch_MAC','AA:BB:CC:DD:EE:03'),
       |  ('RUUVI_TAG_porch_NAME','Garage'),
+      |  ('RUUVI_TAG_7_MAC','AA:BB:CC:DD:EE:02'),
+      |  ('RUUVI_TAG_7_NAME','Basement'),
       |  ('RUUVI_TAG_9_MAC','AA:BB:CC:DD:EE:09'),
       |  ('RUUVI_TAG_10_NAME','Attic'),
       |  ('RUUVI_TAGS_MAC','not-a-tag'),
@@ -1372,7 +1391,8 @@ object Core {
       |n AS (SELECT substr(key, 11, length(key) - 15) AS idx, value AS name
       |      FROM env WHERE starts_with(key, 'RUUVI_TAG_')
       |        AND ends_with(substr(key, 11), '_NAME'))
-      |SELECT mac, name FROM m JOIN n USING (idx) ORDER BY mac""".stripMargin
+      |SELECT mac, min_by(name, idx) AS name FROM m JOIN n USING (idx)
+      |GROUP BY mac ORDER BY mac""".stripMargin
 
   private val oq12 =
     """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value FROM (

@@ -143,7 +143,7 @@ object MultimodalQueries {
       |FROM events ORDER BY event_id LIMIT 100""".stripMargin
 
   private val om02 =
-    """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS content_hash,
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash,
       |  ascii(substr(text,1,1)) AS first_byte
       |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin
 
@@ -205,16 +205,25 @@ object MultimodalQueries {
         oround(avg("mean_luma"), 4).as("avg_luma"))
       .orderBy("kind")
 
+  // BYTE semantics, not characters (round-10 advisory fix): the Spark
+  // stub decodes the UTF-8 payload's OCTETS (length and unsigned byte
+  // sum), so the oracle derives the same numbers from encode(text)
+  // (DuckDB's VARCHAR→UTF-8-bytes conversion; a ::BLOB cast REJECTS
+  // non-ASCII) — octet_length for sizes and hex-pair extraction for the
+  // byte sum — and stays bit-exact on any encoding, not just the staged
+  // corpus's ASCII.
   private val om06 =
-    """WITH m AS (SELECT doc_id,
+    """WITH b AS (SELECT doc_id, encode(text) AS bb FROM documents),
+      |m AS (SELECT doc_id,
       |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END kind,
-      |  length(text) nb,
-      |  16 + length(text) % 64 AS w,
-      |  16 + (length(text) // 64) % 64 AS h,
-      |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
-      |    list_sum(list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))))::DOUBLE
-      |      / length(text) / 255 END AS luma
-      |  FROM documents)
+      |  octet_length(bb) nb,
+      |  16 + octet_length(bb) % 64 AS w,
+      |  16 + (octet_length(bb) // 64) % 64 AS h,
+      |  CASE WHEN octet_length(bb) = 0 THEN 0.0 ELSE
+      |    list_sum(list_transform(generate_series(1, octet_length(bb)),
+      |      i -> ('0x' || substr(hex(bb), 2*i - 1, 2))::BIGINT))::DOUBLE
+      |      / octet_length(bb) / 255 END AS luma
+      |  FROM b)
       |SELECT kind, count(*) AS n, ROUND(avg(nb), 2) AS avg_bytes, ROUND(avg(w), 2) AS avg_w,
       |  ROUND(avg(h), 2) AS avg_h, ROUND(avg(luma), 4) AS avg_luma
       |FROM m GROUP BY kind ORDER BY kind""".stripMargin
@@ -393,11 +402,12 @@ object MultimodalQueries {
         sum("out_bytes").as("out_bytes"))
       .orderBy("kind")
 
-  // lazy: declared below the defs list that captures it (the d15 lesson)
+  // lazy: declared below the defs list that captures it (the d15 lesson).
+  // octet_length, not length: the stub sizes the OCTET payload (see om06)
   private lazy val om09 =
     """WITH m AS (SELECT doc_id,
-      |  16 + length(text) % 64 AS w,
-      |  16 + (length(text) // 64) % 64 AS h
+      |  16 + octet_length(encode(text)) % 64 AS w,
+      |  16 + (octet_length(encode(text)) // 64) % 64 AS h
       |  FROM documents WHERE doc_id % 2 = 0),
       |r AS (SELECT w, h,
       |  CASE WHEN greatest(w, h) <= 48 THEN w

@@ -95,9 +95,24 @@ object AvroSource {
   def write(df: DataFrame, path: String): Unit = {
     val sparkSchema = df.schema
     val json = avroSchema(sparkSchema).toString
+    // The SESSION's filesystem configuration (s3a credentials,
+    // defaultFS, …) must govern the write exactly as it governs read()
+    // — a bare `new Configuration()` here would resolve a different
+    // filesystem for the same path string (round-10 advisory fix).
+    // Hadoop Configuration is not Serializable, so the session entries
+    // ship to executors as a key→value overlay on the task-side
+    // defaults (the SerializableConfiguration pattern without the
+    // private[spark] class).
+    val sessionConf = df.sparkSession.sparkContext.hadoopConfiguration
+    val confOverlay: Array[(String, String)] = {
+      val it = sessionConf.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
     locally { // job setup (driver): overwrite semantics + orphan cleanup
       val dir = new org.apache.hadoop.fs.Path(path)
-      val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = dir.getFileSystem(sessionConf)
       fs.mkdirs(dir)
       fs.listStatus(dir).map(_.getPath)
         .filter(p => p.getName.startsWith("part-") || p.getName.startsWith("_tmp-"))
@@ -106,6 +121,7 @@ object AvroSource {
     df.rdd.foreachPartition { rows =>
       val sch = new Schema.Parser().parse(json)
       val conf = new org.apache.hadoop.conf.Configuration()
+      confOverlay.foreach { case (k, v) => conf.set(k, v) }
       val dir = new org.apache.hadoop.fs.Path(path)
       val fs = dir.getFileSystem(conf)
       val tc = TaskContext.get()

@@ -56,4 +56,47 @@ class D15OverlapSpec extends AnyFunSuite {
       assert(rows(("mirror_a", "other"))._1 == rows(("mirror_b", "other"))._1)
     }
   }
+
+  test("ubiquitous shingles: pattern-grouped audit stays exact at df = |sources|") {
+    // every source carries the same hot sentence (source-df = |sources|,
+    // the shape that made the old postings self-join quadratic — most
+    // real shingles are near-ubiquitous across sources) plus partially
+    // overlapping private vocabulary; the audited jaccard and n_inter
+    // must equal ground truth computed directly over the shingle sets
+    val hot = "common ground shared by every source in the corpus"
+    val texts = Map(
+      "s_a" -> Seq("apple banana cherry date elder fig", hot),
+      "s_b" -> Seq("grape honey iris juniper kiwi lemon", hot),
+      "s_c" -> Seq("mango nectar olive peach quince rose", hot,
+        "grape honey iris juniper kiwi lemon"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_d15u").toString
+    texts.toSeq.sortBy(_._1).zipWithIndex
+      .flatMap { case ((src, ts), si) =>
+        ts.zipWithIndex.map { case (t, i) => (si * 100L + i, t, src) }
+      }
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    def shingleSet(ts: Seq[String]): Set[String] =
+      ts.flatMap(_.split(" ").sliding(2).map(_.mkString(" "))).toSet
+    val sets = texts.map { case (src, ts) => src -> shingleSet(ts) }
+
+    val rows = SparkEntry.queries("d15_source_overlap")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getLong(4))).toMap
+    assert(rows.size == 3)
+    for {
+      (sa, a) <- sets; (sb, b) <- sets if sa < sb
+    } {
+      val ni = (a intersect b).size.toLong
+      val j = BigDecimal(ni.toDouble / (a union b).size)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rows((sa, sb)) == ((j, ni)),
+        s"($sa,$sb): expected ($j,$ni), got ${rows((sa, sb))}")
+    }
+  }
 }

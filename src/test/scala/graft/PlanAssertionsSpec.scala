@@ -107,14 +107,29 @@ class PlanAssertionsSpec extends AnyFunSuite {
   test("d15: the sketch pair comparison is sketch-sized; corpus never self-joins raw") {
     // the non-equi (sa < sb) pair join runs over the 8-long-per-source
     // SKETCH frame (broadcast nested loop over |sources| rows — bounded
-    // by design); the only corpus-scale joins are the exact-audit's
-    // shingle equi-joins. A CartesianProduct would mean the pair join
-    // regressed to corpus scale.
+    // by design). A CartesianProduct would mean the pair join regressed
+    // to corpus scale.
     val plan = executedPlan("d15_source_overlap").split("== Initial Plan ==")(0)
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"d15's sketch pair join must be the broadcast NLJ over sketch rows:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"d15 must never cartesian, got:\n$plan")
+  }
+
+  test("d15: no join ever carries the shingle key (pattern-grouped audit)") {
+    // the round-9 verdict's fan-out hazard: a postings self-join on the
+    // shingle key costs df² per shingle, df ≈ |sources| on the common
+    // case. The round-10 audit groups shingles by source-set signature
+    // instead — every remaining join is catalog- or pattern-sized, so
+    // NO Join node in the optimized plan may reference the shingle
+    // column `k`.
+    val df = SparkEntry.queries("d15_source_overlap")(spark, sf)
+    val shingleJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "k")) => j
+    }
+    assert(shingleJoins.isEmpty,
+      s"exact audit must never join on the shingle key, found:\n$shingleJoins")
   }
 
   test("q13: top-20 is TakeOrderedAndProject, dimensions broadcast") {

@@ -19,17 +19,27 @@ class Q52PropSpec extends AnyFunSuite {
 
   /** The reference loop, literally: Option-chained prefix/suffix strip
     * (strip_suffix on the already-stripped remainder, so
-    * `RUUVI_TAG_MAC` falls out exactly as in Rust) + sibling lookup. */
-  private def model(env: Seq[(String, String)]): Set[(String, String)] = {
+    * `RUUVI_TAG_MAC` falls out exactly as in Rust) + sibling lookup —
+    * yielding the (idx, mac, name) CANDIDATE triples before the
+    * HashMap insert collapses duplicate macs. */
+  private def candidates(env: Seq[(String, String)]): Seq[(String, String, String)] = {
     val byKey = env.toMap
     env.flatMap { case (k, mac) =>
       for {
         rest <- if (k.startsWith("RUUVI_TAG_")) Some(k.drop("RUUVI_TAG_".length)) else None
         idx <- if (rest.endsWith("_MAC")) Some(rest.dropRight("_MAC".length)) else None
         name <- byKey.get(s"RUUVI_TAG_${idx}_NAME")
-      } yield (mac, name)
-    }.toSet
+      } yield (idx, mac, name)
+    }
   }
+
+  /** The engine's declared refinement of the reference's
+    * env-order-nondeterministic `tags.insert(mac, name)`: one entry per
+    * mac, smallest index string wins (`Core.envFallback` scaladoc). */
+  private def model(env: Seq[(String, String)]): Set[(String, String)] =
+    candidates(env).groupBy(_._2).map { case (mac, cs) =>
+      (mac, cs.minBy(_._1)._3)
+    }.toSet
 
   private val keyGen: Gen[String] = for {
     prefix <- Gen.oneOf("RUUVI_TAG_", "RUUVI_TAGS_", "XRUUVI_TAG_", "RUUVI_TA_")
@@ -44,13 +54,16 @@ class Q52PropSpec extends AnyFunSuite {
 
   test("generated environments: regexp-join dataflow ≡ the reference loop") {
     val envGen: Gen[Seq[(String, String)]] =
-      Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, keyGen)).map { keys =>
-        // env keys are unique by construction; values unique per slot so
-        // the reference's mac-keyed HashMap can never collide (a dup mac
-        // is last-wins on Rust's nondeterministic env order — excluded
-        // from the property exactly because the reference itself is
-        // nondeterministic there)
-        keys.distinct.zipWithIndex.map { case (k, i) => k -> s"v$i" }
+      Gen.chooseNum(0, 14).flatMap { n =>
+        Gen.listOfN(n, keyGen).flatMap { keys =>
+          // env keys are unique by construction; VALUES draw from a
+          // 4-slot pool so distinct indices frequently carry the SAME
+          // mac — the duplicate-mac collision the reference resolves by
+          // nondeterministic env order and the engine pins to
+          // smallest-index-wins (the round-10 documented refinement)
+          Gen.listOfN(keys.distinct.length, Gen.oneOf("v0", "v1", "v2", "v3"))
+            .map(vals => keys.distinct.zip(vals))
+        }
       }
     var checked = 0
     val prop = Prop.forAll(envGen) { env =>
@@ -66,6 +79,22 @@ class Q52PropSpec extends AnyFunSuite {
       prop)
     assert(res.passed, s"property failed: ${res.status}")
     assert(checked >= 60)
+  }
+
+  test("duplicate macs collapse to one row; smallest index STRING wins") {
+    val env = Seq(
+      "RUUVI_TAG_2_MAC" -> "AA", "RUUVI_TAG_2_NAME" -> "second",
+      "RUUVI_TAG_10_MAC" -> "AA", "RUUVI_TAG_10_NAME" -> "tenth",
+      "RUUVI_TAG_porch_MAC" -> "AA", "RUUVI_TAG_porch_NAME" -> "porchy")
+    val got = graft.queries.Core.envFallback(spark, env)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // idx is an arbitrary STRING in the reference, so the pinned order
+    // is lexicographic: "10" < "2" < "porch"
+    assert(got == Set(("AA", "tenth")), s"got $got")
+    assert(got == model(env))
+    // refinement: the survivor is a candidate the reference's HashMap
+    // could have kept under some env iteration order
+    assert(candidates(env).map(c => (c._2, c._3)).contains(got.head))
   }
 
   test("the RUUVI_TAG_MAC corner: suffix overlapping the prefix remainder is skipped") {
