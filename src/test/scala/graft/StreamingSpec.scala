@@ -171,6 +171,122 @@ class StreamingSpec extends AnyFunSuite {
     assert(sensor.head.getAs[Int]("samples") == 2)
   }
 
+  test("mid-batch jdbc crash replays exactly-once from the checkpoint (OP-14)") {
+    // The fault the reference's 100×5 s insert-retry loop
+    // (`/root/reference/src/database/connection.rs:52-134`) exists for:
+    // the process dies PARTWAY through loading a batch into the
+    // database. Here the crash is injected at the worst point —
+    // after the writer's own-id DELETE and a PARTIAL sensor_data
+    // insert, before movement_data is touched — so the database holds
+    // a torn batch when incarnation 1 dies. Incarnation 2 restarts
+    // from the SAME checkpoint: the uncommitted batch replays, the
+    // delete-then-insert clears its own orphans, and the final tables
+    // must equal the batch dataflow exactly (q44's restart recovery
+    // composed with q46's relational sink, end to end).
+    import java.nio.file.{Files, Path}
+    import java.nio.file.attribute.FileTime
+    val root = Files.createTempDirectory("graft-midbatch")
+    val src = Files.createDirectories(root.resolve("src"))
+    val ckp = root.resolve("ckp").toString
+    val url = s"jdbc:derby:memory:graftmb_${root.getFileName};create=true"
+    val props = new java.util.Properties
+    val tagDim = Seq(("AA:BB:CC:DD:EE:01", "Kitchen")).toDF("mac", "name")
+
+    def hexFor(tempRaw: Long, mc: Long): org.apache.spark.sql.Column =
+      Format5.encodeHex(lit(tempRaw), lit(20000L), lit(50000L),
+        lit(0L), lit(0L), lit(0L), lit(mc))
+    val readings = Seq(
+      ("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 10:00:00"), 4000L, 10L),
+      ("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 10:20:00"), 5000L, 20L),
+      ("AA:BB:CC:DD:EE:01", Timestamp.valueOf("2024-01-01 10:40:00"), 4500L, 30L))
+      .toDF("mac", "ts", "raw", "mc")
+      .select(col("mac"), col("ts"),
+        unhex(Format5.encodeHex(col("raw"), lit(20000L), lit(50000L),
+          lit(0L), lit(0L), lit(0L), col("mc"))).as("payload"))
+    // watermark-flush sentinels: NOT in the whitelist, so they advance
+    // the watermark (tracked upstream of the semi-join) without adding
+    // output groups
+    def sentinel(ts: String) = spark.range(1).select(
+      lit("AA:BB:CC:DD:EE:99").as("mac"),
+      to_timestamp(lit(ts)).as("ts"),
+      unhex(hexFor(0L, 0L)).as("payload"))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = root.resolve(s"stage_$name")
+      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
+      finally listing.close()
+      Files.copy(part, src.resolve(s"$name.parquet"))
+      Files.setLastModifiedTime(src.resolve(s"$name.parquet"), FileTime.fromMillis(mtimeMs))
+    }
+    stage(readings, "batch0", 1000000000000L)
+    stage(sentinel("2030-01-01 00:00:00"), "batch1", 1000000060000L)
+    stage(sentinel("2030-02-01 00:00:00"), "batch2", 1000000120000L)
+
+    var injected = false
+    var tornBatchId = -1L
+    def incarnation(crash: Boolean): Unit = {
+      val stream = spark.readStream
+        .schema("mac STRING, ts TIMESTAMP, payload BINARY")
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      val agg = Pipeline.batch(stream.withWatermark("ts", "1 minute"), tagDim)
+      val query = agg.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (crash && !injected && df.count() > 0) {
+            injected = true; tornBatchId = id
+            // the torn commit: own-id DELETE is a no-op first time,
+            // then ONE sensor row lands and the process "dies" —
+            // movement_data never sees the batch
+            Pipeline.writeJdbc(
+              Pipeline.sensorProjection(df).limit(1).withColumn("batch_id", lit(id)),
+              url, "sensor_data", props)
+            throw new RuntimeException("injected mid-batch crash")
+          }
+          Pipeline.writeJdbcMicroBatch(df, id, url, props)
+        }
+        .start()
+      query.awaitTermination()
+    }
+
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      incarnation(crash = true)
+    }
+    assert(e.getMessage.contains("injected mid-batch crash"))
+    assert(injected, "the fault was never reached — test staged wrong data")
+    // torn state is really in the database: the partial batch's orphan
+    // row in sensor_data, nothing for it in movement_data
+    val torn = spark.read.jdbc(url, "sensor_data", props)
+      .filter(col("batch_id") === tornBatchId).count()
+    assert(torn == 1L, s"expected exactly the 1 partial row, got $torn")
+    assert(spark.read.jdbc(url, "movement_data", props)
+      .filter(col("batch_id") === tornBatchId).count() == 0L)
+
+    incarnation(crash = false) // restart over the same checkpoint
+
+    val expected = Pipeline.batch(spark.read.parquet(src.toString + "/*.parquet"), tagDim)
+    val expSensor = Pipeline.sensorProjection(expected).collect().map(_.toString).sorted
+    val gotSensor = spark.read.jdbc(url, "sensor_data", props)
+      .drop("batch_id")
+      .select("mac", "temperature", "humidity", "pressure", "time", "name", "samples")
+      .collect().map(_.toString).sorted
+    assert(gotSensor.toSeq == expSensor.toSeq,
+      s"sensor_data after recovery != batch dataflow: got ${gotSensor.mkString("; ")}")
+    val expMove = Pipeline.movementProjection(expected).collect().map(_.toString).sorted
+    val gotMove = spark.read.jdbc(url, "movement_data", props)
+      .drop("batch_id")
+      .select("mac", "acceleration_x", "acceleration_y", "acceleration_z",
+        "movement_counter", "time", "name", "samples")
+      .collect().map(_.toString).sorted
+    assert(gotMove.toSeq == expMove.toSeq,
+      s"movement_data after recovery != batch dataflow: got ${gotMove.mkString("; ")}")
+    // exactly-once, stated directly: one row per (mac, window)
+    assert(spark.read.jdbc(url, "sensor_data", props)
+      .groupBy("mac", "time").count().filter(col("count") > 1).count() == 0L)
+  }
+
   test("replay reconstruction RESUMES over the kept checkpoint with identical rows") {
     // The per-JVM run-root cache (Core.Replay) means a second
     // construction of any replay query resumes the stream — AvailableNow
