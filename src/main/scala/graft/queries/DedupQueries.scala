@@ -426,19 +426,39 @@ object DedupQueries {
         oround(col("p.ni").cast("double") / (col("p.na") + col("p.nb") - col("p.ni")), 3)
           .as("jaccard"))
 
+  /** Blocking-key width for [[cosineEdges]]: the smallest k ≥ 4 with
+    * n ≤ 64·2^k — just enough sign bits to hold the EXPECTED bucket at
+    * ≤ 64 vectors (PairBlockCap's order), so within-bucket pair work
+    * stays ≤ ~64·n as the corpus grows. Fixed 4 bits measures α ≈ 2 on
+    * the embedding-count axis (buckets deepen ×copies, pair comparisons
+    * ×copies²); the adaptive width holds α ≈ 1
+    * ([[graft.examples.EmbCountProbe]]). Integer-shift comparison, no
+    * floating log — the DuckDB oracle computes the identical k with
+    * `min(k) … WHERE n <= 64 * (1 << k)`, so both engines flip to the
+    * next width on exactly the same corpus count. Each added bit halves
+    * the bucket AND costs sign-LSH recall; at 100 TB recall is bought
+    * back with multi-probe (v05's dial), not wider buckets. */
+  private[queries] def adaptiveSrpBits(n: Long): Int =
+    (4 to 16).find(k => n <= (64L << k)).getOrElse(16)
+
   /** The cosine near-dup EDGE SET shared by d05 and the graph family
     * ([[GraphQueries]] g02 counts triangles over exactly these edges):
-    * sign-projection bucket (4 bits) as the blocking key, exact cosine
-    * within buckets, oriented va < vb. One definition so the similarity
-    * graph and the near-dup report can never disagree. */
-  private[queries] def cosineEdges(s: SparkSession, d: String, tau: Double = 0.3): DataFrame = {
+    * sign-projection bucket ([[adaptiveSrpBits]]-wide — the corpus
+    * count is parquet-footer metadata, not a data scan) as the blocking
+    * key, exact cosine within buckets, oriented va < vb. One definition
+    * so the similarity graph and the near-dup report can never
+    * disagree. `forceBits` is the probe-only fixed-width hazard twin
+    * (the lshVerifiedPairs `cap = None` discipline). */
+  private[graft] def cosineEdges(s: SparkSession, d: String, tau: Double = 0.3,
+      forceBits: Option[Int] = None): DataFrame = {
+    val bits = forceBits.getOrElse(adaptiveSrpBits(embeddings(s, d).count()))
     val e = graft.Tables.rebalance(s, embeddings(s, d)).select(
       col("vec_id"),
       VectorFns.toDouble(col("embedding")).as("e"))
     val b = e.select(
       col("vec_id"), col("e"),
       VectorFns.norm(col("e")).as("nrm"),
-      VectorFns.srpBucket(col("e"), 4).as("bucket"))
+      VectorFns.srpBucket(col("e"), bits).as("bucket"))
     b.as("a")
       .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(
@@ -448,9 +468,10 @@ object DedupQueries {
   }
 
   /** D5 — embedding-cosine near-dup: the shared [[cosineEdges]] bucket
-    * join (never N² — the SRP bucket replaces the cross join; at 100 TB
-    * add more bits, each halving the bucket, and multi-probe for
-    * recall), projected to the rounded report shape. */
+    * join (never N² — the SRP bucket replaces the cross join, and
+    * [[adaptiveSrpBits]] widens the key with the corpus so the expected
+    * bucket never exceeds ~64; multi-probe buys recall back at scale),
+    * projected to the rounded report shape. */
   private def d05(s: SparkSession, d: String): DataFrame =
     cosineEdges(s, d)
       .select(col("va"), col("vb"), oround(col("cos"), 4).as("cos_sim"))
@@ -531,10 +552,12 @@ object DedupQueries {
     * with cos ≥ 0.3 and va < vb. Interpolated into BOTH od05 and
     * GraphQueries' og02 so the two oracles share one edge definition. */
   private[queries] def cosineEdgeCtes(tau: Double = 0.3): String =
-    s"""n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+    s"""ab AS (SELECT min(k) AS bits FROM generate_series(4,16) t(k)
+      |      WHERE (SELECT count(*) FROM embeddings) <= 64 * (1::BIGINT << k)),
+      |n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
       |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
-      |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
-      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n),
+      |  substr(array_to_string(list_transform(list_slice(e, 1, 16),
+      |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), ''), 1, (SELECT bits FROM ab)) bucket FROM n),
       |ce AS (SELECT va, vb, cos FROM (
       |  SELECT a.vec_id va, b2.vec_id vb,
       |    list_sum(list_transform(list_zip(a.e, b2.e), x -> x[1]*x[2]))/(a.nrm*b2.nrm) cos
