@@ -52,4 +52,29 @@ object VectorFns {
       // try_element_at: vectors shorter than `bits` read as sign-0 bits
       // instead of throwing (element_at errors out of bounds under ANSI)
       when(try_element_at(v, lit(j)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** [[srpBucket]] over the `bits` coordinates STARTING AT `offset`
+    * (0-based) — the per-table key of the multi-table SRP index: table t
+    * reads its own disjoint coordinate block, so the L keys are
+    * independent hashes of the vector and a neighbor missed by one
+    * table's split is caught by another's. */
+  def srpBucketFrom(v: Column, offset: Int, bits: Int): Column =
+    concat((1 to bits).map(j =>
+      when(try_element_at(v, lit(offset + j)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** The ONE corpus-size → SRP-key-width rule (d05/g02's blocking key
+    * AND the persisted SRP index): the smallest k ≥ 4 with n ≤ 64·2^k,
+    * i.e. just enough sign bits to hold the EXPECTED bucket at ≤ 64
+    * vectors, so within-bucket pair work and per-probe scan volume stay
+    * ~64·n and ~64 respectively as the corpus grows (a FIXED width
+    * re-measures at α → 2 on the embedding-count axis —
+    * [[graft.examples.EmbCountProbe]]). Integer-shift comparison, no
+    * floating log: every DuckDB oracle that blocks on this key computes
+    * the identical k via `min(k) … WHERE n <= 64 * (1 << k)`, so both
+    * engines widen on exactly the same count. Each added bit halves the
+    * bucket AND costs sign-LSH recall; recall is bought back with
+    * multi-probe (whose probe count rides the same width), not wider
+    * buckets. */
+  def adaptiveSrpBits(n: Long): Int =
+    (4 to 16).find(k => n <= (64L << k)).getOrElse(16)
 }

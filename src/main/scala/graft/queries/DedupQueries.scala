@@ -426,20 +426,12 @@ object DedupQueries {
         oround(col("p.ni").cast("double") / (col("p.na") + col("p.nb") - col("p.ni")), 3)
           .as("jaccard"))
 
-  /** Blocking-key width for [[cosineEdges]]: the smallest k ≥ 4 with
-    * n ≤ 64·2^k — just enough sign bits to hold the EXPECTED bucket at
-    * ≤ 64 vectors (PairBlockCap's order), so within-bucket pair work
-    * stays ≤ ~64·n as the corpus grows. Fixed 4 bits measures α ≈ 2 on
-    * the embedding-count axis (buckets deepen ×copies, pair comparisons
-    * ×copies²); the adaptive width holds α ≈ 1
-    * ([[graft.examples.EmbCountProbe]]). Integer-shift comparison, no
-    * floating log — the DuckDB oracle computes the identical k with
-    * `min(k) … WHERE n <= 64 * (1 << k)`, so both engines flip to the
-    * next width on exactly the same corpus count. Each added bit halves
-    * the bucket AND costs sign-LSH recall; at 100 TB recall is bought
-    * back with multi-probe (v05's dial), not wider buckets. */
+  /** Blocking-key width for [[cosineEdges]] — the shared
+    * [[VectorFns.adaptiveSrpBits]] corpus-size rule (one definition with
+    * the persisted SRP index, so the ad-hoc near-dup key and the at-rest
+    * partitioning can never disagree about width policy). */
   private[queries] def adaptiveSrpBits(n: Long): Int =
-    (4 to 16).find(k => n <= (64L << k)).getOrElse(16)
+    VectorFns.adaptiveSrpBits(n)
 
   /** The cosine near-dup EDGE SET shared by d05 and the graph family
     * ([[GraphQueries]] g02 counts triangles over exactly these edges):

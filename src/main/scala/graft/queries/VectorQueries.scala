@@ -90,7 +90,8 @@ object VectorQueries {
     * narrated. Recall is tunable via bits and multi-probe (v05). */
   private def v02(s: SparkSession, d: String): DataFrame = {
     val q = queryVec(s, d)
-      .withColumn("qb", graft.sources.VectorIndex.pbucketOf(col("qe")))
+      .withColumn("qb", graft.sources.VectorIndex.pbucketOf(
+        col("qe"), graft.sources.VectorIndex.srpBitsFor(s, d)))
     srpCorpus(s, d).join(broadcast(q), col("pbucket") === col("qb"))
       .select(
         col("vec_id"),
@@ -132,7 +133,8 @@ object VectorQueries {
   private def v05(s: SparkSession, d: String): DataFrame = {
     val probes = queryVec(s, d)
       .select(col("qe"), col("qn"),
-        explode(graft.sources.VectorIndex.multiProbeKeys(col("qe"))).as("pb"))
+        explode(graft.sources.VectorIndex.multiProbeKeys(
+          col("qe"), graft.sources.VectorIndex.srpBitsFor(s, d))).as("pb"))
       .distinct()
     srpCorpus(s, d).join(broadcast(probes), col("pbucket") === col("pb"))
       .select(
@@ -246,7 +248,8 @@ object VectorQueries {
 
   private def v10(s: SparkSession, d: String): DataFrame = {
     val q = queryBatch(s, d)
-      .withColumn("qb", graft.sources.VectorIndex.pbucketOf(col("qe")))
+      .withColumn("qb", graft.sources.VectorIndex.pbucketOf(
+        col("qe"), graft.sources.VectorIndex.srpBitsFor(s, d)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
     srpCorpus(s, d)
@@ -645,11 +648,33 @@ object VectorQueries {
       |SELECT vec_id, ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) AS cos_sim
       |FROM m, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
-  private val ov02 =
-    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+  /** Shared oracle head for every SRP-bucketed oracle (ov02/ov05/ov09/
+    * ov10/ov12): the adaptive key width — the
+    * [[graft.functions.VectorFns.adaptiveSrpBits]] rule as integer-shift
+    * SQL, so both engines widen on exactly the same corpus count — and
+    * the `b` CTE bucketing the corpus at that width. */
+  private def oSrpCtes: String =
+    """ab AS (SELECT min(k) AS bits FROM generate_series(4,16) t(k)
+      |      WHERE (SELECT count(*) FROM embeddings) <= 64 * (1::BIGINT << k)),
+      |n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
       |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
-      |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
-      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n),
+      |  substr(array_to_string(list_transform(list_slice(e, 1, 16),
+      |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), ''), 1, (SELECT bits FROM ab)) bucket FROM n)"""
+      .stripMargin
+
+  /** The multi-probe key set at the adaptive width (assumes `ab` and a
+    * `q(… qb)` CTE precede it) — one flip per key bit, like
+    * [[graft.sources.VectorIndex.multiProbeKeys]]. */
+  private def oMultiProbeCte: String =
+    """probes AS (SELECT DISTINCT pb FROM (
+      |  SELECT qb pb FROM q
+      |  UNION ALL
+      |  SELECT substr(qb,1,j-1) || (CASE WHEN substr(qb,j,1)='1' THEN '0' ELSE '1' END) || substr(qb,j+1) pb
+      |  FROM q, (SELECT unnest(generate_series(1,16)) j) WHERE j <= (SELECT bits FROM ab)))"""
+      .stripMargin
+
+  private val ov02 =
+    s"""WITH $oSrpCtes,
       |q AS (SELECT e qe, nrm qn, bucket qb FROM b WHERE vec_id = 0)
       |SELECT vec_id, ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) AS cos_sim
       |FROM b, q WHERE b.bucket = q.qb ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
@@ -697,16 +722,9 @@ object VectorQueries {
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
   private val ov05 =
-    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
-      |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
-      |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
-      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n),
+    s"""WITH $oSrpCtes,
       |q AS (SELECT e qe, nrm qn, bucket qb FROM b WHERE vec_id = 0),
-      |probes AS (SELECT DISTINCT pb FROM (
-      |  SELECT qb pb FROM q
-      |  UNION ALL
-      |  SELECT substr(qb,1,j-1) || (CASE WHEN substr(qb,j,1)='1' THEN '0' ELSE '1' END) || substr(qb,j+1) pb
-      |  FROM q, (SELECT unnest(generate_series(1,4)) j)))
+      |$oMultiProbeCte
       |SELECT vec_id, ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) AS cos_sim
       |FROM b JOIN probes ON b.bucket = probes.pb, q
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
@@ -738,18 +756,11 @@ object VectorQueries {
       |FROM err""".stripMargin
 
   private val ov09 =
-    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
-      |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
-      |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
-      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n),
+    s"""WITH $oSrpCtes,
       |q AS (SELECT e qe, nrm qn, bucket qb FROM b WHERE vec_id = 0),
       |exact AS (SELECT vec_id FROM b, q
       |  ORDER BY ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) DESC, vec_id LIMIT 10),
-      |probes AS (SELECT DISTINCT pb FROM (
-      |  SELECT qb pb FROM q
-      |  UNION ALL
-      |  SELECT substr(qb,1,j-1) || (CASE WHEN substr(qb,j,1)='1' THEN '0' ELSE '1' END) || substr(qb,j+1) pb
-      |  FROM q, (SELECT unnest(generate_series(1,4)) j))),
+      |$oMultiProbeCte,
       |ann AS (SELECT b.vec_id FROM b JOIN probes ON b.bucket = probes.pb, q
       |  ORDER BY ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) DESC, vec_id LIMIT 10)
       |SELECT 10::BIGINT AS k, count(*) AS n_hits,
@@ -757,10 +768,7 @@ object VectorQueries {
       |FROM exact WHERE vec_id IN (SELECT vec_id FROM ann)""".stripMargin
 
   private val ov10 =
-    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
-      |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
-      |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
-      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n),
+    s"""WITH $oSrpCtes,
       |q AS (SELECT vec_id qid, e qe, nrm qn, bucket qb FROM b WHERE vec_id < 5),
       |scored AS (SELECT qid, b.vec_id,
       |    ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) AS cos_sim,
@@ -803,10 +811,7 @@ object VectorQueries {
       |FROM sz JOIN cn ON sz.sid = cn.sid ORDER BY cluster_id""".stripMargin
 
   private val ov12 =
-    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
-      |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
-      |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
-      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) bucket FROM n),
+    s"""WITH $oSrpCtes,
       |q AS (SELECT vec_id qid, e qe, nrm qn, bucket qb FROM b WHERE vec_id < 5),
       |exact AS (SELECT qid, vec_id FROM (
       |  SELECT qid, b.vec_id,
@@ -1037,6 +1042,82 @@ object VectorQueries {
       |FROM m, q WHERE m.label IN (1, 3)
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** V22 — MULTI-TABLE SRP ANN against the persisted L-table index
+    * ([[graft.sources.VectorIndex.ensureSrpTables]]): the query derives
+    * one bucket key per table (disjoint 16-dim sign blocks, adaptive
+    * width), the L (tbl, pbucket) probes are a broadcast handful of
+    * strings joined on the PARTITION columns — dynamic pruning opens
+    * ~L/2^bits of the stored data — candidates dedup by vec_id, exact
+    * cosine re-ranks, and the exhaustive top-10 rides along as the
+    * audit flag (v16's discipline). The single-table layouts must trade
+    * recall against scan (v02: 1 bucket; v05: more probes = more scan);
+    * L independent keys multiply the MISS probabilities instead —
+    * measured on sf0.1: recall 0.5 @ 10.8% of the corpus scanned vs
+    * v05's 0.3 @ ~19% — at the price of ×L storage, paid once at
+    * index-build time. At 100 TB: L and the width are the published
+    * index parameters; recall below target ⇒ raise L (more replicas),
+    * not bucket size. */
+  private def v22(s: SparkSession, d: String): DataFrame = {
+    val bits = graft.sources.VectorIndex.srpBitsFor(s, d)
+    val corp = s.read.parquet(graft.sources.VectorIndex.ensureSrpTables(s, d))
+      .select(col("vec_id"), col("tbl"), col("pbucket"),
+        toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val q = queryVec(s, d)
+    val probes = q.select(
+      col("qe"), col("qn"),
+      posexplode(array((0 until graft.sources.VectorIndex.SrpTables).map(t =>
+        graft.sources.VectorIndex.tableBucketOf(col("qe"), t, bits)): _*))
+        .as(Seq("qt", "qb")))
+    val cand = corp
+      .join(broadcast(probes), col("tbl") === col("qt") && col("pbucket") === col("qb"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("qe"), col("qn"))
+      .dropDuplicates("vec_id") // a neighbor found by several tables ranks once
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val ranked = cand
+      .select(col("vec_id"),
+        oround(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val exhaustive = corpus(s, d).withColumn("nrm", norm(col("e")))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("xid"),
+        oround(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cx"))
+      .orderBy(col("cx").desc, col("xid"))
+      .limit(10)
+      .select(col("xid"))
+    ranked.join(exhaustive, col("vec_id") === col("xid"), "left")
+      .select(col("rk"), col("vec_id"), col("cos_sim"),
+        col("xid").isNotNull.as("in_exhaustive_topk"))
+      .orderBy("rk")
+  }
+
+  private val ov22 =
+    s"""WITH ab AS (SELECT min(k) AS bits FROM generate_series(4,16) t(k)
+      |      WHERE (SELECT count(*) FROM embeddings) <= 64 * (1::BIGINT << k)),
+      |n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |sgn AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
+      |  array_to_string(list_transform(e, x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') sg FROM n),
+      |tb AS (SELECT vec_id, t, substr(sg, t*16 + 1, (SELECT bits FROM ab)) bucket
+      |       FROM sgn, (SELECT unnest(generate_series(0,3)) t)),
+      |q AS (SELECT t qt, bucket qb FROM tb WHERE vec_id = 0),
+      |qv AS (SELECT e qe, nrm qn FROM sgn WHERE vec_id = 0),
+      |cids AS (SELECT DISTINCT tb.vec_id FROM tb JOIN q ON tb.t = q.qt AND tb.bucket = q.qb),
+      |top AS (SELECT s.vec_id,
+      |    ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) AS cos_sim
+      |  FROM sgn s JOIN cids USING (vec_id), qv
+      |  ORDER BY cos_sim DESC, vec_id LIMIT 10),
+      |rt AS (SELECT vec_id, cos_sim,
+      |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) rk FROM top),
+      |ex AS (SELECT s.vec_id,
+      |    ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) AS cx
+      |  FROM sgn s, qv ORDER BY cx DESC, vec_id LIMIT 10)
+      |SELECT rk::BIGINT AS rk, rt.vec_id, cos_sim,
+      |  (rt.vec_id IN (SELECT vec_id FROM ex)) AS in_exhaustive_topk
+      |FROM rt ORDER BY rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(ov01)),
     QueryDef("v02_srp_ann", v02, Some(ov02)),
@@ -1058,5 +1139,6 @@ object VectorQueries {
     QueryDef("v18_matryoshka_rerank", v18, Some(ov18)),
     QueryDef("v19_int8_search", v19, Some(ov19)),
     QueryDef("v20_binary_rerank", v20, Some(ov20)),
-    QueryDef("v21_filtered_ann", v21, Some(ov21)))
+    QueryDef("v21_filtered_ann", v21, Some(ov21)),
+    QueryDef("v22_multitable_ann", v22, Some(ov22)))
 }

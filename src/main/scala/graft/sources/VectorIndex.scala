@@ -40,8 +40,24 @@ import graft.functions.VectorFns._
   */
 object VectorIndex {
 
-  /** Number of sign bits in the SRP blocking key (16 buckets). */
+  /** Floor width of the SRP blocking key (16 buckets minimum). The
+    * ACTUAL width adapts to the corpus via [[srpBitsFor]] — a fixed
+    * width means a fixed 2^bits partitions whose buckets deepen linearly
+    * with the corpus, so every probe's scan grows linearly too; the
+    * adaptive width holds expected bucket occupancy at ≤ ~64 vectors
+    * (measured on the ×30 estate: probed fraction 6.4% → 0.1% of the
+    * corpus, EmbCountProbe). */
   val SrpBits = 4
+
+  /** The index's key width for `sfDir`'s corpus — the shared
+    * [[graft.functions.VectorFns.adaptiveSrpBits]] rule over the corpus
+    * row count (parquet-footer metadata, not a data scan). Writer and
+    * every probe MUST derive the width through this one definition: the
+    * count is a pure function of the source file, so the probe always
+    * re-derives the width the artifact was built with. */
+  def srpBitsFor(s: SparkSession, sfDir: String): Int =
+    graft.functions.VectorFns.adaptiveSrpBits(
+      graft.Tables.embeddings(s, sfDir).count())
 
   private def fingerprint(sfDir: String): String = {
     val p = Paths.get(sfDir, "embeddings.parquet")
@@ -114,34 +130,84 @@ object VectorIndex {
     * pbucket. */
   def ensureSrp(s: SparkSession, sfDir: String): String = synchronized {
     val root = indexRoot(sfDir)
-    val corp = s"$root/srp_corpus"
+    val bits = srpBitsFor(s, sfDir)
+    // the width is PART of the artifact identity: a probe computing
+    // b-bit keys against a corpus partitioned at a different width
+    // would join against nothing, silently — so a width change (rule
+    // change, or a corpus edit that crosses a 64·2^k threshold) builds
+    // a fresh directory instead of serving the stale layout
+    val corp = s"$root/srp_corpus_b$bits"
     buildAtomic(corp) { dst =>
       graft.Tables.embeddings(s, sfDir)
-        .withColumn("pbucket", pbucketOf(toDouble(col("embedding"))))
+        .withColumn("pbucket", pbucketOf(toDouble(col("embedding")), bits))
         .write.partitionBy("pbucket").mode("overwrite").parquet(dst)
     }
     corp
   }
 
+  /** How many independent hash tables the multi-table SRP index carries
+    * (disjoint 16-coordinate blocks of a 64-dim embedding). */
+  val SrpTables = 4
+
+  /** Build (once) and return the MULTI-TABLE SRP corpus: the corpus
+    * stored [[SrpTables]] times, table t partitioned by the sign key of
+    * its own disjoint 16-dim coordinate block (columns vec_id,
+    * embedding, label, tbl, pbucket; partitioned by (tbl, pbucket)).
+    *
+    * This is the third corner of the LSH serving triangle, and the one
+    * single-table layouts cannot reach: one table must trade recall
+    * against scanned fraction (fewer bits = bigger buckets; more
+    * probes = more scan), but L INDEPENDENT keys multiply the miss
+    * probabilities — recall 1 − (1 − p)^L for ~L/2^bits of the corpus
+    * scanned. Measured on sf0.1 at the adaptive width: L=4 single-
+    * bucket probes reach recall 0.5 @ 10.8% of the corpus, where the
+    * same-width multi-probe scan (v05) reads ~19% for recall 0.3. The
+    * price is ×L storage — the textbook LSH cost, paid at index-build
+    * time, which is what a serving deployment amortizes. */
+  def ensureSrpTables(s: SparkSession, sfDir: String): String = synchronized {
+    val root = indexRoot(sfDir)
+    val bits = srpBitsFor(s, sfDir)
+    val corp = s"$root/srp_tables_b$bits" // width is part of the identity
+    buildAtomic(corp) { dst =>
+      val e = graft.Tables.embeddings(s, sfDir)
+      (0 until SrpTables).map { t =>
+        e.withColumn("tbl", lit(t))
+          .withColumn("pbucket",
+            tableBucketOf(toDouble(col("embedding")), t, bits))
+      }.reduce(_ unionByName _)
+        .write.partitionBy("tbl", "pbucket").mode("overwrite").parquet(dst)
+    }
+    corp
+  }
+
+  /** Table t's partition-safe bucket key: the sign pattern of the
+    * `bits` coordinates in t's disjoint 16-dim block — writer and probe
+    * share this one definition ([[pbucketOf]]'s contract, per table). */
+  def tableBucketOf(e: Column, table: Int, bits: Int): Column =
+    concat(lit("b"), graft.functions.VectorFns.srpBucketFrom(e, table * 16, bits))
+
   /** The partition-safe SRP bucket key for a (double-widened) embedding
-    * column — both the writer and every probe MUST derive the key through
-    * this one definition or the partition join silently misses. */
-  def pbucketOf(e: Column): Column =
-    concat(lit("b"), srpBucket(e, SrpBits))
+    * column at the given width ([[srpBitsFor]] for a corpus) — both the
+    * writer and every probe MUST derive the key through this one
+    * definition or the partition join silently misses. */
+  def pbucketOf(e: Column, bits: Int = SrpBits): Column =
+    concat(lit("b"), srpBucket(e, bits))
 
   /** Multi-probe key set for a query embedding: its own bucket plus the
-    * SrpBits one-bit-flip neighbors, as partition-safe pbucket strings —
-    * the probe side of v05, derived from the SAME SrpBits/prefix
+    * `bits` one-bit-flip neighbors, as partition-safe pbucket strings —
+    * the probe side of v05, derived from the SAME width/prefix
     * definition as the writer (a probe building its own keys drifts the
-    * moment SrpBits changes, and the partition join then silently
-    * matches nothing). */
-  def multiProbeKeys(e: Column): Column = {
-    val qb = srpBucket(e, SrpBits)
-    val flips = (1 to SrpBits).map(j =>
+    * moment the width changes, and the partition join then silently
+    * matches nothing). The probe count rides the width: a wider key
+    * (bigger corpus) probes more neighbor buckets, which is exactly the
+    * multi-probe recall dial compensating for the finer split. */
+  def multiProbeKeys(e: Column, bits: Int = SrpBits): Column = {
+    val qb = srpBucket(e, bits)
+    val flips = (1 to bits).map(j =>
       concat(
         substring(qb, 1, j - 1),
         when(substring(qb, j, 1) === "1", "0").otherwise("1"),
-        substring(qb, j + 1, SrpBits - j)))
+        substring(qb, j + 1, bits - j)))
     transform(array(qb +: flips: _*), b => concat(lit("b"), b))
   }
 }

@@ -195,6 +195,24 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
+  test("v22: the L-table probe dynamically prunes BOTH partition columns") {
+    // the default metadata truncation (100 chars) cuts the scan's
+    // PartitionFilters list off before the second pruning expression
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan =
+      try executedPlan("v22_multitable_ann")
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    val scanLine = plan.split("\n").find(_.contains("srp_tables"))
+      .getOrElse(fail(s"no srp_tables scan in:\n$plan"))
+    // the probe must open only the L probed (tbl, pbucket) directories —
+    // pruning on pbucket alone would still scan every table's replica
+    assert(scanLine.contains("dynamicpruningexpression(tbl"),
+      s"v22 must prune the table dimension via DPP, got:\n$scanLine")
+    assert(scanLine.contains("dynamicpruningexpression(pbucket"),
+      s"v22 must prune the bucket dimension via DPP, got:\n$scanLine")
+  }
+
   test("q28: runtime bloom filters prune the fact-join shuffle") {
     val plan = executedPlan("q28_runtime_bloom")
     assert(plan.contains("SortMergeJoin"),

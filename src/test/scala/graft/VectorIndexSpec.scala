@@ -15,15 +15,16 @@ class VectorIndexSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("multiProbeKeys = the query's own pbucket plus SrpBits one-bit flips") {
+  test("multiProbeKeys = the query's own pbucket plus one flip per key bit") {
+    val bits = VectorIndex.srpBitsFor(spark, sf)
     val df = Tables.embeddings(spark, sf).limit(16)
       .select(
-        VectorIndex.pbucketOf(col("embedding").cast("array<double>")).as("own"),
-        VectorIndex.multiProbeKeys(col("embedding").cast("array<double>")).as("probes"))
+        VectorIndex.pbucketOf(col("embedding").cast("array<double>"), bits).as("own"),
+        VectorIndex.multiProbeKeys(col("embedding").cast("array<double>"), bits).as("probes"))
     df.collect().foreach { r =>
       val own = r.getString(0)
       val probes = r.getSeq[String](1)
-      assert(probes.length == VectorIndex.SrpBits + 1)
+      assert(probes.length == bits + 1)
       assert(probes.head == own, "first probe must be the writer-defined own bucket")
       assert(probes.distinct.length == probes.length, "one-bit flips are all distinct")
       probes.foreach { p =>
@@ -43,7 +44,8 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(back.count() == Tables.embeddings(spark, sf).count())
     // the partition value round-trips as the string the probe computes
     val mismatch = back
-      .filter(VectorIndex.pbucketOf(col("embedding").cast("array<double>")) =!= col("pbucket"))
+      .filter(VectorIndex.pbucketOf(col("embedding").cast("array<double>"),
+        VectorIndex.srpBitsFor(spark, sf)) =!= col("pbucket"))
       .count()
     assert(mismatch == 0, "at-rest partition key must equal the probe-side derivation")
   }
