@@ -62,19 +62,34 @@ object VectorFns {
     concat((1 to bits).map(j =>
       when(try_element_at(v, lit(offset + j)) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
-  /** The ONE corpus-size → SRP-key-width rule (d05/g02's blocking key
-    * AND the persisted SRP index): the smallest k ≥ 4 with n ≤ 64·2^k,
-    * i.e. just enough sign bits to hold the EXPECTED bucket at ≤ 64
-    * vectors, so within-bucket pair work and per-probe scan volume stay
-    * ~64·n and ~64 respectively as the corpus grows (a FIXED width
-    * re-measures at α → 2 on the embedding-count axis —
-    * [[graft.examples.EmbCountProbe]]). Integer-shift comparison, no
-    * floating log: every DuckDB oracle that blocks on this key computes
-    * the identical k via `min(k) … WHERE n <= 64 * (1 << k)`, so both
-    * engines widen on exactly the same count. Each added bit halves the
-    * bucket AND costs sign-LSH recall; recall is bought back with
-    * multi-probe (whose probe count rides the same width), not wider
-    * buckets. */
-  def adaptiveSrpBits(n: Long): Int =
-    (4 to 16).find(k => n <= (64L << k)).getOrElse(16)
+  /** The ONE corpus-size → SRP-key-width rule: the smallest k ≥ 4 with
+    * n ≤ target·2^k, i.e. just enough sign bits to hold the EXPECTED
+    * bucket at ≤ `target` vectors. ANY constant target makes the
+    * downstream work LINEAR in n (within-bucket pair work is
+    * target·n/2; per-probe scan is `target` rows) — a FIXED width
+    * re-measures at α → 2 on the embedding-count axis
+    * ([[graft.examples.EmbCountProbe]]); the target only sets the
+    * constant factor, so each consumer picks the target its physical
+    * shape wants:
+    *
+    *  - d05/g02's ad-hoc blocking key uses target = 64 (tight pair
+    *    constant; the key lives in a shuffle, so narrow buckets cost
+    *    nothing);
+    *  - the PERSISTED indexes ([[graft.sources.VectorIndex]]) use
+    *    target = 4096: the bucket is a PARTITION DIRECTORY there, and
+    *    64-row partitions shatter the artifact into confetti files
+    *    whose listing dominates every probe (measured: ×30 estate at
+    *    the 64-target = 1024 dirs, probes 0.3 s → 1.9 s, the L-table
+    *    build 61 s; at the 4096-target both return to flat). At 100 TB
+    *    the cap of 16 bits gives ~1.5 GB partitions — the healthy file
+    *    size — and per-probe scan stays n/2^16.
+    *
+    * Integer-shift comparison, no floating log: every DuckDB oracle
+    * that blocks on one of these keys computes the identical k via
+    * `min(k) … WHERE n <= target * (1 << k)`, so both engines widen on
+    * exactly the same count. Each added bit halves the bucket AND
+    * costs sign-LSH recall; recall is bought back with multi-probe or
+    * table replicas (v05/v22's dials), not wider buckets. */
+  def adaptiveSrpBits(n: Long, target: Long = 64L): Int =
+    (4 to 16).find(k => n <= (target << k)).getOrElse(16)
 }

@@ -655,7 +655,7 @@ object VectorQueries {
     * the `b` CTE bucketing the corpus at that width. */
   private def oSrpCtes: String =
     """ab AS (SELECT min(k) AS bits FROM generate_series(4,16) t(k)
-      |      WHERE (SELECT count(*) FROM embeddings) <= 64 * (1::BIGINT << k)),
+      |      WHERE (SELECT count(*) FROM embeddings) <= 4096 * (1::BIGINT << k)),
       |n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
       |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
       |  substr(array_to_string(list_transform(list_slice(e, 1, 16),
@@ -1052,11 +1052,12 @@ object VectorQueries {
     * audit flag (v16's discipline). The single-table layouts must trade
     * recall against scan (v02: 1 bucket; v05: more probes = more scan);
     * L independent keys multiply the MISS probabilities instead —
-    * measured on sf0.1: recall 0.5 @ 10.8% of the corpus scanned vs
-    * v05's 0.3 @ ~19% — at the price of ×L storage, paid once at
-    * index-build time. At 100 TB: L and the width are the published
-    * index parameters; recall below target ⇒ raise L (more replicas),
-    * not bucket size. */
+    * measured on sf0.1: recall@10 0.6 scanning 21% of one corpus copy
+    * at 4-bit keys (v05's hd≤1 multi-probe needs ~31% for the same
+    * 0.6), and the gap widens per bit (0.5 @ 11% vs 0.3 @ ~19% at 5) —
+    * at the price of ×L storage, paid once at index-build time. At
+    * 100 TB: L and the width are the published index parameters;
+    * recall below target ⇒ raise L (more replicas), not bucket size. */
   private def v22(s: SparkSession, d: String): DataFrame = {
     val bits = graft.sources.VectorIndex.srpBitsFor(s, d)
     val corp = s.read.parquet(graft.sources.VectorIndex.ensureSrpTables(s, d))
@@ -1096,7 +1097,7 @@ object VectorQueries {
 
   private val ov22 =
     s"""WITH ab AS (SELECT min(k) AS bits FROM generate_series(4,16) t(k)
-      |      WHERE (SELECT count(*) FROM embeddings) <= 64 * (1::BIGINT << k)),
+      |      WHERE (SELECT count(*) FROM embeddings) <= 4096 * (1::BIGINT << k)),
       |n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
       |sgn AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
       |  array_to_string(list_transform(e, x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') sg FROM n),

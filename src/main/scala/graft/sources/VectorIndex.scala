@@ -49,15 +49,22 @@ object VectorIndex {
     * corpus, EmbCountProbe). */
   val SrpBits = 4
 
+  /** Target rows per index partition — the file-layout variant of the
+    * width rule (see [[graft.functions.VectorFns.adaptiveSrpBits]]):
+    * an index bucket is a PARTITION DIRECTORY, so it wants thousands of
+    * rows per file, not d05's pair-work-tight 64. */
+  val IndexBucketTarget = 4096L
+
   /** The index's key width for `sfDir`'s corpus — the shared
-    * [[graft.functions.VectorFns.adaptiveSrpBits]] rule over the corpus
-    * row count (parquet-footer metadata, not a data scan). Writer and
-    * every probe MUST derive the width through this one definition: the
-    * count is a pure function of the source file, so the probe always
-    * re-derives the width the artifact was built with. */
+    * [[graft.functions.VectorFns.adaptiveSrpBits]] rule (at
+    * [[IndexBucketTarget]]) over the corpus row count (parquet-footer
+    * metadata, not a data scan). Writer and every probe MUST derive the
+    * width through this one definition: the count is a pure function of
+    * the source file, so the probe always re-derives the width the
+    * artifact was built with. */
   def srpBitsFor(s: SparkSession, sfDir: String): Int =
     graft.functions.VectorFns.adaptiveSrpBits(
-      graft.Tables.embeddings(s, sfDir).count())
+      graft.Tables.embeddings(s, sfDir).count(), IndexBucketTarget)
 
   private def fingerprint(sfDir: String): String = {
     val p = Paths.get(sfDir, "embeddings.parquet")
@@ -159,11 +166,12 @@ object VectorIndex {
     * against scanned fraction (fewer bits = bigger buckets; more
     * probes = more scan), but L INDEPENDENT keys multiply the miss
     * probabilities — recall 1 − (1 − p)^L for ~L/2^bits of the corpus
-    * scanned. Measured on sf0.1 at the adaptive width: L=4 single-
-    * bucket probes reach recall 0.5 @ 10.8% of the corpus, where the
-    * same-width multi-probe scan (v05) reads ~19% for recall 0.3. The
-    * price is ×L storage — the textbook LSH cost, paid at index-build
-    * time, which is what a serving deployment amortizes. */
+    * scanned. Measured on sf0.1 (recall@10 vs exact): at 4-bit keys
+    * L=4 reaches 0.6 scanning 21% of one corpus copy where the
+    * same-width hd≤1 multi-probe needs ~31% for the same 0.6; one bit
+    * wider the gap grows — 0.5 @ 11% vs 0.3 @ ~19%. The price is ×L
+    * storage — the textbook LSH cost, paid at index-build time, which
+    * is what a serving deployment amortizes. */
   def ensureSrpTables(s: SparkSession, sfDir: String): String = synchronized {
     val root = indexRoot(sfDir)
     val bits = srpBitsFor(s, sfDir)
