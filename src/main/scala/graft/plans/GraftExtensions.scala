@@ -16,6 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `nfc_normalize(string)` → string ([[NfcNormalize]]), Unicode NFC
   *    with ASCII/already-normalized fast paths; same name and semantics
   *    as DuckDB's builtin.
+  *  - `nibble_counts(string)` → array<int> ([[NibbleCounts]]), the
+  *    one-pass hex-digit histogram behind the byte-entropy triage.
   *  - the [[BoundLevenshtein]] optimizer rule: threshold comparisons of
   *    unbounded `levenshtein` rewrite to the banded early-abandon form.
   */
@@ -64,6 +66,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"nfc_normalize expects 1 argument (s STRING), got ${children.length}")
         NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nibble_counts"),
+      new ExpressionInfo(
+        classOf[NibbleCounts].getCanonicalName,
+        null,
+        "nibble_counts",
+        "nibble_counts(s) - 16-element array of hex-digit class counts of s " +
+          "(both cases; non-hex bytes ignored), in one allocation-free pass; " +
+          "NULL on NULL.",
+        "", "", "", "misc_funcs", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"nibble_counts expects 1 argument (s STRING), got ${children.length}")
+        NibbleCounts(children.head)
       }))
   }
 }

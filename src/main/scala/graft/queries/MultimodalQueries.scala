@@ -230,9 +230,9 @@ object MultimodalQueries {
 
   /** M7 — binary content entropy WITHOUT a per-byte explode (t13's
     * length-diff trick moved to the binary/media domain): the payload's
-    * hex form is counted into 16 nibble classes via 16 codegen'd
-    * replace terms, Shannon entropy from those counts, aggregated per
-    * event type. Low entropy ⇒ compressible/structured payload (here:
+    * hex form is counted into 16 nibble classes in one pass by the
+    * native [[graft.plans.NibbleCounts]] expression, Shannon entropy
+    * from those counts, aggregated per event type. Low entropy ⇒ compressible/structured payload (here:
     * the zero-padded tail), high ⇒ already-compressed media — the
     * cheap content-type triage a 100 TB blob estate runs before
     * routing to decoders. Per-row entropies are fixed to integer
@@ -241,21 +241,23 @@ object MultimodalQueries {
     * sums are order-free), so avg/min/max survive any partitioning. */
   private def m07(s: SparkSession, d: String): DataFrame = {
     val n = lit(48.0)
-    // Staged projections, not one mega-expression: the 7-field encode
-    // materializes ONCE as hx, the 16 nibble counts are 16 SEPARATE
-    // small column expressions (codegen emits individually
-    // JIT-compilable methods; the single fused 16-term entropy tree
-    // put one method body past the JIT's huge-method threshold and ran
-    // interpreted — measured 9.1 s → 4.5 s at sf0.1 from this split
-    // alone; translate-vs-regexp made no difference, the tree SHAPE
-    // was the cost), then the entropy fold over the narrow counts.
-    // CollapseProject keeps the stages because collapsing would
-    // duplicate non-cheap children. The rebalance below parallelizes
-    // the per-row work across cores (one parquet file = one partition
-    // otherwise; 4.5 s → 1.6 s) — the Tables.rebalance contract.
-    val cnts = "0123456789ABCDEF".zipWithIndex.map { case (c, i) =>
-      (length(col("hx")) - length(translate(col("hx"), c.toString, "")))
-        .cast("double").as(s"c$i")
+    // Counting kernel: ONE pass over the hex payload via the native
+    // [[graft.plans.NibbleCounts]] expression. The first shipped form
+    // was 16 separate length-translate terms — 16 scans + 16
+    // UTF8String allocations per row, and a generated projection big
+    // enough to sit at the JIT's method threshold: already split
+    // per-term to dodge the huge-method cliff (fused: 9.1 s, split:
+    // 4.5 s), it STILL fell out of compiled code intermittently late
+    // in full 204-query bench runs (code-cache pressure; same query
+    // 2.7 s isolated, 5.8–67 s mid-run). The native histogram is one
+    // small always-compilable loop; counts are exact ints so every
+    // downstream float op (and the DuckDB oracle) is bit-unchanged.
+    // The entropy fold stays split over the narrow count columns, and
+    // the rebalance parallelizes per-row work across cores (one
+    // parquet file = one partition otherwise) — the Tables.rebalance
+    // contract.
+    val cnts = (0 until 16).map { i =>
+      element_at(col("nc"), i + 1).cast("double").as(s"c$i")
     }
     val terms = (0 until 16).map { i =>
       val cnt = col(s"c$i")
@@ -267,7 +269,8 @@ object MultimodalQueries {
         .filter(
           get_json_object(col("props"), "$.k").isNotNull &&
             col("value").isNotNull && col("user_id").isNotNull)
-        .select(col("event_type"), upper(syntheticPayloadHex).as("hx")))
+        .select(col("event_type"),
+          call_function("nibble_counts", syntheticPayloadHex).as("nc")))
       .select(col("event_type") +: cnts: _*)
       .select(col("event_type") +: terms: _*)
       .select(
