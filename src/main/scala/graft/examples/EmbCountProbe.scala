@@ -85,11 +85,20 @@ object EmbCountProbe {
     * stay ≈ constant as the corpus deepens. */
   private def census(s: SparkSession, dir: String, copies: Int): Unit = {
     for ((d, tag) <- Seq((Base, "base"), (dir, s"x$copies"))) {
-      val srp = s.read.parquet(graft.sources.VectorIndex.ensureSrp(s, d))
-      val n = srp.count()
-      val qb = srp.filter(col("vec_id") === 0).select(col("pbucket")).first().getString(0)
-      val inB = srp.filter(col("pbucket") === qb).count()
-      val nb = srp.select("pbucket").distinct().count()
+      // Bucket occupancy from a DIRECT corpus scan at the index's width
+      // — deliberately NOT via ensureSrp: the census must not pre-build
+      // the index, or the v02/v05/v10 cold column below would exclude
+      // the SRP build cost it claims to report (the IVF/L-table colds
+      // include theirs, and the cross-family comparison relies on it).
+      val bits = graft.sources.VectorIndex.srpBitsFor(s, d)
+      val bq = graft.Tables.embeddings(s, d).select(
+        col("vec_id"),
+        graft.sources.VectorIndex.pbucketOf(
+          graft.functions.VectorFns.toDouble(col("embedding")), bits).as("pbucket"))
+      val n = bq.count()
+      val qb = bq.filter(col("vec_id") === 0).select(col("pbucket")).first().getString(0)
+      val inB = bq.filter(col("pbucket") === qb).count()
+      val nb = bq.select("pbucket").distinct().count()
       println(f"[census] $tag%-5s corpus=$n%,9d srp_buckets=$nb%3d " +
         f"query_bucket=$inB%,8d (${100.0 * inB / n}%.1f%% of corpus)")
     }

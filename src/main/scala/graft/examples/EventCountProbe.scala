@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.Engine
 
@@ -35,8 +35,9 @@ import graft.Engine
   * (q39/q42 — the state-heaviest shape: four stores per partition), and
   * `dropDuplicatesWithinWatermark` (q45 — OP-02's bounded-state form).
   * Sinks are `noop` so the probe times the stateful runtime, not a
-  * parquet writer. Max state rows come from the progress listener's
-  * `stateOperators.numRowsTotal`, the store's own census.
+  * parquet writer. Max state rows come from the query's
+  * `recentProgress` `stateOperators.numRowsTotal` (the store's own
+  * census), read synchronously after termination.
   *
   * Usage: `sbt "runMain graft.examples.EventCountProbe [copies]"`
   * (default 10). α = log(t_big / t_base) / log(copies). */
@@ -146,18 +147,6 @@ object EventCountProbe {
     val spark = spark0.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    var maxState = 0L
-    var rows = 0L
-    val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        rows += e.progress.numInputRows
-        val st = e.progress.stateOperators.map(_.numRowsTotal).sum
-        if (st > maxState) maxState = st
-      }
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-    }
-    spark.streams.addListener(listener)
     val ckp = Files.createTempDirectory("graft_evprobe_ckp")
     ckp.toFile.deleteOnExit()
     val stream = spark.readStream
@@ -171,7 +160,17 @@ object EventCountProbe {
       .start()
     q.awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
-    spark.streams.removeListener(listener)
+    // Census from recentProgress, read synchronously AFTER termination —
+    // a StreamingQueryListener delivers events on an async bus, so the
+    // last batch's progress (often the state peak) can still be in
+    // flight when awaitTermination returns. Default retention is 100
+    // progress entries; the longest probe run here is ~41 batches, so
+    // nothing has rotated out (asserted).
+    val progs = q.recentProgress
+    require(progs.length < 95,
+      s"recentProgress near retention limit (${progs.length}) — census would truncate")
+    val rows = progs.map(_.numInputRows).sum
+    val maxState = (0L +: progs.map(_.stateOperators.map(_.numRowsTotal).sum)).max
     (secs, rows, maxState)
   }
 

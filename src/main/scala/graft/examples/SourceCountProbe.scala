@@ -36,14 +36,16 @@ object SourceCountProbe {
     val dir = stage(spark, copies)
     println(s"probe estate: $dir (sf0.1 documents x $copies source-relabeled copies)")
 
-    census(spark, Base, "base")
-    census(spark, dir, s"x$copies")
+    val nb = census(spark, Base, "base")
+    val ng = census(spark, dir, s"x$copies")
 
     def d15(d: String) = () => graft.SparkEntry.queries("d15_source_overlap")(spark, d)
     val (b1, b2) = cold2(d15(Base))
     val (g1, g2) = cold2(d15(dir))
     val (tb, tg) = (math.min(b1, b2), math.min(g1, g2))
-    val (pb, pg) = (pairs(20L), pairs(20L * copies))
+    // output-matrix sizes from the MEASURED source catalogs (the census
+    // already reads them), not a hard-coded 20
+    val (pb, pg) = (pairs(nb), pairs(ng))
     val a = math.log(tg / tb) / math.log(copies.toDouble)
     println(f"d15 base=$tb%.2f s x$copies=$tg%.2f s (cold $g1%.2f) alpha=$a%.2f")
     println(f"d15 output pairs: base=$pb%,d x$copies=$pg%,d; " +
@@ -60,7 +62,7 @@ object SourceCountProbe {
     * the expansion mass is the exact pair work the pattern grouping
     * performs (vs df² per shingle for the rejected postings self-join,
     * printed for contrast). */
-  private def census(s: SparkSession, d: String, tag: String): Unit = {
+  private def census(s: SparkSession, d: String, tag: String): Long = {
     val sh = s.read.parquet(s"$d/documents.parquet")
       .select(col("source"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -78,9 +80,11 @@ object SourceCountProbe {
       .agg(count(lit(1)).as("patterns"),
         sum(expr("CAST(size(sig) * (size(sig) - 1) / 2 AS BIGINT)")).as("expansion_mass"),
         max(size(col("sig"))).as("max_sig")).collect()(0)
-    println(f"[census] $tag%-5s postings=${postings.getLong(0)}%,10d " +
+    val nsrc = sh.select("source").distinct().count()
+    println(f"[census] $tag%-5s sources=$nsrc%,4d postings=${postings.getLong(0)}%,10d " +
       f"shingles=${postings.getLong(1)}%,9d rejected-selfjoin mass=${postings.getLong(2)}%,12d | " +
       f"patterns=${sigs.getLong(0)}%,8d expansion mass=${sigs.getLong(1)}%,10d max|sig|=${sigs.getInt(2)}%4d")
+    nsrc
   }
 
   /** `copies` copies of the documents table: doc_id offset, source

@@ -86,8 +86,12 @@ object VectorFns {
     *
     * Integer-shift comparison, no floating log: every DuckDB oracle
     * that blocks on one of these keys computes the identical k via
-    * `min(k) … WHERE n <= target * (1 << k)`, so both engines widen on
-    * exactly the same count. Each added bit halves the bucket AND
+    * `coalesce(min(k), 16) … WHERE n <= target * (1 << k)`, so both
+    * engines widen on exactly the same count — INCLUDING the 16-bit
+    * ceiling: past target·2^16 rows `min(k)` is empty and a bare
+    * min would turn the oracle's bucket into substr(…, NULL) = NULL
+    * everywhere (zero-edge oracle, spurious parity failure) while the
+    * engine keeps blocking at 16; the coalesce is the getOrElse twin. Each added bit halves the bucket AND
     * costs sign-LSH recall; recall is bought back with multi-probe or
     * table replicas (v05/v22's dials), not wider buckets. */
   def adaptiveSrpBits(n: Long, target: Long = 64L): Int =

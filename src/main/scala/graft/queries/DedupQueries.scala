@@ -443,7 +443,8 @@ object DedupQueries {
     * (the lshVerifiedPairs `cap = None` discipline). */
   private[graft] def cosineEdges(s: SparkSession, d: String, tau: Double = 0.3,
       forceBits: Option[Int] = None): DataFrame = {
-    val bits = forceBits.getOrElse(adaptiveSrpBits(embeddings(s, d).count()))
+    val bits = forceBits.getOrElse(
+      adaptiveSrpBits(graft.sources.VectorIndex.corpusCount(s, d)))
     val e = graft.Tables.rebalance(s, embeddings(s, d)).select(
       col("vec_id"),
       VectorFns.toDouble(col("embedding")).as("e"))
@@ -544,7 +545,7 @@ object DedupQueries {
     * with cos ≥ 0.3 and va < vb. Interpolated into BOTH od05 and
     * GraphQueries' og02 so the two oracles share one edge definition. */
   private[queries] def cosineEdgeCtes(tau: Double = 0.3): String =
-    s"""ab AS (SELECT min(k) AS bits FROM generate_series(4,16) t(k)
+    s"""ab AS (SELECT coalesce(min(k), 16) AS bits FROM generate_series(4,16) t(k)
       |      WHERE (SELECT count(*) FROM embeddings) <= 64 * (1::BIGINT << k)),
       |n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
       |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
@@ -1246,10 +1247,15 @@ object DedupQueries {
     // dense source index, ordered by name so sorted-signature pair
     // expansion (ia < ib) lands directly on the est path's sa < sb; the
     // unpartitioned window is over the source CATALOG — structurally
-    // tiny — not the corpus
-    val srcIdx = ex.select("source").distinct()
+    // tiny — not the corpus. Derived from the CHECKPOINTED corpus (not
+    // from ex: every row of withHs carries ≥ 1 shingle by the size
+    // filter, so the source sets are identical) and itself
+    // checkpointed: it feeds FOUR broadcast subtrees below, and an
+    // unmaterialized lineage would re-run its distinct per broadcast.
+    val srcIdx = withHs.select("source").distinct()
       .withColumn("sidx", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("source")) - 1)
+      .localCheckpoint()
     // one row per DISTINCT source-set signature, weighted by how many
     // shingles carry it — the whole quadratic surface collapses here
     val patterns = ex.join(broadcast(srcIdx), "source")

@@ -654,7 +654,7 @@ object VectorQueries {
     * SQL, so both engines widen on exactly the same corpus count — and
     * the `b` CTE bucketing the corpus at that width. */
   private def oSrpCtes: String =
-    """ab AS (SELECT min(k) AS bits FROM generate_series(4,16) t(k)
+    """ab AS (SELECT coalesce(min(k), 16) AS bits FROM generate_series(4,16) t(k)
       |      WHERE (SELECT count(*) FROM embeddings) <= 4096 * (1::BIGINT << k)),
       |n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
       |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
@@ -1096,7 +1096,7 @@ object VectorQueries {
   }
 
   private val ov22 =
-    s"""WITH ab AS (SELECT min(k) AS bits FROM generate_series(4,16) t(k)
+    s"""WITH ab AS (SELECT coalesce(min(k), 16) AS bits FROM generate_series(4,16) t(k)
       |      WHERE (SELECT count(*) FROM embeddings) <= 4096 * (1::BIGINT << k)),
       |n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
       |sgn AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,

@@ -46,7 +46,9 @@ object VectorIndex {
     * with the corpus, so every probe's scan grows linearly too; the
     * adaptive width holds expected bucket occupancy at ≤ ~64 vectors
     * (measured on the ×30 estate: probed fraction 6.4% → 0.1% of the
-    * corpus, EmbCountProbe). */
+    * corpus, EmbCountProbe). Documentation-only: key builders take the
+    * width EXPLICITLY (no default) so a caller can never silently probe
+    * a 4-bit key against a wider partition layout. */
   val SrpBits = 4
 
   /** Target rows per index partition — the file-layout variant of the
@@ -55,16 +57,28 @@ object VectorIndex {
     * rows per file, not d05's pair-work-tight 64. */
   val IndexBucketTarget = 4096L
 
+  /** The corpus row count behind every adaptive width decision, cached
+    * per CONTENT fingerprint (size + mtime — the ccCache discipline):
+    * the count is a pure function of the source file, but left uncached
+    * it was an eager Spark job on EVERY query construction (v02 paid it
+    * twice — once directly, once inside ensureSrp — before any probe
+    * work ran). A restaged dir gets a fresh fingerprint, so the cache
+    * can never serve a stale count. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def corpusCount(s: SparkSession, sfDir: String): Long =
+    countCache.computeIfAbsent(fingerprint(sfDir),
+      _ => graft.Tables.embeddings(s, sfDir).count()).longValue()
+
   /** The index's key width for `sfDir`'s corpus — the shared
     * [[graft.functions.VectorFns.adaptiveSrpBits]] rule (at
-    * [[IndexBucketTarget]]) over the corpus row count (parquet-footer
-    * metadata, not a data scan). Writer and every probe MUST derive the
-    * width through this one definition: the count is a pure function of
-    * the source file, so the probe always re-derives the width the
-    * artifact was built with. */
+    * [[IndexBucketTarget]]) over the cached [[corpusCount]]. Writer and
+    * every probe MUST derive the width through this one definition, so
+    * the probe always re-derives the width the artifact was built
+    * with. */
   def srpBitsFor(s: SparkSession, sfDir: String): Int =
     graft.functions.VectorFns.adaptiveSrpBits(
-      graft.Tables.embeddings(s, sfDir).count(), IndexBucketTarget)
+      corpusCount(s, sfDir), IndexBucketTarget)
 
   private def fingerprint(sfDir: String): String = {
     val p = Paths.get(sfDir, "embeddings.parquet")
@@ -198,7 +212,7 @@ object VectorIndex {
     * column at the given width ([[srpBitsFor]] for a corpus) — both the
     * writer and every probe MUST derive the key through this one
     * definition or the partition join silently misses. */
-  def pbucketOf(e: Column, bits: Int = SrpBits): Column =
+  def pbucketOf(e: Column, bits: Int): Column =
     concat(lit("b"), srpBucket(e, bits))
 
   /** Multi-probe key set for a query embedding: its own bucket plus the
@@ -209,7 +223,7 @@ object VectorIndex {
     * matches nothing). The probe count rides the width: a wider key
     * (bigger corpus) probes more neighbor buckets, which is exactly the
     * multi-probe recall dial compensating for the finer split. */
-  def multiProbeKeys(e: Column, bits: Int = SrpBits): Column = {
+  def multiProbeKeys(e: Column, bits: Int): Column = {
     val qb = srpBucket(e, bits)
     val flips = (1 to bits).map(j =>
       concat(
