@@ -18,6 +18,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    as DuckDB's builtin.
   *  - `nibble_counts(string)` → array<int> ([[NibbleCounts]]), the
   *    one-pass hex-digit histogram behind the byte-entropy triage.
+  *  - `char_class_counts(string, alphabet)` → array<int>
+  *    ([[CharClassCounts]]), the generalized one-pass ASCII-alphabet
+  *    histogram behind the character-entropy kernel.
   *  - the [[BoundLevenshtein]] optimizer rule: threshold comparisons of
   *    unbounded `levenshtein` rewrite to the banded early-abandon form.
   */
@@ -81,6 +84,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"nibble_counts expects 1 argument (s STRING), got ${children.length}")
         NibbleCounts(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_class_counts"),
+      new ExpressionInfo(
+        classOf[CharClassCounts].getCanonicalName,
+        null,
+        "char_class_counts",
+        "char_class_counts(s, alphabet) - per-character occurrence counts of the " +
+          "pure-ASCII alphabet in s, as one array in one pass; NULL on NULL.",
+        "", "", "", "misc_funcs", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"char_class_counts expects 2 arguments (s, alphabet STRING), got ${children.length}")
+        CharClassCounts(children.head, children(1))
       }))
   }
 }

@@ -418,21 +418,29 @@ object TextQueries {
   /** T13 — character-ENTROPY quality signal: Shannon entropy of the
     * per-document character distribution (low entropy ⇒ repetitive /
     * machine-generated text; gibberish scores high). Computed WITHOUT
-    * exploding to characters: each alphabet bucket's count is
-    * `length(t) - length(replace(t, ch, ''))` — 27 codegen'd scalar
-    * terms per row plus an "other" bucket, zero fan-out, no shuffle
-    * until the |langs|-row aggregate. The explode-per-char
-    * formulation would multiply the corpus row count by n_chars; this
-    * one reads each doc once and emits one double. */
+    * exploding to characters: the 27 alphabet counts come from ONE
+    * pass of the native `char_class_counts` expression
+    * ([[graft.plans.CharClassCounts]] — the first form was a
+    * length-replace pair per character, ~54 full-string scan subtrees
+    * in one fused projection, the JIT-threshold shape the m07
+    * investigation measured falling out of compiled code; counts are
+    * exact ints either way, so the entropy floats and the oracle are
+    * bit-unchanged), zero fan-out, no shuffle until the |langs|-row
+    * aggregate. The explode-per-char formulation would multiply the
+    * corpus row count by n_chars; this one reads each doc once and
+    * emits one double. */
   private def t13(s: SparkSession, d: String): DataFrame = {
     val t = lower(col("text"))
     val n = length(t).cast("double")
-    val counts: Seq[Column] = TextQueries.Alphabet.map(ch =>
-      (length(t) - length(replace(t, lit(ch), lit("")))).cast("double"))
+    val counts: Seq[Column] = TextQueries.Alphabet.indices.map(i =>
+      element_at(col("cc"), i + 1).cast("double"))
     def term(c: Column): Column = when(c > 0, (c / n) * log(c / n)).otherwise(lit(0.0))
     val ent = -(counts.map(term).reduce(_ + _) + term(n - counts.reduce(_ + _)))
     documents(s, d)
       .filter(length(col("text")) > 0)
+      .select(col("lang"), col("text"),
+        call_function("char_class_counts", t,
+          lit(TextQueries.Alphabet.mkString)).as("cc"))
       .select(col("lang"), ent.as("ent"))
       .groupBy("lang")
       .agg(
