@@ -1,0 +1,83 @@
+package graft.examples
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** Direct cost receipt for the one-pass counting kernels
+  * ([[graft.plans.NibbleCounts]] / [[graft.plans.CharClassCounts]] —
+  * round 10's answer to the m07 JIT-churn finding): the same
+  * character-entropy computation over the sf0.1 documents with texts
+  * lengthened ×`rep` (repeat — web-scale document lengths, where the
+  * kernel is the hot loop), counted two ways:
+  *
+  *  - composed: one `length - length(replace)` pair per alphabet
+  *    character — 27 full-string scans + 27 allocations per row, the
+  *    pre-round-10 t13 form;
+  *  - native: ONE `char_class_counts` pass.
+  *
+  * Both feed the identical entropy fold, and the probe asserts the two
+  * aggregates are bit-equal before timing (the counts are exact ints —
+  * same invariant t13's oracle parity rides on). Per-row work is
+  * alphabet×|text| for composed vs |text| for native, so the gap
+  * WIDENS with document length — the 100 TB story, measured.
+  *
+  * Usage: `sbt "runMain graft.examples.KernelProbe [rep]"` (default
+  * 20 — ≈ 10 KB docs). */
+object KernelProbe {
+  private val Base = "/root/testdata/sf0.1"
+  private val Alphabet = ('a' to 'z').mkString + " "
+
+  def main(args: Array[String]): Unit = {
+    val rep = if (args.nonEmpty) args(0).toInt else 20
+    val spark = Engine.session()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = graft.Tables.rebalance(spark,
+      spark.read.parquet(s"$Base/documents.parquet")
+        .select(col("lang"), repeat(lower(col("text")), rep).as("t"))
+        .filter(length(col("t")) > 0))
+      .localCheckpoint() // both variants read one materialization
+    val meanLen = docs.agg(avg(length(col("t")))).first().getDouble(0)
+    println(f"[kernel] corpus=${docs.count()}%,d docs, mean length $meanLen%,.0f chars (rep=$rep)")
+
+    def entropy(counts: Seq[Column]): Column = {
+      val n = length(col("t")).cast("double")
+      def term(c: Column) = when(c > 0, (c / n) * log(c / n)).otherwise(lit(0.0))
+      -(counts.map(term).reduce(_ + _) + term(n - counts.reduce(_ + _)))
+    }
+    def agg(withEnt: DataFrame): DataFrame =
+      withEnt.groupBy("lang")
+        .agg(graft.functions.Num.oround(avg("ent"), 4).as("avg_entropy"))
+        .orderBy("lang")
+    val composed = agg(docs.select(col("lang"), col("t"), entropy(
+      Alphabet.map(ch =>
+        (length(col("t")) - length(replace(col("t"), lit(ch.toString), lit(""))))
+          .cast("double"))).as("ent")))
+    val native = agg(docs
+      .select(col("lang"), col("t"),
+        call_function("char_class_counts", col("t"), lit(Alphabet)).as("cc"))
+      .select(col("lang"), col("t"), entropy(
+        Alphabet.indices.map(i => element_at(col("cc"), i + 1).cast("double"))).as("ent")))
+
+    require(native.collect().toSeq == composed.collect().toSeq,
+      "kernel variants diverged — counts are not identical")
+
+    def time2(df: DataFrame): (Double, Double) = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (once(), once())
+    }
+    val (c1, c2) = time2(composed)
+    val (n1, n2) = time2(native)
+    val (tc, tn) = (math.min(c1, c2), math.min(n1, n2))
+    println(f"[kernel] composed (27x length-replace): $tc%6.2f s  (runs $c1%.2f/$c2%.2f)")
+    println(f"[kernel] native (char_class_counts):    $tn%6.2f s  (runs $n1%.2f/$n2%.2f)")
+    println(f"[kernel] speedup ${tc / tn}%.1fx at $meanLen%,.0f-char docs")
+    spark.stop()
+  }
+}
