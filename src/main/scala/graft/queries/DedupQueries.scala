@@ -325,8 +325,9 @@ object DedupQueries {
   /** The dataset content stamp: flat listing of the documents table's
     * files as `name:length:mtime`. Driver-side metadata-only — one
     * `listStatus`, no data read. */
-  private def datasetStamp(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(d, "documents.parquet")
+  private def datasetStamp(
+      s: SparkSession, d: String, table: String = "documents.parquet"): String = {
+    val p = new org.apache.hadoop.fs.Path(d, table)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     val files = if (st.isDirectory) fs.listStatus(p).toSeq else Seq(st)
@@ -340,6 +341,23 @@ object DedupQueries {
         .toSeq.foreach(ccCache.remove) // restaged dir: drop stale labels
       ccCache.getOrElseUpdate((s, d, stamp),
         graft.ops.ConnectedComponents.run(lshComponentEdges(s, d))
+          .localCheckpoint())
+    }
+
+  /** d16's labeling under the SAME one-artifact discipline as
+    * [[componentLabels]], over the EMBEDDING similarity graph — keyed on
+    * the embeddings table's content stamp (its own cache: the two
+    * labelings cover different tables and invalidate independently). */
+  private val semCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+  private[graft] def semanticLabels(s: SparkSession, d: String): DataFrame =
+    semCache.synchronized {
+      val stamp = datasetStamp(s, d, "embeddings.parquet")
+      semCache.keys.filter(k => k._1 == s && k._2 == d && k._3 != stamp)
+        .toSeq.foreach(semCache.remove)
+      semCache.getOrElseUpdate((s, d, stamp),
+        graft.ops.ConnectedComponents.run(
+          cosineEdges(s, d).select(col("va").as("src"), col("vb").as("dst")))
           .localCheckpoint())
     }
 
@@ -1184,7 +1202,8 @@ object DedupQueries {
     QueryDef("d13_containment", d13, Some(od13)),
     QueryDef("d14_cluster_retention", d14, Some(od14)),
     QueryDef("p14_retention_yield", p14, Some(op14)),
-    QueryDef("d15_source_overlap", d15, Some(od15)))
+    QueryDef("d15_source_overlap", d15, Some(od15)),
+    QueryDef("d16_semantic_dedup", d16, Some(od16)))
 
   /** D15 — CROSS-SOURCE corpus overlap (round 9): for every source
     * pair, the MinHash-ESTIMATED shingle-set Jaccard — the one-pass
@@ -1320,4 +1339,55 @@ object DedupQueries {
       |JOIN na va ON est.sa = va.source JOIN na vb ON est.sb = vb.source
       |ORDER BY est.sa, est.sb""".stripMargin
   }
+
+  /** D16 — SEMANTIC dedup end-to-end (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): embedding-cosine near-dup EDGES → transitive
+    * CLUSTERS → one kept representative per cluster — the
+    * embedding-side twin of the MinHash-side d06/d14 pipeline, closing
+    * the dedup story from pairs (d05) to a pruned corpus. Edge
+    * definition is EXACTLY [[cosineEdges]] (d05/g02's shared one:
+    * adaptive-width sign-LSH blocking, never all-pairs), components via
+    * [[graft.ops.ConnectedComponents]]'s min-label Pregel loop
+    * (O(diameter) bounded-dataflow rounds, no driver state) cached as
+    * ONE labeling per (session, embeddings content stamp) —
+    * [[semanticLabels]], the d06 artifact discipline — and the
+    * keeper rule is MIN vec_id — deterministic on any engine, and free:
+    * the component label IS the minimum member, so the keeper needs no
+    * second pass. Output: one row per non-singleton cluster
+    * (keep_vec_id = the kept member, n_members, n_pruned); singletons
+    * are kept by definition and carry no row. τ = 0.3 matches the d05
+    * threshold — the dial a deployment raises toward ~0.95 for
+    * SemDeDup-strict pruning; the plan shape is τ-independent. At
+    * 100 TB: the edges are bucket-bounded by the adaptive width, the
+    * labeling is the one-time clustering job (d06's artifact
+    * discipline), and the prune itself is a broadcast-able anti-join of
+    * the corpus against the (cluster-member \\ keeper) list. */
+  private def d16(s: SparkSession, d: String): DataFrame = {
+    semanticLabels(s, d)
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+      .select(
+        col("component").as("keep_vec_id"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_pruned"))
+      .orderBy("keep_vec_id")
+  }
+
+  /** Oracle twin of [[d16]]: the shared [[cosineEdgeCtes]] edge
+    * definition plus od06's recursive-closure labeling (root excluded by
+    * `v <> component`, so member counts add 1 back). Lazy for the same
+    * declaration-order reason as od15. */
+  private lazy val od16 =
+    s"""WITH RECURSIVE
+      |${cosineEdgeCtes()},
+      |und AS (SELECT va a, vb b FROM ce UNION SELECT vb, va FROM ce),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM und
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a
+      |),
+      |lbl AS (SELECT a AS v, LEAST(a, min(b)) AS component FROM reach GROUP BY a)
+      |SELECT component AS keep_vec_id, count(*) + 1 AS n_members, count(*) AS n_pruned
+      |FROM (SELECT v, component FROM lbl WHERE v <> component)
+      |GROUP BY component ORDER BY keep_vec_id""".stripMargin
 }
