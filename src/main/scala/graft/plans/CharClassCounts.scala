@@ -19,7 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * investigation measured (a projection that big sits at the compile
   * threshold and intermittently runs interpreted under code-cache
   * pressure late in a long session). This expression is a single
-  * allocation-free byte loop with a 128-slot dispatch table.
+  * byte loop over a per-thread-cached 128-slot dispatch table — the
+  * only per-row allocation is the result array.
   *
   * Semantics: element i (1-indexed `element_at` position i+1) is the
   * number of occurrences of `alphabet`'s i-th character in `s`. The
@@ -81,7 +82,21 @@ object CharClassCountsUtil {
     true
   }
 
-  def count(s: UTF8String, alphabet: UTF8String): ArrayData = {
+  /** The 128-slot dispatch table for `alphabet`, cached per thread
+    * keyed by REFERENCE: every caller passes the alphabet as a foldable
+    * literal, which codegen holds as one stable UTF8String instance per
+    * generated class — so after the first row the per-row cost is one
+    * `eq` check, not a table rebuild + validation (which at ~155 steps
+    * rivals the |text| scan on short documents — exactly the per-row
+    * overhead this kernel exists to remove). A different interleaved
+    * alphabet (never in practice) just rebuilds; the ThreadLocal keeps
+    * task threads from racing one shared slot array. */
+  private val cachedTable =
+    new ThreadLocal[(UTF8String, Array[Int])]()
+
+  private def tableFor(alphabet: UTF8String): Array[Int] = {
+    val hit = cachedTable.get()
+    if (hit != null && (hit._1 eq alphabet)) return hit._2
     val m = alphabet.numBytes()
     // byte -> first alphabet slot; -1 = not in the alphabet
     val slot = new Array[Int](128)
@@ -94,7 +109,13 @@ object CharClassCountsUtil {
       slot(b) = j
       j -= 1
     }
-    val counts = new Array[Int](m)
+    cachedTable.set((alphabet, slot))
+    slot
+  }
+
+  def count(s: UTF8String, alphabet: UTF8String): ArrayData = {
+    val slot = tableFor(alphabet)
+    val counts = new Array[Int](alphabet.numBytes())
     val n = s.numBytes()
     var i = 0
     while (i < n) {

@@ -334,15 +334,24 @@ object DedupQueries {
     files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
       .sorted.mkString(",")
   }
-  private[graft] def componentLabels(s: SparkSession, d: String): DataFrame =
-    ccCache.synchronized {
-      val stamp = datasetStamp(s, d)
-      ccCache.keys.filter(k => k._1 == s && k._2 == d && k._3 != stamp)
-        .toSeq.foreach(ccCache.remove) // restaged dir: drop stale labels
-      ccCache.getOrElseUpdate((s, d, stamp),
-        graft.ops.ConnectedComponents.run(lshComponentEdges(s, d))
-          .localCheckpoint())
+  /** The ONE cache discipline both labelings share (any future change
+    * to eviction or checkpoint policy lands in both or neither):
+    * content-stamp keyed, stale-stamp evicting, checkpoint-materialized
+    * labels from the given edge feed. */
+  private def cachedLabels(
+      cache: scala.collection.mutable.Map[(SparkSession, String, String), DataFrame],
+      s: SparkSession, d: String, table: String)(
+      edges: => DataFrame): DataFrame =
+    cache.synchronized {
+      val stamp = datasetStamp(s, d, table)
+      cache.keys.filter(k => k._1 == s && k._2 == d && k._3 != stamp)
+        .toSeq.foreach(cache.remove) // restaged dir: drop stale labels
+      cache.getOrElseUpdate((s, d, stamp),
+        graft.ops.ConnectedComponents.run(edges).localCheckpoint())
     }
+
+  private[graft] def componentLabels(s: SparkSession, d: String): DataFrame =
+    cachedLabels(ccCache, s, d, "documents.parquet")(lshComponentEdges(s, d))
 
   /** d16's labeling under the SAME one-artifact discipline as
     * [[componentLabels]], over the EMBEDDING similarity graph — keyed on
@@ -351,15 +360,8 @@ object DedupQueries {
   private val semCache =
     scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
   private[graft] def semanticLabels(s: SparkSession, d: String): DataFrame =
-    semCache.synchronized {
-      val stamp = datasetStamp(s, d, "embeddings.parquet")
-      semCache.keys.filter(k => k._1 == s && k._2 == d && k._3 != stamp)
-        .toSeq.foreach(semCache.remove)
-      semCache.getOrElseUpdate((s, d, stamp),
-        graft.ops.ConnectedComponents.run(
-          cosineEdges(s, d).select(col("va").as("src"), col("vb").as("dst")))
-          .localCheckpoint())
-    }
+    cachedLabels(semCache, s, d, "embeddings.parquet")(
+      cosineEdges(s, d).select(col("va").as("src"), col("vb").as("dst")))
 
   /** D3 — SimHash: 16-bit signature over the token multiset. Each bit j is
     * the sign of Σ±1 over token-hashes' bit j (hash60 = first 60 bits of
