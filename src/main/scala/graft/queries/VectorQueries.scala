@@ -1141,5 +1141,105 @@ object VectorQueries {
     QueryDef("v19_int8_search", v19, Some(ov19)),
     QueryDef("v20_binary_rerank", v20, Some(ov20)),
     QueryDef("v21_filtered_ann", v21, Some(ov21)),
-    QueryDef("v22_multitable_ann", v22, Some(ov22)))
+    QueryDef("v22_multitable_ann", v22, Some(ov22)),
+    QueryDef("v23_nprobe_curve", v23, Some(ov23)))
+
+  /** V23 — the nprobe TUNING CURVE: recall@10 AND scanned-row count
+    * for nprobe ∈ {1, 2, 3} in ONE query — the sweep a deployment runs
+    * to pick its IVF probe width (the recall/scan trade is THE
+    * operating decision for an IVF index; v11 audits one operating
+    * point, this emits the curve). One scored-centroid frame (catalog-
+    * tiny) feeds all three widths; each width's branch joins the PERSISTED
+    * label-partitioned corpus ([[graft.sources.VectorIndex.ensureIvf]])
+    * on its ≤ np best labels — partition-pruned exactly like v03, three
+    * pruned probes unioned, never a full scan. n_scanned is the
+    * branch's actual candidate count (the curve's cost axis); recall
+    * is against the exact top-10 ([[v01]]'s definition, the shared
+    * yardstick). At 100 TB each branch reads np/|labels| of the corpus;
+    * the union's cost is the sum of the swept points — what the tuning
+    * job pays by construction. */
+  private def v23(s: SparkSession, d: String): DataFrame = {
+    val (centPath, corpPath) = graft.sources.VectorIndex.ensureIvf(s, d)
+    val q = queryVec(s, d)
+    val scoredCents = s.read.parquet(centPath).crossJoin(broadcast(q))
+      .select(
+        col("label"),
+        (dot(col("ce"), col("qe")) / (norm(col("ce")) * col("qn"))).as("cs"))
+    val exact = v01(s, d).select(col("vec_id"))
+    Seq(1, 2, 3).map { np =>
+      // per-width label pick as orderBy+limit — v03's coarseProbe shape,
+      // NOT a shared window + rk-filter: Catalyst inserts the dynamic
+      // partition-pruning filter for the Limit build side but falls back
+      // to dynamicpruningexpression(true) behind the windowed filter
+      // (plan-asserted per branch in PlanAssertionsSpec)
+      val best = scoredCents
+        .orderBy(col("cs").desc, col("label"))
+        .limit(np)
+        .select(col("label").as("best_label"))
+      val cand = s.read.parquet(corpPath)
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+        .join(broadcast(best), col("label") === col("best_label"))
+        .crossJoin(broadcast(q))
+        .select(
+          col("vec_id"),
+          oround(dot(col("e"), col("qe")) / (norm(col("e")) * col("qn")), 4)
+            .as("cos_sim"))
+      // ONE pass over the pruned candidates: the scan count and the
+      // bounded-state top-10 ([[graft.functions.TopKByValue]] — q49's
+      // aggregate, identical (−value, id) comparator to the
+      // orderBy/limit form) ride the same Aggregate. A separate
+      // count-only branch would read ZERO data columns, and Spark
+      // drops DPP to `dynamicpruningexpression(true)` on such a scan
+      // (no broadcast to reuse) — the sweep's cost axis would then be
+      // an unpruned metadata pass over every partition.
+      val topk = udaf(
+        new graft.functions.TopKByValue(10),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+      cand
+        .agg(count(lit(1)).as("n_scanned"),
+          topk(col("vec_id"), col("cos_sim")).as("top"))
+        .select(col("n_scanned"), explode(col("top")).as("t"))
+        .join(broadcast(exact.select(col("vec_id").as("eid"))),
+          col("t._1") === col("eid"), "left_outer")
+        .agg(max(col("n_scanned")).as("n_scanned"),
+          count(col("eid")).as("n_hits"))
+        .select(
+          lit(np).as("nprobe"), lit(10L).as("k"), col("n_scanned"),
+          col("n_hits"),
+          oround(col("n_hits").cast("double") / 10, 2).as("recall"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
+  /** Oracle twin of [[v23]]: ov11's exact/centroid CTEs plus a ranked
+    * centroid table, one UNION ALL branch per swept width. */
+  private lazy val ov23 = {
+    val branch = (np: Int) =>
+      s"""SELECT $np::INT AS nprobe, 10::BIGINT AS k,
+        |  (SELECT count(*) FROM m JOIN rkd ON m.label = rkd.label WHERE rkd.rk <= $np) AS n_scanned,
+        |  (SELECT count(*) FROM exact WHERE vec_id IN (
+        |     SELECT vec_id FROM m JOIN rkd ON m.label = rkd.label, q WHERE rkd.rk <= $np
+        |     ORDER BY ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) DESC, vec_id
+        |     LIMIT 10)) AS n_hits,
+        |  ROUND((SELECT count(*) FROM exact WHERE vec_id IN (
+        |     SELECT vec_id FROM m JOIN rkd ON m.label = rkd.label, q WHERE rkd.rk <= $np
+        |     ORDER BY ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) DESC, vec_id
+        |     LIMIT 10))::DOUBLE / 10, 2) AS recall""".stripMargin
+    s"""WITH n AS (SELECT vec_id, label, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |m AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm FROM n),
+      |q AS (SELECT e qe, nrm qn FROM m WHERE vec_id = 0),
+      |exact AS (SELECT vec_id FROM m, q
+      |  ORDER BY ROUND(list_sum(list_transform(list_zip(e, qe), x -> x[1]*x[2]))/(nrm*qn), 4) DESC, vec_id LIMIT 10),
+      |cd AS (SELECT label, i, avg(e[i]) c FROM n, (SELECT unnest(generate_series(1,64)) i) GROUP BY label, i),
+      |cent AS (SELECT label, list(c ORDER BY i) ce FROM cd GROUP BY label),
+      |rkd AS (SELECT label, row_number() OVER (ORDER BY
+      |    list_sum(list_transform(list_zip(ce, qe), x -> x[1]*x[2]))
+      |    / (sqrt(list_sum(list_transform(ce, x->x*x))) * qn) DESC, label) rk
+      |  FROM cent, q)
+      |${branch(1)}
+      |UNION ALL
+      |${branch(2)}
+      |UNION ALL
+      |${branch(3)}
+      |ORDER BY nprobe""".stripMargin
+  }
 }

@@ -177,6 +177,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"the nprobe join must prune corpus partitions via DPP, got:\n$scanLine")
   }
 
+  test("v23: every swept nprobe branch keeps v03's partition-pruned probe") {
+    val plan = executedPlan("v23_nprobe_curve")
+    val scanLines = plan.split("\n").filter(_.contains("ivf_corpus"))
+    assert(scanLines.nonEmpty, s"no ivf_corpus scans in:\n$plan")
+    scanLines.foreach(l =>
+      assert(l.contains("dynamicpruningexpression(label"),
+        s"a v23 sweep branch scans the corpus unpruned:\n$l"))
+  }
+
   test("v16: the composed IVF-PQ pipeline keeps v03's partition-pruned probe") {
     val plan = executedPlan("v16_ivfpq_pipeline")
     val scanLine = plan.split("\n").find(_.contains("ivf_corpus"))
