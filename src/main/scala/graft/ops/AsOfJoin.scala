@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * the full pair count; Catalyst plans inequality-only conditions as
   * BroadcastNestedLoopJoin). Ties (right.ts == left.ts) match, because
   * the right side sorts before the left at equal timestamps.
+  *
+  * NULL-key caveat: `Window.partitionBy` groups NULL keys together, so
+  * a null-key left row here picks up null-key right rows — unlike SQL
+  * equality (NULL = NULL is not true, so DuckDB's ASOF JOIN, and the
+  * native [[lastPriorNative]], produce no match). Immaterial for the
+  * declared queries (event keys are non-null); pinned as the one
+  * divergence between the two forms in AsOfJoinNativeSpec.
   */
 object AsOfJoin {
 
@@ -54,5 +61,50 @@ object AsOfJoin {
       .withColumn("asof", last(col("__rp"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .drop("__side", "__rp")
+  }
+
+  /** The NATIVE form of [[lastPrior]] — the same "latest right row at
+    * or before each left row, per key" semantics planned as the
+    * whole-operator [[graft.plans.AsOfJoinExec]] instead of the
+    * union+window composition: each side shuffles with only its own
+    * columns (the composed form pads right rows to the left schema
+    * plus the payload struct) and the window's frame buffering becomes
+    * an O(1) forward-merge pointer (measured: ~0.9× shuffle bytes,
+    * ~1.7× faster join stages — [[graft.examples.AsOfProbe]]).
+    *
+    * Output = all of `left`'s columns plus all of `right`'s columns
+    * renamed `<rPrefix><name>` (all-null when no prior right row
+    * exists). The rename is load-bearing, not cosmetic: the custom
+    * node bypasses the analyzer's `DeduplicateRelations` (which only
+    * rewrites known node types), so a self-join's attribute-id
+    * collisions must be prevented here — aliasing every right column
+    * mints fresh expression ids, and the prefixed names keep
+    * `RemoveRedundantAliases` from undoing that (an identity alias
+    * `a AS a` may be collapsed; `a AS r_a` never is).
+    *
+    * Tie rule: among right rows sharing the greatest eligible `tsCol`,
+    * the one greatest by the remaining right columns (in output order)
+    * wins — deterministic on every run, and identical to [[lastPrior]]'s
+    * struct-ordered `last` when the payload struct lists `tsCol` first
+    * and the tie columns in the same order. */
+  def lastPriorNative(
+      left: DataFrame, right: DataFrame,
+      key: String, tsCol: String,
+      rPrefix: String = "r_"): DataFrame = {
+    val renamed = right.select(
+      right.columns.toIndexedSeq.map(c => col(c).as(rPrefix + c)): _*)
+    val lp = left.queryExecution.analyzed
+    val rp = renamed.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
+    org.apache.spark.sql.GraftSqlShim.ofRows(
+      left.sparkSession,
+      graft.plans.AsOfJoinNode(
+        lp, rp,
+        Seq(attr(lp, key)), Seq(attr(rp, rPrefix + key)),
+        attr(lp, tsCol), attr(rp, rPrefix + tsCol)))
   }
 }

@@ -23,10 +23,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    histogram behind the character-entropy kernel.
   *  - the [[BoundLevenshtein]] optimizer rule: threshold comparisons of
   *    unbounded `levenshtein` rewrite to the banded early-abandon form.
+  *  - the [[AsOfJoinStrategy]] planner strategy: plans the custom
+  *    [[AsOfJoinNode]] logical operator into the sorted-merge
+  *    [[AsOfJoinExec]] — the whole-operator (logical node + strategy +
+  *    physical plan) tier of the extension ladder.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BoundLevenshtein)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("format5_decode"),
       new ExpressionInfo(

@@ -443,6 +443,40 @@ object Core {
       .orderBy("purchase_id")
   }
 
+  /** J12 — the NATIVE as-of join ([[graft.plans.AsOfJoinExec]] via
+    * [[graft.ops.AsOfJoin.lastPriorNative]]): q23's exact semantics and
+    * oracle, planned as the custom whole-operator physical plan instead
+    * of the union+window composition. One hash exchange per side, each
+    * side shipping ONLY its own columns (the composed form pads right
+    * rows to the left schema plus the payload struct), and the window's
+    * per-key frame buffer becomes an O(1) merge pointer — measured
+    * ~0.9× shuffle bytes / ~1.7× join-stage speed at sf0.1
+    * ([[graft.examples.AsOfProbe]]). Green against the IDENTICAL DuckDB
+    * `ASOF LEFT JOIN` oracle as q23 — one oracle, two plans, which is
+    * the point: the operator changes the physical strategy, not the
+    * answer. */
+  private def j12(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.ops.AsOfJoin.lastPriorNative(purchases, views, "user_id", "ts")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("r_event_id").as("view_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("r_ts"))).as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
+  private val oj12 =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+      |SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+      |  (epoch_us(p.ts) // 1000000 - epoch_us(v.ts) // 1000000)::BIGINT AS gap_sec
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY purchase_id""".stripMargin
+
   private val oj11 =
     """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
       |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
@@ -1615,6 +1649,7 @@ object Core {
     QueryDef("q22_percentiles", q22, Some(oq22)),
     QueryDef("q23_asof_join", q23, Some(oq23)),
     QueryDef("j11_asof_tolerance", j11, Some(oj11)),
+    QueryDef("j12_asof_native", j12, Some(oj12)),
     QueryDef("q24_sessionize", q24, Some(oq24)),
     QueryDef("q25_hash_sample", q25, Some(oq25)),
     QueryDef("q26_pipeline_parity", q26, Some(oq26)),

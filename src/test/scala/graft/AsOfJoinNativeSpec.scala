@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.AsOfJoin
+
+/** [[graft.plans.AsOfJoinExec]] — the native whole-operator as-of join —
+  * against the composed union+window form it replaces: row-for-row
+  * equality on adversarial data (timestamp ties, null keys, null
+  * timestamps, keys with no right rows, empty right side), plus the
+  * plan shape that justifies its existence (two narrow exchanges, no
+  * window, no union). */
+class AsOfJoinNativeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** (id, key, ts) rows; ts=null rows included. */
+  private def mkDF(rows: Seq[(Long, java.lang.Integer, java.lang.Long)]) =
+    rows.toDF("event_id", "user_id", "tsl")
+      .select(col("event_id"), col("user_id"),
+        when(col("tsl").isNotNull, timestamp_seconds(col("tsl"))).as("ts"))
+
+  /** Native result normalized to the composed form's output shape. */
+  private def runBoth(left: Seq[(Long, java.lang.Integer, java.lang.Long)],
+                      right: Seq[(Long, java.lang.Integer, java.lang.Long)]) = {
+    val l = mkDF(left)
+    val r = mkDF(right)
+    val composed = AsOfJoin
+      .lastPrior(l, r, "user_id", "ts",
+        struct(col("ts").as("vts"), col("event_id").as("vid")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof.vid").as("r_event_id"), col("asof.vts").as("r_ts"))
+      .orderBy("event_id")
+    // native right-side ordering ties on (ts, then remaining columns in
+    // OUTPUT order) — mkDF puts event_id first, so project the right
+    // side to (ts-first is not required; tie columns are the non-key
+    // non-ts columns, here just event_id, same as the composed payload)
+    val native = AsOfJoin.lastPriorNative(l, r, "user_id", "ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("r_event_id"), col("r_ts"))
+      .orderBy("event_id")
+    (composed.collect().toSeq, native.collect().toSeq)
+  }
+
+  test("matches the composed form on ties, nulls, gaps, unmatched keys") {
+    val left = Seq[(Long, java.lang.Integer, java.lang.Long)](
+      (1L, 1, 100L), (2L, 1, 150L), (3L, 1, 90L), // before any right row
+      (4L, 2, 500L), // key with no right rows at all
+      (5L, 3, 300L), // exact-tie timestamp on the right
+      (7L, 4, null), // null ts: never matches
+      (8L, 5, 1000L), (9L, 5, 1000L)) // duplicate left rows
+    val right = Seq[(Long, java.lang.Integer, java.lang.Long)](
+      (101L, 1, 95L), (102L, 1, 100L), (103L, 1, 149L), (104L, 1, 151L),
+      (105L, 3, 300L), (106L, 3, 300L), // tied ts: greatest event_id wins
+      (107L, 3, 299L),
+      (108L, null, 50L), // null right key: skipped
+      (109L, 5, null), // null right ts: skipped
+      (110L, 5, 999L))
+    val (c, n) = runBoth(left, right)
+    assert(n == c)
+    // and the pinned expectations, independent of both implementations
+    val byId = n.map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(byId(1L) == Some(102L)) // ts==100 ties left row: <= matches
+    assert(byId(2L) == Some(103L))
+    assert(byId(3L) == None)
+    assert(byId(4L) == None)
+    assert(byId(5L) == Some(106L)) // tie on ts=300 → max event_id
+    assert(byId(7L) == None)
+    assert(byId(8L) == Some(110L) && byId(9L) == Some(110L))
+  }
+
+  test("null keys: native follows SQL equality (no match); composed groups them") {
+    // the one documented divergence between the two forms. The window
+    // in the composed plan partitions by key, and partitionBy groups
+    // NULLs together — so a null-key left row picks up null-key right
+    // rows. SQL equality (and DuckDB's ASOF JOIN, the oracle for
+    // q23/j12) says NULL = NULL is not true: no match. The native
+    // operator implements the SQL rule.
+    val l = mkDF(Seq((1L, null, 100L)))
+    val r = mkDF(Seq((2L, null, 50L)))
+    val native = AsOfJoin.lastPriorNative(l, r, "user_id", "ts").collect()
+    assert(native.length == 1 && native(0).isNullAt(3))
+    val composed = AsOfJoin.lastPrior(l, r, "user_id", "ts",
+      struct(col("ts").as("vts"), col("event_id").as("vid"))).collect()
+    assert(composed.length == 1 &&
+      composed(0).getAs[org.apache.spark.sql.Row]("asof") != null)
+  }
+
+  test("empty right side yields all-null right columns") {
+    val (c, n) = runBoth(
+      Seq((1L, 1, 100L), (2L, 2, 200L)),
+      Seq.empty)
+    assert(n == c)
+    assert(n.forall(_.isNullAt(3)))
+  }
+
+  test("randomized equivalence with heavy key skew and ties") {
+    val rnd = new scala.util.Random(42)
+    def gen(n: Int, idBase: Long) =
+      (0 until n).map { i =>
+        (idBase + i,
+          Integer.valueOf(rnd.nextInt(7)), // few keys → long runs
+          java.lang.Long.valueOf(rnd.nextInt(50).toLong)) // many ts ties
+      }
+    val (c, n) = runBoth(gen(400, 0L), gen(300, 10000L))
+    assert(n == c)
+    assert(n.count(!_.isNullAt(3)) > 100) // the data actually matched
+  }
+
+  test("plan: one AsOfJoinExec, two exchanges, no window, no union") {
+    val l = mkDF(Seq((1L, 1, 100L))).filter(col("event_id") > 0)
+    val r = mkDF(Seq((2L, 1, 50L)))
+    val df = AsOfJoin.lastPriorNative(l, r, "user_id", "ts")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("AsOfJoin"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges\n$plan")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Union"), plan)
+  }
+
+  test("self-join from one source: no attribute-id collision") {
+    // both sides filtered projections of the SAME DataFrame — the
+    // exprId-collision case the rPrefix aliasing exists for
+    val e = mkDF(Seq(
+      (1L, 1, 100L), (2L, 1, 90L), (3L, 1, 80L), (4L, 2, 70L)))
+    val purchases = e.filter(col("event_id") <= 2)
+    val views = e.filter(col("event_id") >= 3)
+    val out = AsOfJoin.lastPriorNative(purchases, views, "user_id", "ts")
+      .select(col("event_id"), col("r_event_id")).orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(out == Seq((1L, Some(3L)), (2L, Some(3L))))
+  }
+}
