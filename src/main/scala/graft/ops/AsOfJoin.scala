@@ -91,6 +91,11 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       key: String, tsCol: String,
       rPrefix: String = "r_"): DataFrame = {
+    val clash = left.columns.toSet
+      .intersect(right.columns.map(rPrefix + _).toSet)
+    require(clash.isEmpty,
+      s"as-of join: left already has column(s) ${clash.mkString(", ")} — " +
+        s"pass a different rPrefix")
     val renamed = right.select(
       right.columns.toIndexedSeq.map(c => col(c).as(rPrefix + c)): _*)
     val lp = left.queryExecution.analyzed

@@ -67,6 +67,15 @@ case class AsOfJoinNode(
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key on each side")
+  // type mismatches must fail at plan build, not compare boxed values
+  // of different runtime classes mid-merge (self-review hardening)
+  require(leftKeys.zip(rightKeys).forall {
+      case (a, b) => a.dataType == b.dataType },
+    s"as-of join key types differ: ${leftKeys.map(_.dataType.sql)} vs " +
+      s"${rightKeys.map(_.dataType.sql)}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of join ts types differ: ${leftTs.dataType.sql} vs " +
+      s"${rightTs.dataType.sql}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
