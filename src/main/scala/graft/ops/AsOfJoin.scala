@@ -90,7 +90,14 @@ object AsOfJoin {
   def lastPriorNative(
       left: DataFrame, right: DataFrame,
       key: String, tsCol: String,
-      rPrefix: String = "r_"): DataFrame = {
+      rPrefix: String = "r_"): DataFrame =
+    lastPriorNative(left, right, Seq(key), tsCol, rPrefix)
+
+  /** Composite-key form: equi-keys compared pairwise in order. */
+  def lastPriorNative(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], tsCol: String,
+      rPrefix: String): DataFrame = {
     val clash = left.columns.toSet
       .intersect(right.columns.map(rPrefix + _).toSet)
     require(clash.isEmpty,
@@ -109,7 +116,7 @@ object AsOfJoin {
       left.sparkSession,
       graft.plans.AsOfJoinNode(
         lp, rp,
-        Seq(attr(lp, key)), Seq(attr(rp, rPrefix + key)),
+        keys.map(attr(lp, _)), keys.map(k => attr(rp, rPrefix + k)),
         attr(lp, tsCol), attr(rp, rPrefix + tsCol)))
   }
 }

@@ -123,6 +123,46 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), plan)
   }
 
+  test("composite keys: pairwise equality, same merge semantics") {
+    // (id, key1, key2, ts): the match must respect BOTH keys
+    val l = Seq((1L, 1, 10, 100L), (2L, 1, 20, 100L), (3L, 2, 10, 100L))
+      .toDF("event_id", "k1", "k2", "tsl")
+      .select(col("event_id"), col("k1"), col("k2"),
+        timestamp_seconds(col("tsl")).as("ts"))
+    val r = Seq((101L, 1, 10, 90L), (102L, 1, 20, 95L), (103L, 2, 30, 80L))
+      .toDF("event_id", "k1", "k2", "tsl")
+      .select(col("event_id"), col("k1"), col("k2"),
+        timestamp_seconds(col("tsl")).as("ts"))
+    val out = AsOfJoin.lastPriorNative(l, r, Seq("k1", "k2"), "ts", "r_")
+      .select(col("event_id"), col("r_event_id")).orderBy("event_id")
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toSeq
+    assert(out == Seq((1L, Some(101L)), (2L, Some(102L)), (3L, None)))
+  }
+
+  test("bucketed-at-rest sides plan with ZERO exchanges") {
+    // the 100 TB claim in AsOfJoinExec's scaladoc, as a plan assertion:
+    // both sides read from user_id-bucketed tables (same bucket count)
+    // already satisfy the ClusteredDistribution contract, so
+    // EnsureRequirements inserts no shuffle — only in-partition sorts.
+    val d = "/root/testdata/sf0.001"
+    val e = graft.Tables.events(spark, d)
+    val pt = graft.sources.Layout.ensureBucketedArtifact(
+      spark, "asof_purch", d, "user_id", 4)(
+      e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts"))
+    val vt = graft.sources.Layout.ensureBucketedArtifact(
+      spark, "asof_views", d, "user_id", 4)(
+      e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts"))
+    val df = AsOfJoin.lastPriorNative(
+      spark.table(pt), spark.table(vt), "user_id", "ts")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Exchange"), s"bucketed as-of should be shuffle-free\n$plan")
+  }
+
   test("self-join from one source: no attribute-id collision") {
     // both sides filtered projections of the SAME DataFrame — the
     // exprId-collision case the rPrefix aliasing exists for
