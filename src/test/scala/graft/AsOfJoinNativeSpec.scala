@@ -163,6 +163,31 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"bucketed as-of should be shuffle-free\n$plan")
   }
 
+  test("hot key: one key owning the whole right side stays O(1)-state") {
+    // the skew posture: the merge carries ONE lookahead row and ONE
+    // match — a 200k-row hot key costs a sorted-run scan, never a
+    // buffered frame. Correctness pinned against the composed form on
+    // the same data (its running window also streams, so both finish;
+    // the assertion here is agreement at scale, not survival).
+    val n = 200000
+    val l = spark.range(50).select(
+      (col("id") + 1000000L).as("event_id"),
+      lit(1).cast("int").as("user_id"),
+      timestamp_seconds(col("id") * 1000 + 500).as("ts"))
+    val r = spark.range(n.toLong).select(
+      col("id").as("event_id"),
+      lit(1).cast("int").as("user_id"),
+      timestamp_seconds(col("id") % 50000).as("ts"))
+    val native = AsOfJoin.lastPriorNative(l, r, "user_id", "ts")
+      .select(col("event_id"), col("r_event_id")).orderBy("event_id").collect()
+    val composed = AsOfJoin.lastPrior(l, r, "user_id", "ts",
+        struct(col("ts").as("vts"), col("event_id").as("vid")))
+      .select(col("event_id"), col("asof.vid").as("r_event_id"))
+      .orderBy("event_id").collect()
+    assert(native.toSeq == composed.toSeq)
+    assert(native.length == 50 && native.count(!_.isNullAt(1)) == 50)
+  }
+
   test("self-join from one source: no attribute-id collision") {
     // both sides filtered projections of the SAME DataFrame — the
     // exprId-collision case the rPrefix aliasing exists for

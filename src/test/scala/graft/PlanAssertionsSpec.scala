@@ -628,4 +628,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"the o_orderdate range must reach the orders scan:\n$plan")
   }
 
+
+  test("v24: top-10 per query plans through WindowGroupLimit, panel broadcasts") {
+    val plan = executedPlan("v24_retrieval_metrics")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rk<=10 must trigger WindowGroupLimit, got:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the query panel must broadcast, got:\n$plan")
+  }
+
+  test("j12: native as-of join — AsOfJoinExec, no window, no union") {
+    val plan = executedPlan("j12_asof_native")
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec, got:\n$plan")
+    assert(!plan.contains("Window ") && !plan.contains("Union"),
+      s"the native plan must not fall back to the composed form, got:\n$plan")
+  }
 }
