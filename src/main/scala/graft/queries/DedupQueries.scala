@@ -1205,7 +1205,8 @@ object DedupQueries {
     QueryDef("d14_cluster_retention", d14, Some(od14)),
     QueryDef("p14_retention_yield", p14, Some(op14)),
     QueryDef("d15_source_overlap", d15, Some(od15)),
-    QueryDef("d16_semantic_dedup", d16, Some(od16)))
+    QueryDef("d16_semantic_dedup", d16, Some(od16)),
+    QueryDef("d17_semantic_decontam", d17, Some(od17)))
 
   /** D15 — CROSS-SOURCE corpus overlap (round 9): for every source
     * pair, the MinHash-ESTIMATED shingle-set Jaccard — the one-pass
@@ -1392,4 +1393,110 @@ object DedupQueries {
       |SELECT component AS keep_vec_id, count(*) + 1 AS n_members, count(*) AS n_pruned
       |FROM (SELECT v, component FROM lbl WHERE v <> component)
       |GROUP BY component ORDER BY keep_vec_id""".stripMargin
+
+  /** D17 — SEMANTIC decontamination: the embedding-space twin of
+    * p04/p06's n-gram eval-set decontamination. A deterministic
+    * benchmark panel (`vec_id % 97 = 0`, standing in for the held-out
+    * eval set's embeddings) broadcasts; corpus vectors landing within
+    * cos ≥ 0.3 of ANY panel vector are flagged as contaminated;
+    * reported per label as a contamination census — the number a
+    * curation pipeline reads before a training run, same verb as p06
+    * but catching paraphrase/translation-style leakage that exact
+    * n-grams miss (the reason both verbs exist).
+    *
+    * Scale shape: the SCALE path is the [[cosineEdges]] blocking with
+    * v05's MULTI-PROBE dial — each panel vector probes its own
+    * [[adaptiveSrpBits]] SRP bucket PLUS every one-bit-flip neighbor
+    * (bits+1 probe keys per panel member, still a broadcast of
+    * strings), so only in-probed-bucket pairs pay a dot product. The
+    * EXACT brute-force flag count rides along as the in-query recall
+    * audit (the v09 discipline; blocked ⊆ exact by construction,
+    * `block_recall` ≤ 1): measured ~0.33 at sf0.1's 5-bit key for the
+    * weak tau=0.3 screen (single-probe was ~0.07 — the H≤1 probes
+    * quadruple it), and the audit column is exactly the number that
+    * tells a production pipeline how many more probes (or how much
+    * higher a contamination threshold) its recall target costs — the
+    * v23 tuning-curve reading applied to decontamination. At 100 TB
+    * the audit runs on a panel sample; the probed path is the product.
+    * Both paths `distinct` BEFORE counting: a corpus vector near three
+    * panel members is one contamination, not three. */
+  private def d17(s: SparkSession, d: String): DataFrame = {
+    val bits = adaptiveSrpBits(graft.sources.VectorIndex.corpusCount(s, d))
+    val b = graft.Tables.rebalance(s, embeddings(s, d))
+      .select(col("vec_id"), col("label"),
+        VectorFns.toDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), col("label"), col("e"),
+        VectorFns.norm(col("e")).as("nrm"),
+        VectorFns.srpBucket(col("e"), bits).as("bucket"))
+    val panel = b.filter(col("vec_id") % 97 === 0)
+      .select(col("e").as("qe"), col("nrm").as("qn"), col("bucket").as("qb"))
+    val corp = b.filter(col("vec_id") % 97 =!= 0)
+    val cosc = VectorFns.dot(col("e"), col("qe")) / (col("nrm") * col("qn"))
+    // bucket + every one-bit flip: VectorIndex.multiProbeKeys' flip
+    // rule minus its partition-dir prefix (this join is on the ad-hoc
+    // key column, not the at-rest directory name)
+    val qb = col("qb")
+    val probeKeys = array((qb +: (1 to bits).map(j => concat(
+      substring(qb, 1, j - 1),
+      when(substring(qb, j, 1) === "1", "0").otherwise("1"),
+      substring(qb, j + 1, bits - j)))): _*)
+    val probes = panel.select(
+      col("qe"), col("qn"), explode(probeKeys).as("pb"))
+    val flagged = corp.join(broadcast(probes), col("bucket") === col("pb"))
+      .filter(cosc >= 0.3)
+      .select(col("vec_id"), col("label")).distinct()
+      .groupBy("label").agg(count(lit(1)).as("nf"))
+    val exact = corp.crossJoin(broadcast(panel.drop("qb")))
+      .filter(cosc >= 0.3)
+      .select(col("vec_id"), col("label")).distinct()
+      .groupBy("label").agg(count(lit(1)).as("nx"))
+    corp.groupBy("label").agg(count(lit(1)).as("n_corpus"))
+      .join(flagged, Seq("label"), "left_outer")
+      .join(exact, Seq("label"), "left_outer")
+      .select(
+        col("label"), col("n_corpus"),
+        coalesce(col("nf"), lit(0L)).as("n_flagged"),
+        coalesce(col("nx"), lit(0L)).as("n_exact"),
+        oround(coalesce(col("nf"), lit(0L)) / col("n_corpus"), 4)
+          .as("contam_rate"),
+        when(coalesce(col("nx"), lit(0L)) > 0,
+          oround(coalesce(col("nf"), lit(0L)) / col("nx"), 4))
+          .as("block_recall"))
+      .orderBy("label")
+  }
+
+  /** Oracle twin of [[d17]] — the [[cosineEdgeCtes]] bucket definition
+    * (`ab`/`n`-style CTEs carrying `label`), blocked and exact flag
+    * sets both DISTINCT on the corpus vector before counting. Lazy for
+    * the od15/od16 declaration-order reason. */
+  private lazy val od17 =
+    s"""WITH ab AS (SELECT coalesce(min(k), 16) AS bits FROM generate_series(4,16) t(k)
+      |      WHERE (SELECT count(*) FROM embeddings) <= 64 * (1::BIGINT << k)),
+      |n AS (SELECT vec_id, label, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |b AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
+      |  substr(array_to_string(list_transform(list_slice(e, 1, 16),
+      |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), ''), 1, (SELECT bits FROM ab)) bucket FROM n),
+      |q AS (SELECT e qe, nrm qn, bucket qb FROM b WHERE vec_id % 97 = 0),
+      |qp AS (SELECT qe, qn,
+      |    CASE WHEN j = 0 THEN qb
+      |         ELSE substr(qb, 1, j-1) ||
+      |              (CASE WHEN substr(qb, j, 1) = '1' THEN '0' ELSE '1' END) ||
+      |              substr(qb, j+1, (SELECT bits FROM ab) - j) END pb
+      |  FROM q, (SELECT unnest(generate_series(0, (SELECT bits FROM ab))) AS j) t),
+      |c AS (SELECT vec_id, label, e, nrm, bucket FROM b WHERE vec_id % 97 <> 0),
+      |fl AS (SELECT DISTINCT c.vec_id, c.label FROM c JOIN qp ON c.bucket = qp.pb
+      |  WHERE list_sum(list_transform(list_zip(c.e, qp.qe), x -> x[1]*x[2]))/(c.nrm*qp.qn) >= 0.3),
+      |ex AS (SELECT DISTINCT c.vec_id, c.label FROM c, q
+      |  WHERE list_sum(list_transform(list_zip(c.e, q.qe), x -> x[1]*x[2]))/(c.nrm*q.qn) >= 0.3),
+      |base AS (SELECT label, count(*) n_corpus FROM c GROUP BY 1),
+      |f AS (SELECT label, count(*) nf FROM fl GROUP BY 1),
+      |x AS (SELECT label, count(*) nx FROM ex GROUP BY 1)
+      |SELECT base.label, n_corpus,
+      |  COALESCE(nf, 0)::BIGINT AS n_flagged,
+      |  COALESCE(nx, 0)::BIGINT AS n_exact,
+      |  ROUND(COALESCE(nf, 0) / n_corpus::DOUBLE, 4) AS contam_rate,
+      |  CASE WHEN COALESCE(nx, 0) > 0
+      |       THEN ROUND(COALESCE(nf, 0) / nx::DOUBLE, 4) END AS block_recall
+      |FROM base LEFT JOIN f USING (label) LEFT JOIN x USING (label)
+      |ORDER BY label""".stripMargin
 }
