@@ -1420,7 +1420,16 @@ object DedupQueries {
     * the audit runs on a panel sample; the probed path is the product.
     * Both paths `distinct` BEFORE counting: a corpus vector near three
     * panel members is one contamination, not three. */
-  private def d17(s: SparkSession, d: String): DataFrame = {
+  private def d17(s: SparkSession, d: String): DataFrame =
+    semanticDecontam(s, d, 97L)
+
+  /** [[d17]]'s dataflow with the panel-membership modulus exposed —
+    * D17PanelProbe drives the SAME plan at ~11× panel size (mod 9) to
+    * measure the growth axis: the probed screen should scale with
+    * |panel| × bucket-hit-rate, the exact audit with |corpus|·|panel|
+    * (which is why the audit samples at scale). */
+  private[graft] def semanticDecontam(
+      s: SparkSession, d: String, panelMod: Long): DataFrame = {
     val bits = adaptiveSrpBits(graft.sources.VectorIndex.corpusCount(s, d))
     val b = graft.Tables.rebalance(s, embeddings(s, d))
       .select(col("vec_id"), col("label"),
@@ -1428,9 +1437,9 @@ object DedupQueries {
       .select(col("vec_id"), col("label"), col("e"),
         VectorFns.norm(col("e")).as("nrm"),
         VectorFns.srpBucket(col("e"), bits).as("bucket"))
-    val panel = b.filter(col("vec_id") % 97 === 0)
+    val panel = b.filter(col("vec_id") % panelMod === 0)
       .select(col("e").as("qe"), col("nrm").as("qn"), col("bucket").as("qb"))
-    val corp = b.filter(col("vec_id") % 97 =!= 0)
+    val corp = b.filter(col("vec_id") % panelMod =!= 0)
     val cosc = VectorFns.dot(col("e"), col("qe")) / (col("nrm") * col("qn"))
     // bucket + every one-bit flip: VectorIndex.multiProbeKeys' flip
     // rule minus its partition-dir prefix (this join is on the ad-hoc
