@@ -151,6 +151,12 @@ object DedupQueries {
     * the two shingle arrays per pair would blow the row up |bucket|²×);
     * the Jaccard ratio is derived from the scalars in the projection. */
   private def pairsFromShBuckets(bands: DataFrame): DataFrame =
+    pairsScoredFromShBuckets(bands).filter(col("jac") >= 0.8)
+
+  /** [[pairsFromShBuckets]] WITHOUT the verification threshold — every
+    * bucket-cohabiting pair with its exact Jaccard (d18's banding curve
+    * needs the CANDIDATE stream; d02/d06 consume the filtered form). */
+  private def pairsScoredFromShBuckets(bands: DataFrame): DataFrame =
     bands
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("sh").as("sh"))))
@@ -165,7 +171,6 @@ object DedupQueries {
             size(y.getField("sh")).as("nb")))))).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"),
         (col("p.ni").cast("double") / (col("p.na") + col("p.nb") - col("p.ni"))).as("jac"))
-      .filter(col("jac") >= 0.8)
 
   /** The near-dup EDGE SET for cluster formation (d06/d14/p14) — the
     * all-pairs verified-edge graph's connected components, computed
@@ -515,6 +520,16 @@ object DedupQueries {
     * the pair-LISTING oracles (od02 — d02 and d07 both claim it), `None`
     * for the component oracles, whose Scala side ([[lshComponentEdges]])
     * is exactly-equivalent to the UNCAPPED closure and needs no bound. */
+  /** The shingle→hash→8-component-signature CTE chain shared by every
+    * MinHash oracle (od02/od06/... via [[lshPairCtes]], and od18) —
+    * yields CTEs `s(doc_id, sh)` and `sig(doc_id, mh)`. */
+  private def sigCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])) sh
+      |      FROM t WHERE len(toks) >= 2),
+      |hsed AS (SELECT doc_id, sh, list_transform(sh, x -> ('0x'||substr(md5(x),1,7))::BIGINT) hs FROM s),
+      |sig AS (SELECT doc_id, [$mhList] mh FROM hsed)""".stripMargin
+
   private def lshPairCtes(cap: Option[Int]): String = {
     val bk = cap match {
       case Some(c) =>
@@ -523,11 +538,7 @@ object DedupQueries {
           |""".stripMargin
       case None => "bk AS (SELECT * FROM bands),\n"
     }
-    s"""t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
-      |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])) sh
-      |      FROM t WHERE len(toks) >= 2),
-      |hsed AS (SELECT doc_id, sh, list_transform(sh, x -> ('0x'||substr(md5(x),1,7))::BIGINT) hs FROM s),
-      |sig AS (SELECT doc_id, [$mhList] mh FROM hsed),
+    s"""$sigCtes,
       |bands AS (SELECT doc_id, b, mh[2*b-1]::VARCHAR || ':' || mh[2*b]::VARCHAR bh
       |          FROM sig, (SELECT unnest(generate_series(1,4)) b)),
       |${bk}cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bk a JOIN bk b
@@ -1206,7 +1217,8 @@ object DedupQueries {
     QueryDef("p14_retention_yield", p14, Some(op14)),
     QueryDef("d15_source_overlap", d15, Some(od15)),
     QueryDef("d16_semantic_dedup", d16, Some(od16)),
-    QueryDef("d17_semantic_decontam", d17, Some(od17)))
+    QueryDef("d17_semantic_decontam", d17, Some(od17)),
+    QueryDef("d18_banding_curve", d18, Some(od18)))
 
   /** D15 — CROSS-SOURCE corpus overlap (round 9): for every source
     * pair, the MinHash-ESTIMATED shingle-set Jaccard — the one-pass
@@ -1508,4 +1520,119 @@ object DedupQueries {
       |       THEN ROUND(COALESCE(nf, 0) / nx::DOUBLE, 4) END AS block_recall
       |FROM base LEFT JOIN f USING (label) LEFT JOIN x USING (label)
       |ORDER BY label""".stripMargin
+
+  /** D18 — the LSH BANDING TUNING CURVE: d02's (bands × rows-per-band)
+    * dial swept across the three factorizations of the shared 8-component
+    * signature — (2,4), (4,2 — the d02 production setting), (8,1) — each
+    * reporting its CANDIDATE mass (distinct bucket-cohabiting pairs, the
+    * cost), its verified-pair count (exact Jaccard ≥ 0.8, the yield) and
+    * its recall against the union of all three configs' verified sets
+    * (the quality). The v23 nprobe-curve reading applied to MinHash:
+    * P[candidate] = 1−(1−j^r)^b, so (8,1) is near-total recall at j=0.8
+    * but drags in low-similarity mass (at j=0.3 it still fires 94% of
+    * the time), while (2,4) is cheap and misses ~⅓ — the measured
+    * S-curve a pipeline reads before committing a banding to 100 TB of
+    * shingles.
+    *
+    * Every branch rides the SAME discipline as production d02: the ONE
+    * checkpointed signature table feeds all three band explosions, each
+    * capped at [[PairBlockCap]] with its own census observe (the curve
+    * is measured INCLUDING the cap, because that is the plan that
+    * ships; a capped-out hot bucket costs (8,1) recall exactly as it
+    * would in production). Per-branch pair sets are checkpointed once
+    * and read twice (own counts + the union reference). Cost note:
+    * the query IS three d02-class pipelines plus a union (4.2 s at
+    * sf0.1 vs d02's 1.4 s) — a sweep pays per swept config, same as
+    * v23's per-branch probes. Corpus note: this synthetic corpus's
+    * near-dups are all template copies far above j=0.8, so every
+    * config verifies the same 25 pairs and recall_vs_union pins 1.0 —
+    * the differentiating axis HERE is candidate mass (25 / 448 /
+    * 22,825 at sf0.01: (2,4) buys the same yield at 1/900th of
+    * (8,1)'s verification bill); on a corpus with marginal-similarity
+    * pairs the recall column separates too. */
+  private def d18(s: SparkSession, d: String): DataFrame = {
+    val sig = sigWithSh(s, d).localCheckpoint()
+    val configs = Seq((2, 4), (4, 2), (8, 1))
+    val scored = configs.map { case (b, r) =>
+      val keys = (0 until b).map(i =>
+        concat_ws(":", (0 until r).map(j => col(s"mh${i * r + j}")): _*))
+      val bands = sig.select(
+        col("doc_id"), col("sh"),
+        posexplode(array(keys: _*)).as(Seq("band", "bh")))
+      (b, r, pairsScoredFromShBuckets(
+          capBlocks(bands, Seq("band", "bh"), s"d18_census_${b}x$r",
+            Some(PairBlockCap)))
+        .select(col("da"), col("db"), col("jac")).distinct()
+        .localCheckpoint())
+    }
+    val union = scored.map(_._3.filter(col("jac") >= 0.8).select("da", "db"))
+      .reduce(_ unionAll _).distinct()
+      .agg(count(lit(1)).as("n_union"))
+    scored.map { case (b, r, p) =>
+      p.agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("nv"))
+        .select(
+          lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"),
+          coalesce(col("nv"), lit(0L)).as("n_verified"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(union))
+      .select(
+        col("bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_verified"),
+        when(col("n_union") > 0,
+          oround(col("n_verified") / col("n_union"), 4)).as("recall_vs_union"))
+      .orderBy("bands")
+  }
+
+  /** Oracle twin of [[d18]] — [[sigCtes]]' shared signature chain, one
+    * CTE family per banding config (band keys spelled with the same
+    * `::VARCHAR || ':'` formatting [[lshPairCtes]] established for
+    * cross-engine parity), the same BETWEEN 2 AND cap bucket bound, the
+    * same distinct-before-count. Lazy for declaration order. */
+  private lazy val od18 = {
+    def family(b: Int, r: Int): String = {
+      val tag = s"${b}x$r"
+      val keyCase = (1 to b).map { i =>
+        val expr = (1 to r).map(j => s"mh[${(i - 1) * r + j}]::VARCHAR")
+          .mkString(" || ':' || ")
+        s"WHEN $i THEN $expr"
+      }.mkString(" ")
+      s"""bands$tag AS (SELECT doc_id, b, CASE b $keyCase END bh
+        |  FROM sig, (SELECT unnest(generate_series(1,$b)) b)),
+        |bsz$tag AS (SELECT b, bh FROM bands$tag GROUP BY b, bh
+        |  HAVING count(*) BETWEEN 2 AND $PairBlockCap),
+        |bk$tag AS (SELECT bands$tag.* FROM bands$tag JOIN bsz$tag USING (b, bh)),
+        |cand$tag AS (SELECT DISTINCT a.doc_id da, b2.doc_id db FROM bk$tag a JOIN bk$tag b2
+        |  ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+        |j$tag AS (SELECT da, db,
+        |    len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) jac
+        |  FROM cand$tag JOIN s sa ON cand$tag.da = sa.doc_id
+        |  JOIN s sb ON cand$tag.db = sb.doc_id)""".stripMargin
+    }
+    val rows = Seq((2, 4), (4, 2), (8, 1)).map { case (b, r) =>
+      val tag = s"${b}x$r"
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+        |  (SELECT count(*) FROM j$tag) AS n_candidates,
+        |  (SELECT count(*) FROM j$tag WHERE jac >= 0.8) AS n_verified""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $sigCtes,
+      |${family(2, 4)},
+      |${family(4, 2)},
+      |${family(8, 1)},
+      |uni AS (SELECT count(*) n_union FROM (
+      |  SELECT DISTINCT da, db FROM (
+      |    SELECT da, db FROM j2x4 WHERE jac >= 0.8
+      |    UNION ALL SELECT da, db FROM j4x2 WHERE jac >= 0.8
+      |    UNION ALL SELECT da, db FROM j8x1 WHERE jac >= 0.8))),
+      |res AS ($rows)
+      |SELECT bands, rows_per_band, n_candidates::BIGINT AS n_candidates,
+      |  n_verified::BIGINT AS n_verified,
+      |  CASE WHEN (SELECT n_union FROM uni) > 0
+      |       THEN ROUND(n_verified::DOUBLE / (SELECT n_union FROM uni), 4) END
+      |    AS recall_vs_union
+      |FROM res ORDER BY bands""".stripMargin
+  }
 }

@@ -258,10 +258,15 @@ object TextQueries {
     * linear model is adding terms to the same expression; anything
     * non-linear graduates to [[graft.multimodal.MediaFeatures]]'
     * mapPartitions seam with the same aggregate downstream. */
+  /** The ONE logistic quality score t11 and t22 both apply over a
+    * `quality` column: w·quality + b, steepness 8 centered at quality
+    * 0.6 — fixed published weights, the inference contract (training
+    * is offline). */
+  private def qscore: Column =
+    lit(1.0) / (lit(1.0) + exp(-(lit(8.0) * col("quality") - lit(4.8))))
+
   private def t11(s: SparkSession, d: String): DataFrame = {
-    // w·quality + b, steepness 8 centered at quality 0.6 — fixed
-    // published weights, the inference contract (training is offline)
-    val score = lit(1.0) / (lit(1.0) + exp(-(lit(8.0) * col("quality") - lit(4.8))))
+    val score = qscore
     graft.Tables.rebalance(s, documents(s, d))
       .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
       .select(col("lang"), TextFns.qualityOf(col("toks")).as("quality"))
@@ -905,5 +910,60 @@ object TextQueries {
     QueryDef("t18_zipf_fit", t18, Some(ot18)),
     QueryDef("t19_pmi_collocations", t19, Some(ot19)),
     QueryDef("t20_novelty_score", t20, Some(ot20)),
-    QueryDef("t21_homoglyph_scrub", t21, Some(ot21)))
+    QueryDef("t21_homoglyph_scrub", t21, Some(ot21)),
+    QueryDef("t22_threshold_curve", t22, Some(ot22)))
+
+  /** T22 — the quality-classifier THRESHOLD CURVE: t11's logistic
+    * score swept over keep thresholds τ ∈ {0.3, 0.5, 0.7} in one
+    * corpus pass — per τ the keep rate, the TOKEN yield of the kept
+    * set (what a training run actually buys) and the kept set's mean
+    * score. The third tuning-curve query (v23 sweeps ANN probe width,
+    * d18 sweeps LSH banding, t22 sweeps the filter operating point) —
+    * the curve a curation pipeline reads to trade corpus size against
+    * quality before a full filtering run. Shape: tokenize+score ONCE
+    * (the expensive pass), explode only the two-scalar (n_tok, score)
+    * projection by the three τ literals, one 3-group aggregate —
+    * corpus-pass-bound at any scale, exactly like t11. */
+  private def t22(s: SparkSession, d: String): DataFrame = {
+    val kept = col("score") >= col("tau")
+    graft.Tables.rebalance(s, documents(s, d))
+      .select(TextFns.tokens(col("text")).as("toks"))
+      .select(size(col("toks")).cast("long").as("n_tok"),
+        TextFns.qualityOf(col("toks")).as("quality"))
+      .select(col("n_tok"), qscore.as("score"))
+      .select(col("n_tok"), col("score"),
+        explode(array(lit(0.3), lit(0.5), lit(0.7))).as("tau"))
+      .groupBy("tau")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        oround(sum(when(kept, 1L).otherwise(0L)) / count(lit(1)), 4)
+          .as("keep_rate"),
+        sum(when(kept, col("n_tok")).otherwise(0L)).as("kept_tokens"),
+        oround(avg(when(kept, col("score"))), 4).as("kept_avg_score"))
+      .orderBy("tau")
+  }
+
+  /** Oracle twin of [[t22]] — ot11's feature/score CTEs, the same τ
+    * literals unnested, FILTER-clause aggregates. */
+  // lazy: declared below defs — the d15/ov24 object-init-order lesson
+  private lazy val ot22 =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      |f AS (SELECT doc_id,
+      |    len(toks)::BIGINT AS n_tok,
+      |    len(toks)::DOUBLE AS n_tokd,
+      |    len(list_filter(toks, w -> w IN ('the','a','and','of')))::DOUBLE AS n_stop,
+      |    len(list_distinct(toks))::DOUBLE AS n_dist
+      |  FROM t),
+      |q AS (SELECT n_tok,
+      |    0.4*least(n_tokd/60.0, 1.0) + 0.3*(1.0 - n_stop/n_tokd) + 0.3*(n_dist/n_tokd) AS quality
+      |  FROM f),
+      |sc AS (SELECT n_tok, 1.0/(1.0+exp(-(8.0*quality - 4.8))) AS score FROM q),
+      |x AS (SELECT sc.*, tau FROM sc, (SELECT unnest([0.3, 0.5, 0.7]) tau) tt)
+      |SELECT tau, count(*) AS n_docs,
+      |  count(*) FILTER (score >= tau) AS n_kept,
+      |  ROUND(count(*) FILTER (score >= tau)::DOUBLE / count(*), 4) AS keep_rate,
+      |  COALESCE(sum(n_tok) FILTER (score >= tau), 0)::BIGINT AS kept_tokens,
+      |  ROUND(avg(score) FILTER (score >= tau), 4) AS kept_avg_score
+      |FROM x GROUP BY tau ORDER BY tau""".stripMargin
 }

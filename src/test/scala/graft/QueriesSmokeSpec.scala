@@ -25,6 +25,14 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("no oracle is null (object-init-order trap: vals declared below defs)") {
+    // ot22/ov24/od15 all hit this once: a plain val referenced by the
+    // defs list before its declaration point initializes to null and
+    // only explodes in the driver's Verify JSON dump
+    val nulls = SparkEntry.oracleSql.collect { case (k, null) => k }
+    assert(nulls.isEmpty, s"null oracle SQL for: ${nulls.mkString(", ")}")
+  }
+
   test("every oracle key has a query and vice versa (driver contract)") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
