@@ -80,6 +80,19 @@ case class AsOfJoinNode(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  /** One output row per left row (right columns appended) — so size ≈
+    * |left| × (combined row width) ≈ left bytes + right bytes as an
+    * upper bound. Without this override the stats visitor's `default`
+    * MULTIPLIES the children's sizes (the cartesian worst case for an
+    * unknown binary node), which poisons every downstream
+    * broadcast-join decision: an as-of output small enough to
+    * broadcast would never be, because the planner believes it is
+    * |L|·|R| bytes (AsOfJoinNativeSpec pins the broadcast). */
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes,
+      rowCount = left.stats.rowCount)
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)

@@ -188,6 +188,34 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(native.length == 50 && native.count(!_.isNullAt(1)) == 50)
   }
 
+  test("stats: additive size estimate keeps downstream broadcast alive") {
+    // without the AsOfJoinNode.stats override, the stats visitor's
+    // default for an unknown binary node MULTIPLIES the children's
+    // sizes — a small as-of output would be estimated at |L|·|R| bytes
+    // and never broadcast into a downstream join
+    val rnd = new scala.util.Random(7)
+    def gen(n: Int, base: Long) = (0 until n).map(i =>
+      (base + i, Integer.valueOf(rnd.nextInt(50)),
+        java.lang.Long.valueOf(rnd.nextInt(1000).toLong)))
+    val asof = AsOfJoin.lastPriorNative(
+      mkDF(gen(1000, 0L)), mkDF(gen(1000, 10000L)), "user_id", "ts")
+    val node = asof.queryExecution.optimizedPlan.collect {
+      case n: graft.plans.AsOfJoinNode => n
+    }.head
+    val s = node.stats.sizeInBytes
+    assert(s == node.left.stats.sizeInBytes + node.right.stats.sizeInBytes)
+    assert(s < node.left.stats.sizeInBytes * node.right.stats.sizeInBytes)
+    // behavioral: joined to a large table, the (small) as-of side is
+    // chosen for broadcast in the STATIC plan (pre-AQE — AQE could
+    // rescue it at runtime, but only after paying the full shuffle)
+    val big = spark.range(3000000L).select(
+      col("id").as("event_id"), (col("id") % 1000).as("payload"))
+    val joined = big.join(asof, "event_id")
+    val initial = joined.queryExecution.executedPlan.toString
+    assert(initial.contains("BroadcastHashJoin"),
+      s"small as-of output should broadcast into the big join:\n$initial")
+  }
+
   test("self-join from one source: no attribute-id collision") {
     // both sides filtered projections of the SAME DataFrame — the
     // exprId-collision case the rPrefix aliasing exists for
