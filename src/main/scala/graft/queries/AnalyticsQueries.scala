@@ -1564,14 +1564,30 @@ object AnalyticsQueries {
     * partially-aggregated shuffle; both window passes run over that
     * bounded aggregate (the a03/t10 rule — global windows only over
     * already-aggregated small tables), so 100× the events changes only
-    * the first exchange. */
+    * the first exchange.
+    *
+    * Determinism fix (round 10, observed at sf0.001): the hour-of-day
+    * BASELINE is an average of averages, and averages of averages land
+    * on constructed `.xx5` midpoints — where the last-ulp noise of
+    * double summation ORDER decides the ROUND. DuckDB's own parallel
+    * aggregation produced two different `hod_baseline` values across
+    * 30 runs of the ORACLE on identical input (53.64 vs 53.63), so
+    * this was a latent gate flake on both sides. The j06 discipline,
+    * two levels deep: quantize each bucket average into exact
+    * 10^-4-integer space (`q`, a LONG — the first-level noise is
+    * ~1e-13 relative, nowhere near the quantization step), then the
+    * baseline is Σq/m/10^4 — an integer sum (order-free) and two
+    * deterministic double divisions, identical in both engines. */
   private def w09(s: SparkSession, d: String): DataFrame = {
     val hodW = Window.partitionBy("event_type", "hod")
     events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
-      .agg(avg("value").as("bucket_avg"))
+      .agg(avg("value").as("bucket_avg0"))
+      .withColumn("q", round(col("bucket_avg0") * 10000, 0).cast("long"))
+      .withColumn("bucket_avg", col("q") / lit(10000.0))
       .withColumn("hod", hour(col("bucket")))
-      .withColumn("baseline", avg("bucket_avg").over(hodW))
+      .withColumn("baseline",
+        sum("q").over(hodW) / count(lit(1)).over(hodW) / lit(10000.0))
       .withColumn("sd", stddev_samp(col("bucket_avg")).over(hodW))
       .filter(col("sd") > 1e-9)
       .select(
@@ -1584,12 +1600,18 @@ object AnalyticsQueries {
   }
 
   private val ow09 =
-    """WITH h AS (
-      |  SELECT event_type, date_trunc('hour', ts) AS bucket, avg(value) AS bucket_avg
+    """WITH h0 AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket, avg(value) AS bucket_avg0
       |  FROM events GROUP BY 1, 2),
+      |h AS (
+      |  SELECT event_type, bucket,
+      |    ROUND(bucket_avg0 * 10000, 0)::BIGINT AS q,
+      |    ROUND(bucket_avg0 * 10000, 0)::BIGINT / 10000.0 AS bucket_avg
+      |  FROM h0),
       |w AS (
       |  SELECT event_type, bucket, bucket_avg,
-      |    avg(bucket_avg) OVER (PARTITION BY event_type, hour(bucket)) AS baseline,
+      |    sum(q) OVER (PARTITION BY event_type, hour(bucket))
+      |      / count(*) OVER (PARTITION BY event_type, hour(bucket)) / 10000.0 AS baseline,
       |    stddev_samp(bucket_avg) OVER (PARTITION BY event_type, hour(bucket)) AS sd
       |  FROM h)
       |SELECT event_type, bucket, ROUND(bucket_avg, 2) AS hour_avg,
