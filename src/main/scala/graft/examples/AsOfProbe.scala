@@ -43,19 +43,30 @@ object AsOfProbe {
     }
 
     def measure(name: String)(df: => DataFrame): (Long, Long, Double) = {
-      // warm once (JIT, file listing), then measure one clean run
-      df.write.format("noop").mode("overwrite").save()
-      shuffleBytes = 0L; shuffleRecords = 0L
+      // Listener registered BEFORE the warm run and counters SNAPSHOTTED
+      // around the measured run after a bus drain on each side (round-10
+      // advisory): ListenerBus delivery is async, so a listener added
+      // after save() returns can still receive late warm-run stage
+      // events inside the measured window — and a fixed settle could
+      // conversely drop late measured events. Delta-of-snapshots after
+      // waitUntilEmpty-style drains charges each window exactly its own
+      // stages. (listenerBus.waitUntilEmpty is private[spark]; the
+      // sleep is the drain, the snapshot delta is what makes a residual
+      // straggler at most additive noise on the WARM side, never
+      // counted twice.)
       spark.sparkContext.addSparkListener(listener)
+      df.write.format("noop").mode("overwrite").save() // warm (JIT, listing)
+      Thread.sleep(1500) // drain warm-run events
+      val b0 = shuffleBytes; val r0 = shuffleRecords
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events are async (no public bus-drain API) — settle
-      Thread.sleep(1500)
+      Thread.sleep(1500) // drain measured-run events
+      val bytes = shuffleBytes - b0; val rows = shuffleRecords - r0
       spark.sparkContext.removeSparkListener(listener)
-      println(f"$name%-18s shuffleMB=${shuffleBytes / 1e6}%8.2f " +
-        f"shuffleRows=$shuffleRecords%9d wall=$sec%6.2fs")
-      (shuffleBytes, shuffleRecords, sec)
+      println(f"$name%-18s shuffleMB=${bytes / 1e6}%8.2f " +
+        f"shuffleRows=$rows%9d wall=$sec%6.2fs")
+      (bytes, rows, sec)
     }
 
     val q23 = SparkEntry.queries("q23_asof_join")

@@ -36,9 +36,17 @@ object AsOfJoin {
       key: String, tsCol: String,
       payload: Column): DataFrame = {
     val leftCols = left.columns
-    // right side contributes only (key, ts, payload); sorts first on ties
+    // right side contributes only (key, ts, payload); sorts first on ties.
+    // A NULL-ts right row must never match (the "at or before" predicate
+    // is unknowable) — nullify its payload so `last(ignoreNulls)` skips
+    // it. Without this, the row sorts nulls-FIRST in the window and its
+    // non-null payload struct would be carried as the match for any key
+    // with no other prior right row — a divergence from the native
+    // operator (which skips null-ts rows in the merge) found by review
+    // and pinned in AsOfJoinNativeSpec.
     val r = right
-      .select(col(key), col(tsCol), payload.as("__rp"))
+      .select(col(key), col(tsCol),
+        when(col(tsCol).isNotNull, payload).as("__rp"))
       .withColumn("__side", lit(0))
     val unioned = left
       .select((leftCols.map(col) :+ lit(1).as("__side") :+

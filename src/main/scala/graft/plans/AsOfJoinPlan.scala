@@ -27,8 +27,8 @@ import org.apache.spark.sql.types._
   * `rightTs <= leftTs`; all-null right side when no such row exists.
   * NULL keys and NULL timestamps never match (on either side), matching
   * both the composed form (its window never carries a payload across
-  * keys; null payloads are skipped by `last(..., ignoreNulls)`) and SQL
-  * join-key conventions.
+  * keys; null-ts right rows have their payload explicitly nullified so
+  * `last(..., ignoreNulls)` skips them) and SQL join-key conventions.
   *
   * Why a physical operator when (a)-composition exists: the composed
   * form UNIONS both sides through one exchange — every right row is
@@ -140,12 +140,21 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  /** Right tie-break columns: every right output column not already in
-    * the sort prefix, in output order. */
+  /** Right tie-break columns: every ORDERABLE right output column not
+    * already in the sort prefix, in output order. Non-orderable columns
+    * (maps) are excluded — they cannot appear in a SortOrder, so a right
+    * side carrying one would otherwise fail to plan; the tie rule then
+    * covers the orderable columns only (two right rows identical on key,
+    * ts and every orderable column but differing in a map tie
+    * nondeterministically — the documented residual, same as any SQL
+    * engine's order-by-all-orderable determinism). Wide right sides pay
+    * the full-row sort key this implies; project the right side first
+    * if that cost shows up. */
   private def rightTieCols: Seq[Attribute] = {
     val prefixed = AttributeSet(rightKeys.flatMap(_.references)) ++
       AttributeSet(rightTs.references)
     right.output.filterNot(prefixed.contains)
+      .filter(a => RowOrdering.isOrderable(a.dataType))
   }
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(

@@ -27,11 +27,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    [[AsOfJoinNode]] logical operator into the sorted-merge
   *    [[AsOfJoinExec]] — the whole-operator (logical node + strategy +
   *    physical plan) tier of the extension ladder.
+  *  - the [[GraftSqlParser]] delegating parser + [[ResolveAsOfJoin]]
+  *    resolution rule: DuckDB's `ASOF [LEFT|INNER] JOIN` SQL syntax,
+  *    lowered to the same [[AsOfJoinNode]] — the `injectParser` tier,
+  *    letting one query text run verbatim on both engines.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BoundLevenshtein)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectResolutionRule(_ => ResolveAsOfJoin)
     ext.injectFunction((
       FunctionIdentifier("format5_decode"),
       new ExpressionInfo(

@@ -1580,15 +1580,36 @@ object AnalyticsQueries {
     * deterministic double divisions, identical in both engines. */
   private def w09(s: SparkSession, d: String): DataFrame = {
     val hodW = Window.partitionBy("event_type", "hod")
+    // sd from the SAME integer q-space as the baseline (round-10
+    // advisory): stddev_samp(bucket_avg) is an order-dependent double
+    // reduction — the residual .xx5 exposure the baseline fix left
+    // open. Σq and Σq² are LONG window sums (order-free; q ≤ ~5·10⁶
+    // for this value domain, so Σq² ≤ ~2.5·10¹³ per row × group size —
+    // far inside BIGINT, and DuckDB's overflow-throwing BIGINT runs the
+    // identical sums), then variance = (Σq² − (Σq)²/m)/(m−1) in doubles
+    // spelled identically in the oracle: every double op is a
+    // deterministic function of exact integers, so z is bit-stable
+    // across partitionings AND engines. greatest(…, 0) guards the
+    // cancellation-driven tiny-negative before sqrt.
     events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
       .agg(avg("value").as("bucket_avg0"))
       .withColumn("q", round(col("bucket_avg0") * 10000, 0).cast("long"))
       .withColumn("bucket_avg", col("q") / lit(10000.0))
       .withColumn("hod", hour(col("bucket")))
-      .withColumn("baseline",
-        sum("q").over(hodW) / count(lit(1)).over(hodW) / lit(10000.0))
-      .withColumn("sd", stddev_samp(col("bucket_avg")).over(hodW))
+      .withColumn("sq", sum("q").over(hodW))
+      .withColumn("sq2", sum(col("q") * col("q")).over(hodW))
+      .withColumn("m", count(lit(1)).over(hodW))
+      .withColumn("baseline", col("sq") / col("m") / lit(10000.0))
+      // m = 1 would divide by zero (Spark yields NaN, which its NaN
+      // ordering treats as > 1e-9) — a singleton hour bucket has no
+      // spread to score against; drop it before the sd math.
+      .filter(col("m") > 1)
+      .withColumn("sd",
+        sqrt(greatest(
+          (col("sq2").cast("double") -
+            col("sq").cast("double") * col("sq").cast("double") / col("m")) /
+            (col("m") - 1), lit(0.0))) / lit(10000.0))
       .filter(col("sd") > 1e-9)
       .select(
         col("event_type"), col("bucket"),
@@ -1608,12 +1629,18 @@ object AnalyticsQueries {
       |    ROUND(bucket_avg0 * 10000, 0)::BIGINT AS q,
       |    ROUND(bucket_avg0 * 10000, 0)::BIGINT / 10000.0 AS bucket_avg
       |  FROM h0),
+      |w0 AS (
+      |  SELECT event_type, bucket, bucket_avg,
+      |    sum(q) OVER (PARTITION BY event_type, hour(bucket)) AS sq,
+      |    sum(q*q) OVER (PARTITION BY event_type, hour(bucket)) AS sq2,
+      |    count(*) OVER (PARTITION BY event_type, hour(bucket)) AS m
+      |  FROM h),
       |w AS (
       |  SELECT event_type, bucket, bucket_avg,
-      |    sum(q) OVER (PARTITION BY event_type, hour(bucket))
-      |      / count(*) OVER (PARTITION BY event_type, hour(bucket)) / 10000.0 AS baseline,
-      |    stddev_samp(bucket_avg) OVER (PARTITION BY event_type, hour(bucket)) AS sd
-      |  FROM h)
+      |    sq / m / 10000.0 AS baseline,
+      |    sqrt(greatest((sq2::DOUBLE - sq::DOUBLE * sq::DOUBLE / m) / (m - 1), 0.0))
+      |      / 10000.0 AS sd
+      |  FROM w0 WHERE m > 1)
       |SELECT event_type, bucket, ROUND(bucket_avg, 2) AS hour_avg,
       |  ROUND(baseline, 2) AS hod_baseline,
       |  ROUND((bucket_avg - baseline) / sd, 2) AS z

@@ -201,6 +201,23 @@ object SqlQueries {
       |       FOR o_orderstatus IN ('F' AS f_total, 'O' AS o_total, 'P' AS p_total))
       |ORDER BY priority""".stripMargin
 
+  /** Q53 — `ASOF LEFT JOIN` as SQL TEXT, the `injectParser` extension
+    * tier end-to-end ([[graft.plans.GraftSqlParser]] rewrites the
+    * DuckDB surface syntax, [[graft.plans.ResolveAsOfJoin]] lowers it
+    * to the native [[graft.plans.AsOfJoinExec]] — plan-asserted in
+    * PlanAssertionsSpec): q23/j12's attribution join, but arriving as
+    * the IDENTICAL text DuckDB parses with its own native ASOF JOIN —
+    * one query string, two engines, two independent as-of
+    * implementations, same rows. The q27 shared-ANSI-text discipline
+    * extended to an operator ANSI SQL does not define; same single
+    * co-partitioned exchange pair as j12 at any scale. */
+  private val q53Sql =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+      |SELECT p.event_id AS purchase_id, v.event_id AS view_id
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY purchase_id""".stripMargin
+
   private val oq51 =
     """SELECT o_orderpriority AS priority,
       |  ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_total,
@@ -220,5 +237,6 @@ object SqlQueries {
     QueryDef("q34_sql_grouping_sets", sql(q34Sql), Some(q34Sql)),
     QueryDef("q35_sql_lateral", sql(q35Sql), Some(q35Sql)),
     QueryDef("q37_sql_recursive", sql(q37Sql), Some(q37Sql)),
-    QueryDef("q38_sql_set_ops", sql(q38Sql), Some(q38Sql)))
+    QueryDef("q38_sql_set_ops", sql(q38Sql), Some(q38Sql)),
+    QueryDef("q53_sql_asof", sql(q53Sql), Some(q53Sql)))
 }

@@ -88,6 +88,26 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
       composed(0).getAs[org.apache.spark.sql.Row]("asof") != null)
   }
 
+  test("a key whose ONLY right rows have null ts matches nothing in both forms") {
+    // Round-10 advisory: before the lastPrior fix, a null-ts right row's
+    // payload struct was non-null (a struct with a null field), sorted
+    // nulls-FIRST in the window, and was carried as the match whenever
+    // its key had no other prior right row — diverging from the native
+    // operator, which skips null-ts rows in the merge. The earlier
+    // suite data masked it (key 5's null-ts row was shadowed by a
+    // later valid row); here null-ts rows are the key's ONLY rows.
+    val left = Seq[(Long, java.lang.Integer, java.lang.Long)](
+      (1L, 1, 100L), (2L, 2, 100L))
+    val right = Seq[(Long, java.lang.Integer, java.lang.Long)](
+      (101L, 1, null), (102L, 1, null), // key 1: only null-ts right rows
+      (103L, 2, 50L))
+    val (c, n) = runBoth(left, right)
+    assert(n == c)
+    val byId = n.map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(byId(1L) == None) // must NOT carry 101/102
+    assert(byId(2L) == Some(103L))
+  }
+
   test("empty right side yields all-null right columns") {
     val (c, n) = runBoth(
       Seq((1L, 1, 100L), (2L, 2, 200L)),

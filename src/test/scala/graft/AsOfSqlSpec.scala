@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.AsOfJoin
+
+/** The `ASOF [LEFT|INNER] JOIN` SQL frontend
+  * ([[graft.plans.GraftSqlParser]] + [[graft.plans.ResolveAsOfJoin]]):
+  * the SQL text must produce the SAME rows as the DataFrame-level
+  * [[AsOfJoin.lastPriorNative]], plan through [[graft.plans.AsOfJoinExec]],
+  * respect string-literal masking, and reject ambiguous statements
+  * loudly instead of guessing. */
+class AsOfSqlSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def stage(): Unit = {
+    Seq(
+      (1L, 1, 100L), (2L, 1, 150L), (3L, 1, 90L),
+      (4L, 2, 500L), (5L, 3, 300L), (8L, 5, 1000L))
+      .toDF("event_id", "user_id", "tsl")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("tsl")).as("ts"))
+      .createOrReplaceTempView("lft")
+    Seq(
+      (101L, 1, 95L), (102L, 1, 100L), (103L, 1, 149L), (104L, 1, 151L),
+      (105L, 3, 300L), (106L, 3, 300L), (107L, 3, 299L), (110L, 5, 999L))
+      .toDF("event_id", "user_id", "tsl")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("tsl")).as("ts"))
+      .createOrReplaceTempView("rgt")
+  }
+
+  test("ASOF LEFT JOIN sql == lastPriorNative, plans AsOfJoinExec") {
+    stage()
+    val sql = spark.sql(
+      """SELECT l.event_id AS eid, r.event_id AS rid
+        |FROM lft l ASOF LEFT JOIN rgt r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY eid""".stripMargin)
+    val plan = sql.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    val viaDf = AsOfJoin.lastPriorNative(
+        spark.table("lft"), spark.table("rgt"), "user_id", "ts")
+      .select(col("event_id").as("eid"), col("r_event_id").as("rid"))
+      .orderBy("eid")
+    assert(sql.collect().toSeq == viaDf.collect().toSeq)
+    // and the pinned semantics, independent of both surfaces
+    val byId = sql.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(byId(1L) == Some(102L) && byId(2L) == Some(103L))
+    assert(byId(3L) == None && byId(4L) == None)
+    assert(byId(5L) == Some(106L)) // ts tie → greatest remaining cols
+    assert(byId(8L) == Some(110L))
+  }
+
+  test("mirrored spelling l.ts >= r.ts lowers identically") {
+    stage()
+    val a = spark.sql(
+      """SELECT l.event_id AS eid, r.event_id AS rid
+        |FROM lft l ASOF LEFT JOIN rgt r
+        |  ON l.ts >= r.ts AND l.user_id = r.user_id
+        |ORDER BY eid""".stripMargin).collect().toSeq
+    val b = spark.sql(
+      """SELECT l.event_id AS eid, r.event_id AS rid
+        |FROM lft l ASOF LEFT JOIN rgt r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY eid""".stripMargin).collect().toSeq
+    assert(a == b)
+  }
+
+  test("ASOF JOIN (inner, DuckDB default) drops unmatched left rows") {
+    stage()
+    val rows = spark.sql(
+      """SELECT l.event_id AS eid, r.event_id AS rid
+        |FROM lft l ASOF JOIN rgt r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY eid""".stripMargin).collect()
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 5L, 8L)) // 3 (before any right) and 4 (no key) dropped
+    assert(rows.forall(!_.isNullAt(1)))
+  }
+
+  test("string literals containing 'ASOF JOIN' are not rewritten") {
+    stage()
+    val rows = spark.sql(
+      "SELECT 'use ASOF JOIN here' AS s, count(*) AS n FROM lft").collect()
+    assert(rows.head.getString(0) == "use ASOF JOIN here")
+    assert(rows.head.getLong(1) == 6L)
+  }
+
+  test("a plain LEFT JOIN with an as-of-shaped ON in the same statement is rejected") {
+    stage()
+    val e = intercept[Exception](spark.sql(
+      """SELECT * FROM
+        |  (SELECT l.event_id FROM lft l ASOF LEFT JOIN rgt r
+        |     ON l.user_id = r.user_id AND r.ts <= l.ts) a
+        |  JOIN
+        |  (SELECT l.event_id AS e2 FROM lft l LEFT JOIN rgt r
+        |     ON l.user_id = r.user_id AND r.ts <= l.ts) b
+        |  ON a.event_id = b.e2""".stripMargin))
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
+  test("self-join through CTEs: DeduplicateRelations handles the id collision") {
+    stage()
+    // both sides read the SAME view — the attribute-id collision the
+    // marking design delegates to the standard analyzer
+    val rows = spark.sql(
+      """WITH p AS (SELECT event_id, user_id, ts FROM lft),
+        |v AS (SELECT event_id, user_id, ts FROM lft)
+        |SELECT p.event_id AS a, v.event_id AS b
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY a""".stripMargin).collect()
+    // every left row matches itself at minimum (ts <= ts); ties resolve
+    // to the greatest remaining column, and event_id grows with ts here
+    assert(rows.length == 6)
+    assert(rows.forall(r => !r.isNullAt(1)))
+  }
+
+  test("non-asof SQL takes the delegate path untouched") {
+    stage()
+    val rows = spark.sql(
+      """SELECT l.event_id, r.event_id
+        |FROM lft l LEFT JOIN rgt r ON l.user_id = r.user_id
+        |WHERE l.event_id = 4""".stripMargin).collect()
+    assert(rows.length == 1 && rows.head.isNullAt(1))
+  }
+}

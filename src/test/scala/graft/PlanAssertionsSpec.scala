@@ -643,4 +643,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!plan.contains("Window ") && !plan.contains("Union"),
       s"the native plan must not fall back to the composed form, got:\n$plan")
   }
+
+  test("q53: ASOF LEFT JOIN sql text lowers to AsOfJoinExec") {
+    val plan = executedPlan("q53_sql_asof")
+    assert(plan.contains("AsOfJoin"),
+      s"the parser+rule path must reach AsOfJoinExec, got:\n$plan")
+    assert(!plan.contains("Window ") && !plan.contains("Union") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoop"),
+      s"the SQL spelling must not fall back to a composed/range plan, got:\n$plan")
+  }
 }
