@@ -1218,7 +1218,126 @@ object DedupQueries {
     QueryDef("d15_source_overlap", d15, Some(od15)),
     QueryDef("d16_semantic_dedup", d16, Some(od16)),
     QueryDef("d17_semantic_decontam", d17, Some(od17)),
-    QueryDef("d18_banding_curve", d18, Some(od18)))
+    QueryDef("d18_banding_curve", d18, Some(od18)),
+    QueryDef("d19_substring_scrub", d19, Some(od19)))
+
+  /** D19 — EXACT-SUBSTRING dedup with span REMOVAL (the Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" shape):
+    * find every duplicated run of ≥ 8 words at ANY offset and CUT it
+    * from the text, keeping the corpus-first occurrence. This is the
+    * operator between d12 and t20 that neither reaches: d12
+    * (`:1013`) hashes fixed non-overlapping 10-word segments — a
+    * duplicate straddling a segment boundary scores two partial
+    * misses — and t20 scores first-occurrence novelty but never cuts.
+    * Here the k-gram index is STRIDE-1, so a duplicated run is
+    * detected wherever it starts.
+    *
+    * Dataflow (no pair enumeration ANYWHERE — the reason this scales
+    * where a pair-based formulation would not):
+    *  1. one corpus pass emits (doc_id, pos, md5-of-8-gram) — 16-byte
+    *     hashes plus two ints; the text itself does NOT ride along
+    *     (d12's only-hashes-shuffle discipline);
+    *  2. one map-side-combined aggregate per hash: occurrence count +
+    *     the corpus-first occurrence (min (doc_id, pos) struct — an
+    *     associative argmin, so hot template grams collapse to one
+    *     partial per task: a gram occurring 10⁶ times costs a count,
+    *     never 10¹² pairs — the census observe surfaces that mass);
+    *  3. join back on the hash: an occurrence is REDUNDANT iff its
+    *     gram repeats and it is not the canonical first — exactly one
+    *     copy of every duplicated run survives corpus-wide;
+    *  4. redundant start positions fold to one sorted int array per
+    *     doc (narrow), which joins back to the tokenized corpus BY
+    *     doc_id — the single wide shuffle, and the span surgery is
+    *     then per-row array arithmetic: covered = ∪[i, i+7] (merged
+    *     islands via the sorted-gap count — q24's new-session trick in
+    *     array form), kept = array_except(1..n, covered) (hash-based,
+    *     O(n)), cleaned text reassembled by position.
+    *
+    * Emits per affected doc: token census (n_tokens / n_removed /
+    * n_spans) + md5 of the cleaned text — the hash pins the exact
+    * reconstruction while keeping the result narrow. The DuckDB oracle
+    * re-derives spans independently through a window formulation
+    * (row_number for canonical-first, a 7-PRECEDING rolling max for
+    * coverage, lag transitions for span count, ordered string_agg for
+    * the rebuilt text) — two independent span-merge implementations
+    * agreeing on the md5 of every cleaned document. */
+  private def d19(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val tk = tokenized(s, d).select(
+      col("doc_id"), col("toks"),
+      when(size(col("toks")) >= k, TextFns.kgramHashes(col("toks"), k))
+        .otherwise(array().cast("array<string>")).as("gh"))
+    val g = tk
+      .select(col("doc_id"), posexplode(col("gh")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val stats = g.groupBy("h").agg(
+        count(lit(1)).as("nh"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .observe("d19_census",
+        max(col("nh")).as("max_gram_df"),
+        sum(when(col("nh") >= 2, col("nh") - 1).otherwise(0L))
+          .as("n_redundant_occurrences"))
+    val rstarts = g.join(stats, "h")
+      .filter(col("nh") >= 2 &&
+        !(col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("rst"))
+    val n = size(col("toks"))
+    val cov = array_sort(array_distinct(flatten(
+      transform(col("rst"), i => sequence(i, least(i + (k - 1), n))))))
+    tokenized(s, d).select(col("doc_id"), col("toks"))
+      .join(rstarts, Seq("doc_id"))
+      .select(col("doc_id"), col("toks"), cov.as("cov"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        size(filter(col("cov"), (x, i) =>
+          when(i === 0, lit(true))
+            .otherwise(x =!= element_at(col("cov"), i) + 1)))
+          .cast("long").as("n_spans"),
+        md5(array_join(
+          transform(
+            array_except(sequence(lit(1), size(col("toks"))), col("cov")),
+            p => element_at(col("toks"), p)), " ").cast("binary"))
+          .as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: declared below the defs list that captures it (the d15 lesson)
+  private lazy val od19 =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      |g AS (SELECT doc_id, i AS pos,
+      |    md5(toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '
+      |      ||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]) h
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) i)
+      |  WHERE len(toks) >= 8),
+      |rd AS (SELECT doc_id, pos,
+      |    count(*) OVER (PARTITION BY h) >= 2
+      |      AND row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) > 1
+      |      AS red
+      |  FROM g),
+      |tok AS (SELECT doc_id, i AS pos, toks[i] w
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) i)),
+      |fl AS (SELECT tok.doc_id, tok.pos, tok.w,
+      |    CASE WHEN rd.red THEN 1 ELSE 0 END isred
+      |  FROM tok LEFT JOIN rd ON tok.doc_id = rd.doc_id AND tok.pos = rd.pos),
+      |cv AS (SELECT doc_id, pos, w, isred,
+      |    max(isred) OVER (PARTITION BY doc_id ORDER BY pos
+      |                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) covered
+      |  FROM fl),
+      |tr AS (SELECT doc_id, pos, w, covered,
+      |    CASE WHEN covered = 1 AND coalesce(lag(covered) OVER (
+      |        PARTITION BY doc_id ORDER BY pos), 0) = 0
+      |      THEN 1 ELSE 0 END span_start
+      |  FROM cv)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  sum(covered)::BIGINT AS n_removed,
+      |  sum(span_start)::BIGINT AS n_spans,
+      |  md5(coalesce(string_agg(w, ' ' ORDER BY pos) FILTER (WHERE covered = 0), ''))
+      |    AS clean_hash
+      |FROM tr GROUP BY doc_id HAVING sum(covered) > 0 ORDER BY doc_id""".stripMargin
 
   /** D15 — CROSS-SOURCE corpus overlap (round 9): for every source
     * pair, the MinHash-ESTIMATED shingle-set Jaccard — the one-pass
