@@ -30,22 +30,31 @@ object TextFns {
     * any trailing empty token, matching DuckDB `string_split`. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles from a materialized token array; empty
-    * array when the doc has fewer than n tokens (the reference drops
-    * short/invalid rows rather than nulling them —
-    * `/root/reference/src/bluetooth/scanner.rs:36-45`). */
+  /** Distinct word n-gram shingles from a materialized token array.
+    * REQUIRES `size(toks) >= n` — callers filter first (every declared
+    * caller already did; the reference's drop-short-rows discipline,
+    * `/root/reference/src/bluetooth/scanner.rs:36-45`). The guard this
+    * once carried as an internal `when(size >= n, …).otherwise(empty)`
+    * measured ~2× on the whole shingle explode at sf0.1 (D19Probe
+    * variants F vs G — a CASE around a higher-order function forces
+    * the lambda out of the Generate's fused evaluation), which is why
+    * the contract moved to the caller. On a shorter array the
+    * un-guarded `sequence(1, size-(n-1))` DESCENDS and produces
+    * garbage shingles — use [[shingles]] when the input is unfiltered. */
   def shinglesOf(toks: Column, n: Int): Column =
-    when(
-      size(toks) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    array_distinct(
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
 
-  /** Convenience wrapper for cold paths and tests — do NOT use inside
-    * further lambdas (see the performance contract above). */
-  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
+  /** Convenience wrapper for cold paths and tests — guards short input
+    * (unlike [[shinglesOf]]); do NOT use inside further lambdas (see
+    * the performance contract above). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n, shinglesOf(t, n))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** md5 of every word k-gram, in document order (the winnowing hash
     * stream). Input must be a materialized token array. */

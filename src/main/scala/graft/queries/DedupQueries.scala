@@ -319,14 +319,21 @@ object DedupQueries {
     * `documents.parquet` — not just its path (round-10 advisory fix): a
     * restaged or overwritten directory yields a new stamp, so stale
     * labels can never be served, and the superseded entry is dropped at
-    * that moment (the handful of dirs a process queries bounds the
-    * map). Probes that must time the labeling itself bypass the cache
-    * and call [[graft.ops.ConnectedComponents]] directly. Bench note:
-    * d06/d14/p14 share this one labeling — their per-query timings are
-    * artifact READS; the one cold labeling cost lands in whichever of
-    * the three runs first (visible in Bench's `queries_cold`). */
+    * that moment. Probes that must time the labeling itself bypass the
+    * cache and call [[graft.ops.ConnectedComponents]] directly. Bench
+    * note: d06/d14/p14 share this one labeling — their per-query
+    * timings are artifact READS; the one cold labeling cost lands in
+    * whichever of the three runs first (visible in `queries_cold`).
+    * BOUNDED (round-10 advisory): a long-lived session staging many
+    * datasets evicts least-recently-USED entries past
+    * [[LabelCacheBound]] — dropping the DataFrame releases its
+    * localCheckpoint blocks via the ContextCleaner once unreferenced,
+    * so the cache's storage footprint is bounded too; an evicted
+    * dataset simply relabels on next touch. */
+  private val LabelCacheBound = 8
   private val ccCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+    scala.collection.mutable.LinkedHashMap
+      .empty[(SparkSession, String, String), DataFrame]
   /** The dataset content stamp: flat listing of the documents table's
     * files as `name:length:mtime`. Driver-side metadata-only — one
     * `listStatus`, no data read. */
@@ -344,15 +351,22 @@ object DedupQueries {
     * content-stamp keyed, stale-stamp evicting, checkpoint-materialized
     * labels from the given edge feed. */
   private def cachedLabels(
-      cache: scala.collection.mutable.Map[(SparkSession, String, String), DataFrame],
+      cache: scala.collection.mutable.LinkedHashMap[
+        (SparkSession, String, String), DataFrame],
       s: SparkSession, d: String, table: String)(
       edges: => DataFrame): DataFrame =
     cache.synchronized {
       val stamp = datasetStamp(s, d, table)
       cache.keys.filter(k => k._1 == s && k._2 == d && k._3 != stamp)
         .toSeq.foreach(cache.remove) // restaged dir: drop stale labels
-      cache.getOrElseUpdate((s, d, stamp),
+      val key = (s, d, stamp)
+      // remove-then-insert keeps the LinkedHashMap in access order, so
+      // the eviction below is least-recently-USED, not just oldest
+      val labels = cache.remove(key).getOrElse(
         graft.ops.ConnectedComponents.run(edges).localCheckpoint())
+      cache.put(key, labels)
+      while (cache.size > LabelCacheBound) cache.remove(cache.head._1)
+      labels
     }
 
   private[graft] def componentLabels(s: SparkSession, d: String): DataFrame =
@@ -363,7 +377,8 @@ object DedupQueries {
     * the embeddings table's content stamp (its own cache: the two
     * labelings cover different tables and invalidate independently). */
   private val semCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+    scala.collection.mutable.LinkedHashMap
+      .empty[(SparkSession, String, String), DataFrame]
   private[graft] def semanticLabels(s: SparkSession, d: String): DataFrame =
     cachedLabels(semCache, s, d, "embeddings.parquet")(
       cosineEdges(s, d).select(col("va").as("src"), col("vb").as("dst")))
@@ -1263,13 +1278,23 @@ object DedupQueries {
     * agreeing on the md5 of every cleaned document. */
   private def d19(s: SparkSession, d: String): DataFrame = {
     val k = 8
-    val tk = tokenized(s, d).select(
-      col("doc_id"), col("toks"),
-      when(size(col("toks")) >= k, TextFns.kgramHashes(col("toks"), k))
-        .otherwise(array().cast("array<string>")).as("gh"))
-    val g = tk
-      .select(col("doc_id"), posexplode(col("gh")).as(Seq("p0", "h")))
+    // filter(size >= k), NOT a when()-guarded empty-array fallback: the
+    // CASE wrapper around the gram lambda measured 10× slower at sf0.1
+    // (2.9 s vs 0.3 s for the same explode — D19Probe variants A/C vs
+    // D/E; the conditional forces the transform out of the Generate's
+    // fused evaluation). Docs shorter than k have no grams and can
+    // never carry a redundant start, so the filter is also the exact
+    // semantics. localCheckpoint: BOTH the per-hash aggregate and the
+    // join-back probe side read g — unpinned, the lambda exprIds defeat
+    // exchange reuse (the d04/d07/d08 lesson) and the tokenize→md5
+    // subtree ran twice, with the gram lambdas additionally duplicated
+    // into the scan's pushed data filter.
+    val g = tokenized(s, d)
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(TextFns.kgramHashes(col("toks"), k)).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      .localCheckpoint()
     val stats = g.groupBy("h").agg(
         count(lit(1)).as("nh"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
@@ -1542,14 +1567,19 @@ object DedupQueries {
     * strings), so only in-probed-bucket pairs pay a dot product. The
     * EXACT brute-force flag count rides along as the in-query recall
     * audit (the v09 discipline; blocked ⊆ exact by construction,
-    * `block_recall` ≤ 1): measured ~0.33 at sf0.1's 5-bit key for the
-    * weak tau=0.3 screen (single-probe was ~0.07 — the H≤1 probes
-    * quadruple it), and the audit column is exactly the number that
-    * tells a production pipeline how many more probes (or how much
-    * higher a contamination threshold) its recall target costs — the
-    * v23 tuning-curve reading applied to decontamination. At 100 TB
-    * the audit runs on a panel sample; the probed path is the product.
-    * Both paths `distinct` BEFORE counting: a corpus vector near three
+    * `block_recall` ≤ 1) — and since round 11 the audit is
+    * SAMPLE-ENFORCED BY THE PLAN, not by a comment (the round-10
+    * advisory; d15's pattern-group discipline): only the deterministic
+    * `vec_id % 3 = 0` corpus slice enters the crossJoin, recall is
+    * blocked∩audited vs exact-on-audited (both sides restricted
+    * identically, so the ratio is unbiased), and `n_audited` censuses
+    * the slice. Measured ~0.33-class recall at sf0.1's adaptive key
+    * for the weak tau=0.3 screen (single-probe was ~0.07 — the H≤1
+    * probes quadruple it); the audit column is exactly the number
+    * that tells a production pipeline how many more probes (or how
+    * much higher a contamination threshold) its recall target costs —
+    * the v23 tuning-curve reading applied to decontamination. Both
+    * paths `distinct` BEFORE counting: a corpus vector near three
     * panel members is one contamination, not three. */
   private def d17(s: SparkSession, d: String): DataFrame =
     semanticDecontam(s, d, 97L)
@@ -1560,7 +1590,8 @@ object DedupQueries {
     * |panel| × bucket-hit-rate, the exact audit with |corpus|·|panel|
     * (which is why the audit samples at scale). */
   private[graft] def semanticDecontam(
-      s: SparkSession, d: String, panelMod: Long): DataFrame = {
+      s: SparkSession, d: String, panelMod: Long,
+      auditMod: Long = 3L): DataFrame = {
     val bits = adaptiveSrpBits(graft.sources.VectorIndex.corpusCount(s, d))
     val b = graft.Tables.rebalance(s, embeddings(s, d))
       .select(col("vec_id"), col("label"),
@@ -1582,25 +1613,43 @@ object DedupQueries {
       substring(qb, j + 1, bits - j)))): _*)
     val probes = panel.select(
       col("qe"), col("qn"), explode(probeKeys).as("pb"))
-    val flagged = corp.join(broadcast(probes), col("bucket") === col("pb"))
+    // checkpointed because BOTH the full census and the audit subset
+    // read it — without the pin the probe join would execute twice
+    val flaggedIds = corp.join(broadcast(probes), col("bucket") === col("pb"))
       .filter(cosc >= 0.3)
       .select(col("vec_id"), col("label")).distinct()
-      .groupBy("label").agg(count(lit(1)).as("nf"))
-    val exact = corp.crossJoin(broadcast(panel.drop("qb")))
+      .localCheckpoint()
+    val flagged = flaggedIds.groupBy("label").agg(count(lit(1)).as("nf"))
+    // The exact audit is |corpus|·|panel| brute force — the PLAN now
+    // enforces the sample the scaladoc used to merely promise (round-10
+    // advisory; the d15 pattern): only the deterministic vec_id %
+    // auditMod == 0 corpus slice enters the crossJoin, recall is scored
+    // on that slice (blocked ∩ audited vs exact-on-audited — both sides
+    // restricted identically, so the ratio is unbiased), and n_audited
+    // is the census of what the sample covered. At 100 TB auditMod
+    // dials audit cost independently of the probed product path.
+    val audited = corp.filter(col("vec_id") % auditMod === 0)
+    val nAudited = audited.groupBy("label").agg(count(lit(1)).as("na"))
+    val exact = audited.crossJoin(broadcast(panel.drop("qb")))
       .filter(cosc >= 0.3)
       .select(col("vec_id"), col("label")).distinct()
       .groupBy("label").agg(count(lit(1)).as("nx"))
+    val flaggedAudit = flaggedIds.filter(col("vec_id") % auditMod === 0)
+      .groupBy("label").agg(count(lit(1)).as("nfa"))
     corp.groupBy("label").agg(count(lit(1)).as("n_corpus"))
       .join(flagged, Seq("label"), "left_outer")
+      .join(nAudited, Seq("label"), "left_outer")
       .join(exact, Seq("label"), "left_outer")
+      .join(flaggedAudit, Seq("label"), "left_outer")
       .select(
         col("label"), col("n_corpus"),
         coalesce(col("nf"), lit(0L)).as("n_flagged"),
-        coalesce(col("nx"), lit(0L)).as("n_exact"),
         oround(coalesce(col("nf"), lit(0L)) / col("n_corpus"), 4)
           .as("contam_rate"),
+        coalesce(col("na"), lit(0L)).as("n_audited"),
+        coalesce(col("nx"), lit(0L)).as("n_exact_audit"),
         when(coalesce(col("nx"), lit(0L)) > 0,
-          oround(coalesce(col("nf"), lit(0L)) / col("nx"), 4))
+          oround(coalesce(col("nfa"), lit(0L)) / col("nx"), 4))
           .as("block_recall"))
       .orderBy("label")
   }
@@ -1626,18 +1675,23 @@ object DedupQueries {
       |c AS (SELECT vec_id, label, e, nrm, bucket FROM b WHERE vec_id % 97 <> 0),
       |fl AS (SELECT DISTINCT c.vec_id, c.label FROM c JOIN qp ON c.bucket = qp.pb
       |  WHERE list_sum(list_transform(list_zip(c.e, qp.qe), x -> x[1]*x[2]))/(c.nrm*qp.qn) >= 0.3),
-      |ex AS (SELECT DISTINCT c.vec_id, c.label FROM c, q
-      |  WHERE list_sum(list_transform(list_zip(c.e, q.qe), x -> x[1]*x[2]))/(c.nrm*q.qn) >= 0.3),
+      |aud AS (SELECT * FROM c WHERE vec_id % 3 = 0),
+      |ex AS (SELECT DISTINCT aud.vec_id, aud.label FROM aud, q
+      |  WHERE list_sum(list_transform(list_zip(aud.e, q.qe), x -> x[1]*x[2]))/(aud.nrm*q.qn) >= 0.3),
       |base AS (SELECT label, count(*) n_corpus FROM c GROUP BY 1),
       |f AS (SELECT label, count(*) nf FROM fl GROUP BY 1),
-      |x AS (SELECT label, count(*) nx FROM ex GROUP BY 1)
+      |na AS (SELECT label, count(*) na FROM aud GROUP BY 1),
+      |x AS (SELECT label, count(*) nx FROM ex GROUP BY 1),
+      |fa AS (SELECT label, count(*) nfa FROM fl WHERE vec_id % 3 = 0 GROUP BY 1)
       |SELECT base.label, n_corpus,
       |  COALESCE(nf, 0)::BIGINT AS n_flagged,
-      |  COALESCE(nx, 0)::BIGINT AS n_exact,
       |  ROUND(COALESCE(nf, 0) / n_corpus::DOUBLE, 4) AS contam_rate,
+      |  COALESCE(na, 0)::BIGINT AS n_audited,
+      |  COALESCE(nx, 0)::BIGINT AS n_exact_audit,
       |  CASE WHEN COALESCE(nx, 0) > 0
-      |       THEN ROUND(COALESCE(nf, 0) / nx::DOUBLE, 4) END AS block_recall
-      |FROM base LEFT JOIN f USING (label) LEFT JOIN x USING (label)
+      |       THEN ROUND(COALESCE(nfa, 0) / nx::DOUBLE, 4) END AS block_recall
+      |FROM base LEFT JOIN f USING (label) LEFT JOIN na USING (label)
+      |  LEFT JOIN x USING (label) LEFT JOIN fa USING (label)
       |ORDER BY label""".stripMargin
 
   /** D18 — the LSH BANDING TUNING CURVE: d02's (bands × rows-per-band)

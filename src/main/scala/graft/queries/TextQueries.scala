@@ -911,7 +911,98 @@ object TextQueries {
     QueryDef("t19_pmi_collocations", t19, Some(ot19)),
     QueryDef("t20_novelty_score", t20, Some(ot20)),
     QueryDef("t21_homoglyph_scrub", t21, Some(ot21)),
-    QueryDef("t22_threshold_curve", t22, Some(ot22)))
+    QueryDef("t22_threshold_curve", t22, Some(ot22)),
+    QueryDef("t23_bpe_training", t23, Some(ot23)))
+
+  /** T23 — ITERATED BPE training: t12 is ONE pair-count step; this runs
+    * the full tokenizer-training loop — 5 merge rounds, each counting
+    * adjacent-symbol pairs over the CURRENT segmentation, merging the
+    * argmax pair everywhere (greedy left-to-right, ties broken
+    * count-desc then pair-asc), and emitting the learned merge table —
+    * the artifact a BPE tokenizer ships.
+    *
+    * The classic scaling trick makes the loop cheap: BPE statistics are
+    * a function of the WORD-FREQUENCY DICTIONARY, not the corpus — one
+    * corpus pass folds tokens to (word, count) (map-side combined; the
+    * vocabulary, not the corpus, is the state), and every round after
+    * that is one |vocab|-sized pair aggregate + a 1-ROW broadcast
+    * crossJoin applying the argmax merge via left-to-right
+    * non-overlapping `replace` on the '~'-joined symbol string (the
+    * separator is outside the corpus alphabet; `replace`'s scan order
+    * IS greedy BPE merging, identically in both engines). Per-round
+    * `localCheckpoint` pins each vocab generation — without it round
+    * r's lineage re-executes every earlier round once per consumer
+    * (the g01 checkpointed-iteration discipline). Segmentation strings
+    * stay distinct across merges (a symbol string encodes the full
+    * character sequence), so no re-aggregation is needed between
+    * rounds. At 100 TB: the corpus pass is the only corpus-sized
+    * stage; rounds cost |distinct words|, millions of rows, one
+    * shuffle each. The DuckDB oracle unrolls the same 5 rounds as
+    * CTE families over the identical replace/argmax rules. */
+  private def t23(s: SparkSession, d: String): DataFrame = {
+    val sep = "~" // outside the corpus alphabet (a–y + space)
+    val init = graft.Tables.rebalance(s, documents(s, d))
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(array_join(
+        transform(sequence(lit(1), length(col("tok"))),
+          i => col("tok").substr(i, lit(1))), sep).as("sym"))
+      .groupBy("sym").agg(count(lit(1)).as("cnt"))
+    var vocab = init.localCheckpoint()
+    val merges = (1 to 5).map { r =>
+      val pairs = vocab
+        .select(col("cnt"), split(col("sym"), sep).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("cnt"),
+          explode(transform(sequence(lit(1), size(col("ss")) - 1),
+            i => struct(
+              element_at(col("ss"), i).as("a"),
+              element_at(col("ss"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("n"))
+      val top = pairs
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .select(lit(r.toLong).as("step"),
+          col("a").as("merge_a"), col("b").as("merge_b"), col("n"))
+        .localCheckpoint()
+      vocab = vocab.crossJoin(broadcast(top))
+        .select(
+          call_function("replace", col("sym"),
+            concat(col("merge_a"), lit(sep), col("merge_b")),
+            concat(col("merge_a"), col("merge_b"))).as("sym"),
+          col("cnt"))
+        .localCheckpoint()
+      top
+    }
+    merges.reduce(_ unionAll _).orderBy("step")
+  }
+
+  // lazy: declared below defs — the d15/ot22 object-init-order lesson
+  private lazy val ot23 = {
+    def round(r: Int): String = {
+      val pv = s"v${r - 1}"
+      s"""p$r AS (SELECT s[i] a, s[i+1] b, sum(cnt) n
+        |  FROM (SELECT string_split(sym, '~') s, cnt FROM $pv) t$r,
+        |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) i)
+        |  WHERE len(s) >= 2 GROUP BY 1, 2),
+        |m$r AS (SELECT $r::BIGINT AS step, a AS merge_a, b AS merge_b,
+        |    n::BIGINT AS n
+        |  FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+        |v$r AS (SELECT replace(sym,
+        |    (SELECT merge_a FROM m$r) || '~' || (SELECT merge_b FROM m$r),
+        |    (SELECT merge_a FROM m$r) || (SELECT merge_b FROM m$r)) sym, cnt
+        |  FROM $pv)""".stripMargin
+    }
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
+      |v0 AS (SELECT array_to_string(list_transform(generate_series(1, length(tok)),
+      |    i -> substr(tok, i, 1)), '~') sym, count(*) cnt
+      |  FROM tok WHERE length(tok) > 0 GROUP BY 1),
+      |${(1 to 5).map(round).mkString(",\n")}
+      |SELECT step, merge_a, merge_b, n FROM (
+      |  SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3
+      |  UNION ALL SELECT * FROM m4 UNION ALL SELECT * FROM m5) u
+      |ORDER BY step""".stripMargin
+  }
 
   /** T22 — the quality-classifier THRESHOLD CURVE: t11's logistic
     * score swept over keep thresholds τ ∈ {0.3, 0.5, 0.7} in one
