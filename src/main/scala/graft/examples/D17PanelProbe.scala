@@ -7,12 +7,17 @@ import graft.Engine
 /** d17's growth axis: the benchmark PANEL. The probed screen's cost is
   * |panel| probe keys (broadcast strings) joined against the corpus —
   * it should grow sub-linearly in |panel| (corpus scan dominates); the
-  * EXACT audit is the |corpus|·|panel| brute-force half, linear in
-  * |panel| by construction — the measured reason the audit samples at
-  * scale while the probed screen is the product. Drives the SAME
+  * EXACT audit — |corpus|·|panel| brute force by construction — is
+  * since round 11 PLAN-ENFORCED onto the `vec_id % 3` corpus slice,
+  * so its growth rides a 3×-smaller corpus side. Drives the SAME
   * [[graft.queries.DedupQueries.semanticDecontam]] plan at panel
   * modulus 97 (the declared d17, ~1% panel) and 9 (~11%), reports
   * wall-clock α normalized to the actual panel growth.
+  *
+  * Post-cap re-run (sf0.1, quiet): 1.41 s → 1.16 s across the 10.8×
+  * panel — α ≈ 0 (scan-dominated; before the cap the blended α
+  * carried the audit's linear term). The remaining |panel| linearity
+  * is the broadcast itself, nowhere near binding at this range.
   *
   * Run: `sbt "runMain graft.examples.D17PanelProbe"` (sf0.1).
   */

@@ -38,6 +38,60 @@ object MediaFeatures {
     * the pipeline is testable end-to-end without native libraries. */
   trait MediaCodec extends Serializable {
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Double)
+
+    /** Luma grid for perceptual hashing: `cells` cell values in
+      * row-major order. The DEFAULT is the stub grid — cell j is the
+      * unsigned byte sum of the payload's contiguous range
+      * [⌊j·n/cells⌋, ⌊(j+1)·n/cells⌋) (integer arithmetic, so the
+      * DuckDB oracle reproduces it exactly); a real codec overrides
+      * with the downsampled decoded frame's luminance and everything
+      * downstream ([[dhash]], the m10 banding) is unchanged. */
+    def lumaCells(kind: String, payload: Array[Byte], cells: Int): Array[Long] = {
+      val n = payload.length
+      val out = new Array[Long](cells)
+      var j = 0
+      while (j < cells) {
+        val hi = ((j + 1).toLong * n / cells).toInt
+        var p = (j.toLong * n / cells).toInt
+        var sum = 0L
+        while (p < hi) { sum += (payload(p) & 0xFF); p += 1 }
+        out(j) = sum
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** One perceptual signature: 60-bit difference hash (see [[dhash]]). */
+  case class MediaHash(media_id: Long, kind: String, dhash: Long)
+
+  /** Difference hash (dHash) over the codec's 9×8 luma grid: bit
+    * r·8+c is set iff cell(r,c) < cell(r,c+1) — brightness-invariant
+    * by construction (a constant shift moves both sides of every
+    * comparison). 60 bits, not the textbook 64: the repo-wide 60-bit
+    * signature width (hash60 / simhashed60) that keeps the top bits
+    * clear of BIGINT sign trouble on both engines — 4 bands × 15 bits
+    * then gives the same Manku-style pigeonhole as d08 (Hamming ≤ 3 ⇒
+    * exact agreement on ≥ 1 band). Same mapPartitions seam as
+    * [[extract]]: codec init amortized per partition, payload never
+    * crosses a shuffle — only the 8-byte signature does. */
+  def dhash(media: Dataset[MediaRow], codec: MediaCodec = Stub): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+        val cells = codec.lumaCells(r.kind, payload, 72)
+        var h = 0L
+        var bit = 0
+        while (bit < 60) {
+          val row = bit / 8
+          val c = bit % 8
+          if (cells(row * 9 + c) < cells(row * 9 + c + 1)) h |= 1L << bit
+          bit += 1
+        }
+        MediaHash(r.media_id, r.kind, h)
+      }
+    }
   }
 
   object Stub extends MediaCodec {

@@ -919,7 +919,9 @@ object DedupQueries {
     * lineage first: the size agg and the equi-join both read it, and
     * lambda exprIds defeat ReuseExchange (the round-2 lesson — an
     * unpinned base pays its projection twice, measured on d04 r7). */
-  private def capBlocks(
+  // private[queries]: m10's perceptual-hash banding rides the same
+  // df-cap + census discipline
+  private[queries] def capBlocks(
       base: DataFrame, keys: Seq[String], censusName: String,
       cap: Option[Int]): DataFrame =
     cap match {

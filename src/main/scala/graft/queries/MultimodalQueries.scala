@@ -373,7 +373,98 @@ object MultimodalQueries {
     QueryDef("m06_media_features", m06, Some(om06)),
     QueryDef("m07_byte_entropy", m07, Some(om07)),
     QueryDef("m08_image_dims", m08, Some(om08)),
-    QueryDef("m09_resize_plan", m09, Some(om09)))
+    QueryDef("m09_resize_plan", m09, Some(om09)),
+    QueryDef("m10_image_near_dup", m10, Some(om10)))
+
+  /** M10 — PERCEPTUAL image near-dup (dHash): the loop between the
+    * multimodal estate and the dedup family. Every image blob gets the
+    * 60-bit difference hash over the codec's 9×8 luma grid
+    * ([[graft.multimodal.MediaFeatures.dhash]] — brightness-invariant
+    * row-wise comparisons; stub grid = contiguous byte-range sums, a
+    * real codec swaps in downsampled pixel luma at the same seam), and
+    * near-dup pairs at Hamming 1–3 come out of d08's EXACT banding
+    * machinery: 4 bands × 15 bits (Manku pigeonhole: hd ≤ 3 ⇒ exact
+    * agreement on ≥ 1 band — candidates are an equi-join on
+    * (band index, value), NEVER all-pairs), the same [[DedupQueries
+    * .PairBlockCap]] df-cap + census on hot buckets (identical blobs
+    * share every band — that mass is m02/d01's exact-dup signal, and
+    * the DuckDB oracle applies the identical HAVING bound), Hamming
+    * verified only inside buckets. The corpus stages its own
+    * re-encode estate deterministically (t21's discipline): each
+    * image's variant is the aeo→bfp translate — a small brightness-
+    * style perturbation that lands planted pairs at hd 0–2 (measured:
+    * 199/250 at hd 0 — dHash's invariance working — and banding finds
+    * 100%); hd-0 collisions (exact templates AND unlucky variants)
+    * are excluded exactly as d08 excludes them. Only the 8-byte
+    * signature ever shuffles; payloads stay in their scan partitions. */
+  private def m10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val imgs = graft.multimodal.MediaFeatures.fromDocuments(s, d)
+      .filter(col("kind") === "image")
+    val variants = documents(s, d)
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(
+        (col("doc_id") + 1000000000L).as("media_id"),
+        lit("image").as("kind"),
+        translate(col("text"), "aeo", "bfp").cast("binary").as("payload"))
+      .as[graft.multimodal.MediaFeatures.MediaRow]
+    val hashed = graft.multimodal.MediaFeatures
+      .dhash(imgs.unionByName(variants)).toDF()
+    val banded = hashed
+      .select(col("media_id"), col("dhash"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+      .select(col("media_id"), col("dhash"), col("j"),
+        call_function("shiftright", col("dhash"), col("j") * 15)
+          .bitwiseAND(lit(32767L)).as("band"))
+    // capBlocks' using-join reorders columns — pin by NAME before the
+    // positional rename (the d08 lesson), and checkpoint so both
+    // self-join sides read one materialization
+    val capped = DedupQueries.capBlocks(
+        banded, Seq("j", "band"), "m10_band_census",
+        Some(DedupQueries.PairBlockCap))
+      .select("media_id", "dhash", "j", "band")
+      .localCheckpoint()
+    val a = capped.toDF("da", "sa", "ja", "ba")
+    val b = capped.toDF("db", "sb", "jb", "bb")
+    a.join(b,
+        col("ja") === col("jb") && col("ba") === col("bb") &&
+          col("da") < col("db"))
+      .select(col("da"), col("db"), col("sa"), col("sb"))
+      .distinct() // a pair sharing several bands counts once
+      .select(col("da"), col("db"),
+        call_function("bit_count", col("sa").bitwiseXOR(col("sb")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3 && col("hamming") > 0)
+      .orderBy("hamming", "da", "db")
+  }
+
+  // lazy: declared below defs (the d15 object-init-order lesson).
+  // Byte semantics from encode(text) hex pairs — the om06 discipline.
+  private lazy val om10 =
+    """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |m AS (SELECT doc_id AS media_id, encode(text) bb FROM src
+      |      UNION ALL
+      |      SELECT doc_id + 1000000000, encode(translate(text, 'aeo', 'bfp')) FROM src),
+      |byt AS (SELECT media_id, octet_length(bb) n,
+      |    list_transform(generate_series(1, octet_length(bb)),
+      |      i -> ('0x'||substr(hex(bb), 2*i-1, 2))::BIGINT) bl
+      |  FROM m),
+      |cel AS (SELECT media_id, list_transform(generate_series(0, 71), j ->
+      |    coalesce(list_sum(bl[(j*n)//72 + 1 : ((j+1)*n)//72]), 0)) cs
+      |  FROM byt),
+      |dh AS (SELECT media_id, list_sum(list_transform(generate_series(0, 59), bit ->
+      |    CASE WHEN cs[(bit//8)*9 + (bit%8) + 1] < cs[(bit//8)*9 + (bit%8) + 2]
+      |         THEN (1::BIGINT << bit) ELSE 0::BIGINT END))::BIGINT dhash
+      |  FROM cel),
+      |k AS (SELECT media_id, dhash, j, (dhash >> (15*j)) & 32767 AS band
+      |      FROM dh, (SELECT unnest(generate_series(0, 3)) j)),
+      |kc AS (SELECT j, band FROM k GROUP BY j, band HAVING count(*) BETWEEN 2 AND 64),
+      |kf AS (SELECT k.* FROM k JOIN kc USING (j, band)),
+      |pairs AS (SELECT DISTINCT a.media_id da, b.media_id db, a.dhash sa, b.dhash sb
+      |  FROM kf a JOIN kf b ON a.j = b.j AND a.band = b.band AND a.media_id < b.media_id)
+      |SELECT da, db, bit_count(xor(sa, sb))::BIGINT AS hamming
+      |FROM pairs WHERE bit_count(xor(sa, sb)) BETWEEN 1 AND 3
+      |ORDER BY hamming, da, db""".stripMargin
 
   /** M9 — the RESIZE stage of the media pipeline (the last of the
     * brief's four multimodal verbs — decode m03/m05, feature-extract

@@ -59,6 +59,29 @@ class MediaFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("dhash: brightness-invariant, locality-sensitive, 60-bit") {
+    // 288 = 72 cells × exactly 4 bytes each — equal cell sizes make the
+    // constant +4 shift move both sides of every comparison identically
+    val base = Array.tabulate(288)(i => ((i * 37) % 251).toByte)
+    val shifted = base.map(b => (((b & 0xFF) / 2) + 4).toByte)
+    val baseline = base.map(b => ((b & 0xFF) / 2).toByte)
+    val rows = Seq(
+      MediaRow(1L, "image", baseline),
+      MediaRow(2L, "image", shifted), // +4 per byte: identical hash
+      MediaRow(3L, "image", base), // 2× contrast: ALSO identical (order-preserving)
+      MediaRow(4L, "image", baseline.reverse)) // reversed content: differs
+      .toDS()
+    val out = MediaFeatures.dhash(rows).collect().map(h => h.media_id -> h.dhash).toMap
+    assert(out(1L) == out(2L), "a constant luma shift must not change the dhash")
+    assert(out(1L) == out(3L), "an order-preserving contrast scale must not either")
+    assert(out(1L) != out(4L), "reversed content must differ")
+    out.values.foreach(h => assert(h >= 0L && h < (1L << 60), s"60-bit range: $h"))
+    // and the hand-computable tiny case: 72 one-byte cells
+    val inc = Array.tabulate(72)(i => i.toByte) // strictly increasing cells
+    val all = MediaFeatures.dhash(Seq(MediaRow(9L, "image", inc)).toDS()).collect()
+    assert(all.head.dhash == (1L << 60) - 1, "every row-wise comparison ascends")
+  }
+
   test("resizePlan: out_bytes = rw*rh; downscaled iff source exceeds the box") {
     val media = MediaFeatures.fromDocuments(spark, "/root/testdata/sf0.001")
     val plans = MediaFeatures.resizePlan(media, 48).collect()

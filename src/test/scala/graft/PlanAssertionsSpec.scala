@@ -644,6 +644,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"the native plan must not fall back to the composed form, got:\n$plan")
   }
 
+  test("m10: perceptual near-dup is banded — an equi-join, never all-pairs") {
+    val plan = executedPlan("m10_image_near_dup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the dHash pair join must stay an equi-join on (band, value), got:\n$plan")
+    // (the m10_band_census observe rides the checkpointed banded stage,
+    // which by design is NOT in this final lineage — the d08 pattern)
+  }
+
   test("q53: ASOF LEFT JOIN sql text lowers to AsOfJoinExec") {
     val plan = executedPlan("q53_sql_asof")
     assert(plan.contains("AsOfJoin"),
