@@ -94,6 +94,61 @@ object ChunkQueries {
       .orderBy("lang", "bin")
   }
 
+  /** C4 — the PACKING-EFFICIENCY CURVE: c03's first-fit-in-order
+    * packing swept across context lengths L ∈ {512, 1024, 2048} — per
+    * L the bin count, the fill fraction (tokens ÷ bins·L: what the
+    * training run actually utilizes; the remainder is padding) and
+    * docs-per-bin. The fourth tuning-curve query (v23 sweeps ANN probe
+    * width, d18 LSH banding, t22 the quality threshold; this sweeps
+    * the dataloader's context budget) — the table read before
+    * committing a context length to a full packing run: longer
+    * contexts waste less padding per bin boundary but concentrate
+    * more docs per sequence. ONE pass: the per-stratum running token
+    * sum is computed once (identical for every L — bin assignment is
+    * just a different divisor of the same prefix sum), the 3-way
+    * explode carries two scalars, and the aggregate is |L| rows. */
+  private def c04(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(TextFns.tokens(col("text"))).as("nt"))
+      .select(col("lang"), col("nt"),
+        (sum("nt").over(w) - col("nt")).as("prior"))
+      .select(col("lang"), col("nt"), col("prior"),
+        explode(array(lit(512), lit(1024), lit(2048))).as("context_len"))
+      .select(col("context_len"), col("nt"),
+        concat_ws(":", col("lang"),
+          floor(col("prior") / col("context_len"))).as("bin_key"))
+      .groupBy("context_len")
+      .agg(
+        countDistinct("bin_key").as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum("nt").cast("long").as("n_tokens"),
+        oround(
+          sum("nt").cast("double") /
+            (countDistinct("bin_key") * col("context_len")), 4)
+          .as("fill_frac"),
+        oround(count(lit(1)) / countDistinct("bin_key").cast("double"), 4)
+          .as("docs_per_bin"))
+      .orderBy("context_len")
+  }
+
+  private val oc04 =
+    """WITH t AS (SELECT doc_id, lang, len(string_split(text,' ')) nt FROM documents),
+      |p AS (SELECT lang, nt,
+      |        sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS prior
+      |      FROM t),
+      |x AS (SELECT lang, nt, prior, context_len,
+      |        lang || ':' || (prior // context_len)::VARCHAR AS bin_key
+      |      FROM p, (SELECT unnest([512, 1024, 2048]) AS context_len))
+      |SELECT context_len, count(DISTINCT bin_key) AS n_bins, count(*) AS n_docs,
+      |  sum(nt)::BIGINT AS n_tokens,
+      |  ROUND(sum(nt)::DOUBLE / (count(DISTINCT bin_key) * context_len), 4) AS fill_frac,
+      |  ROUND(count(*)::DOUBLE / count(DISTINCT bin_key), 4) AS docs_per_bin
+      |FROM x GROUP BY context_len ORDER BY context_len""".stripMargin
+
   // ------------------------------------------------------------------
   // DuckDB oracles (prototyped in tools/proto_round5.py)
   // ------------------------------------------------------------------
@@ -127,5 +182,6 @@ object ChunkQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c01_chunk_stats", c01, Some(oc01)),
     QueryDef("c02_chunk_dedup", c02, Some(oc02)),
-    QueryDef("c03_pack_sequences", c03, Some(oc03)))
+    QueryDef("c03_pack_sequences", c03, Some(oc03)),
+    QueryDef("c04_packing_curve", c04, Some(oc04)))
 }

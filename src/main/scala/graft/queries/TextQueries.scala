@@ -912,7 +912,44 @@ object TextQueries {
     QueryDef("t20_novelty_score", t20, Some(ot20)),
     QueryDef("t21_homoglyph_scrub", t21, Some(ot21)),
     QueryDef("t22_threshold_curve", t22, Some(ot22)),
-    QueryDef("t23_bpe_training", t23, Some(ot23)))
+    QueryDef("t23_bpe_training", t23, Some(ot23)),
+    QueryDef("t24_bpe_encode", t24, Some(ot24)))
+
+  /** T24 — BPE ENCODE: the other half of the tokenizer loop. After
+    * [[bpeTrain]]'s 5 merge rounds, each distinct word's final
+    * segmentation IS its encoding under the learned rules — so the
+    * encoder is the final vocabulary state read off directly, no
+    * per-document re-segmentation pass (the word-frequency-dictionary
+    * trick, applied in reverse). The published result is the
+    * tokenizer's FERTILITY HISTOGRAM — symbols-per-word against
+    * distinct words, corpus occurrences and mean word length — the
+    * table a tokenizer evaluation reads to see where the merge budget
+    * went (1-symbol rows = fully merged words; long tails = rare words
+    * the 5 merges never touched). At 100 TB the encode stage stays
+    * |vocab|-sized: corpus cost was paid once in the training pass's
+    * token fold. */
+  private def t24(s: SparkSession, d: String): DataFrame =
+    bpeTrain(s, d)._2
+      .select(
+        size(split(col("sym"), "~")).cast("long").as("n_syms"),
+        col("cnt"),
+        length(call_function("replace", col("sym"), lit("~"), lit("")))
+          .cast("long").as("wlen"))
+      .groupBy("n_syms")
+      .agg(
+        count(lit(1)).as("n_distinct_words"),
+        sum("cnt").as("n_occurrences"),
+        oround(avg("wlen"), 4).as("avg_word_len"))
+      .orderBy("n_syms")
+
+  // lazy: declared below defs (the d15 lesson); reuses ot23's CTE chain
+  private lazy val ot24 =
+    s"""$ot23Ctes
+      |SELECT len(string_split(sym, '~'))::BIGINT AS n_syms,
+      |  count(*) AS n_distinct_words,
+      |  sum(cnt)::BIGINT AS n_occurrences,
+      |  ROUND(avg(length(replace(sym, '~', ''))), 4) AS avg_word_len
+      |FROM v5 GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** T23 — ITERATED BPE training: t12 is ONE pair-count step; this runs
     * the full tokenizer-training loop — 5 merge rounds, each counting
@@ -939,7 +976,15 @@ object TextQueries {
     * stage; rounds cost |distinct words|, millions of rows, one
     * shuffle each. The DuckDB oracle unrolls the same 5 rounds as
     * CTE families over the identical replace/argmax rules. */
-  private def t23(s: SparkSession, d: String): DataFrame = {
+  /** The shared 5-round BPE training loop (see [[t23]]'s scaladoc for
+    * the design): returns the learned merge table rows (one 1-row
+    * checkpointed frame per round) and the FINAL vocabulary state —
+    * each distinct word's '~'-joined segmentation after all merges,
+    * with its corpus frequency. t23 publishes the merges; t24 reads
+    * the final state as the ENCODER (a word's segmentation after
+    * training IS its BPE encoding under the learned rules). */
+  private def bpeTrain(
+      s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
     val sep = "~" // outside the corpus alphabet (a–y + space)
     val init = graft.Tables.rebalance(s, documents(s, d))
       .select(explode(TextFns.tokens(col("text"))).as("tok"))
@@ -974,35 +1019,50 @@ object TextQueries {
         .localCheckpoint()
       top
     }
-    merges.reduce(_ unionAll _).orderBy("step")
+    (merges, vocab)
   }
 
-  // lazy: declared below defs — the d15/ot22 object-init-order lesson
-  private lazy val ot23 = {
+  private def t23(s: SparkSession, d: String): DataFrame =
+    bpeTrain(s, d)._1.reduce(_ unionAll _).orderBy("step")
+
+  // lazy: declared below defs — the d15/ot22 object-init-order lesson.
+  // The WITH chain (tok fold → v0 char vocab → 5 unrolled merge-round
+  // CTE families) is shared verbatim by ot23 and ot24 — one training
+  // definition, two readings, exactly like the Spark side's bpeTrain.
+  // Every CTE is MATERIALIZED (DuckDB-only syntax — these strings run
+  // only in the oracle): each v_r references m_r three times and p_r
+  // references v_{r-1}, so DuckDB's default inlining expands the
+  // 5-round chain exponentially — ot24's v5 reading measured 11+ min
+  // of CPU before materialization, milliseconds after. ot23 only read
+  // the m_r heads and dodged the worst of it by luck, not design.
+  private lazy val ot23Ctes = {
     def round(r: Int): String = {
       val pv = s"v${r - 1}"
-      s"""p$r AS (SELECT s[i] a, s[i+1] b, sum(cnt) n
+      s"""p$r AS MATERIALIZED (SELECT s[i] a, s[i+1] b, sum(cnt) n
         |  FROM (SELECT string_split(sym, '~') s, cnt FROM $pv) t$r,
         |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) i)
         |  WHERE len(s) >= 2 GROUP BY 1, 2),
-        |m$r AS (SELECT $r::BIGINT AS step, a AS merge_a, b AS merge_b,
+        |m$r AS MATERIALIZED (SELECT $r::BIGINT AS step, a AS merge_a, b AS merge_b,
         |    n::BIGINT AS n
         |  FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-        |v$r AS (SELECT replace(sym,
+        |v$r AS MATERIALIZED (SELECT replace(sym,
         |    (SELECT merge_a FROM m$r) || '~' || (SELECT merge_b FROM m$r),
         |    (SELECT merge_a FROM m$r) || (SELECT merge_b FROM m$r)) sym, cnt
         |  FROM $pv)""".stripMargin
     }
     s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
-      |v0 AS (SELECT array_to_string(list_transform(generate_series(1, length(tok)),
+      |v0 AS MATERIALIZED (SELECT array_to_string(list_transform(generate_series(1, length(tok)),
       |    i -> substr(tok, i, 1)), '~') sym, count(*) cnt
       |  FROM tok WHERE length(tok) > 0 GROUP BY 1),
-      |${(1 to 5).map(round).mkString(",\n")}
+      |${(1 to 5).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val ot23 =
+    s"""$ot23Ctes
       |SELECT step, merge_a, merge_b, n FROM (
       |  SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3
       |  UNION ALL SELECT * FROM m4 UNION ALL SELECT * FROM m5) u
       |ORDER BY step""".stripMargin
-  }
 
   /** T22 — the quality-classifier THRESHOLD CURVE: t11's logistic
     * score swept over keep thresholds τ ∈ {0.3, 0.5, 0.7} in one
