@@ -25,6 +25,15 @@ import graft.functions.TextFns
   * d15/d18 shingle family's staging pass). The d19 stage breakdown
   * (gram stage / agg+joinback / surgery) runs after the variants.
   *
+  * HOT-TEMPLATE receipt (the adversarial mass that forces d02/d08 to
+  * df-cap their buckets): +2,000 copies of one 60-token template —
+  * every gram at df ≈ 2,000, +45% gram occurrences over sf0.1 —
+  * moves d19 from 1.26 s to 1.58 s warm (+25%, sub-linear in added
+  * rows). The count+argmin aggregate absorbs the hot mass with NO
+  * cap needed: a df-2,000 gram is one partial per task, never
+  * 2,000²/2 pairs (the reason d19, unlike the bucket-join dedups,
+  * carries no PairBlockCap).
+  *
   * Run: `sbt "runMain graft.examples.D19Probe [sfDir]"`. */
 object D19Probe {
   def main(args: Array[String]): Unit = {
@@ -111,9 +120,9 @@ object D19Probe {
         .groupBy("doc_id")
         .agg(sort_array(collect_list(col("pos"))).as("rst"))
       val rs = time("agg+joinback (checkpoint)")(rstarts.localCheckpoint())
-      val n = size(col("toks"))
+      val nCol = size(col("toks"))
       val cov = array_sort(array_distinct(flatten(
-        transform(col("rst"), i => sequence(i, least(i + (k - 1), n))))))
+        transform(col("rst"), i => sequence(i, least(i + (k - 1), nCol))))))
       time("surgery + write") {
         tokenized.select(col("doc_id"), col("toks"))
           .join(rs, Seq("doc_id"))
@@ -135,6 +144,38 @@ object D19Probe {
           .write.format("noop").mode("overwrite").save()
       }
     }
+
+    // HOT-TEMPLATE axis: d19's scale claim is "no pair enumeration
+    // anywhere — a gram occurring N times costs a count, never N²
+    // pairs". Stage an adversarial corpus: the sf corpus PLUS 2,000
+    // copies of one 60-token template (every gram in it reaches
+    // df ≈ 2,000 — the mass that forces d02/d08 to df-cap their
+    // buckets), and time the DECLARED d19 on both. Linear-in-rows is
+    // the pass: the hot mass adds ~120k gram occurrences (~45% of
+    // sf0.1's 263k), so wall should grow by roughly that fraction —
+    // quadratic behavior would add minutes.
+    val hotDir = java.nio.file.Files.createTempDirectory("d19hot").toString
+    val template = (1 to 60).map(i => s"hot$i").mkString(" ")
+    spark.read.parquet(s"$d/documents.parquet")
+      .unionByName(
+        spark.range(2000).selectExpr(
+          "id + 10000000 AS doc_id", s"'$template' AS text",
+          "'en' AS lang", "'hot' AS source",
+          s"${template.length} AS n_chars"),
+        allowMissingColumns = true)
+      .write.mode("overwrite").parquet(s"$hotDir/documents.parquet")
+    val d19 = graft.SparkEntry.queries("d19_substring_scrub")
+    def runD19(name: String, dir: String): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        d19(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      time(name)(once())
+    }
+    runD19("d19 base corpus", d)
+    runD19("d19 + 2000-copy template", hotDir)
     spark.stop()
   }
 }
