@@ -545,7 +545,7 @@ object DedupQueries {
       |hsed AS (SELECT doc_id, sh, list_transform(sh, x -> ('0x'||substr(md5(x),1,7))::BIGINT) hs FROM s),
       |sig AS (SELECT doc_id, [$mhList] mh FROM hsed)""".stripMargin
 
-  private def lshPairCtes(cap: Option[Int]): String = {
+  private[queries] def lshPairCtes(cap: Option[Int]): String = {
     val bk = cap match {
       case Some(c) =>
         s"""bsz AS (SELECT b, bh FROM bands GROUP BY b, bh HAVING count(*) BETWEEN 2 AND $c),
@@ -723,11 +723,25 @@ object DedupQueries {
     * [[bandKeyCols]] value) per (doc, band) — the join-key form the
     * persisted signature index is bucketed on. */
   private def keyedBands(s: SparkSession, d: String): DataFrame =
-    sigWithSh(s, d)
+    keyedBandsOf(graft.Tables.rebalance(s, documents(s, d)))
+
+  /** [[keyedBands]] over an ARBITRARY (doc_id, text, …) frame — the
+    * form q54's streaming foreachBatch feeds micro-batches through
+    * (one signature definition for the at-rest index, the incremental
+    * delta AND the stream; a constant edited anywhere re-syncs
+    * everywhere). private[queries]: Core's streaming family uses it. */
+  private[queries] def keyedBandsOf(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= N)
+      .select(col("doc_id"), TextFns.shinglesOf(col("toks"), N).as("sh"))
+      .select(col("doc_id"), col("sh"), TextFns.shingleHashes(col("sh")).as("hs"))
+    sig.select(col("doc_id") +: col("sh") +: minhashCols: _*)
       .select(col("doc_id"), col("sh"),
         posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh")))
       .select(col("doc_id"), col("sh"),
         concat_ws(":", col("band"), col("bh")).as("bk"))
+  }
 
   /** The staged (doc_id, sh, mh0..mh7) signature table — hs staged
     * before the permutations and the mh columns staged before any band
