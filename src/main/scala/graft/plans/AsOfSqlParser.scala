@@ -93,25 +93,81 @@ object AsOfSqlRewrite extends PredicateHelper {
   private val AsOfRe =
     """(?i)\bASOF\s+(?:(LEFT|INNER)\s+)?JOIN\b""".r
 
+  /** One keyword replacement: [origStart, origEnd) of the original text
+    * became [rwStart, rwEnd) of the rewritten text. */
+  private final case class Rw(
+      origStart: Int, origEnd: Int, rwStart: Int, rwEnd: Int)
+
   def apply(sqlText: String, parse: String => LogicalPlan): LogicalPlan = {
     val masked = maskNonCode(sqlText)
     val hits = AsOfRe.findAllMatchIn(masked).toSeq
     if (hits.isEmpty) return parse(sqlText)
-    // splice the plain join keyword over each ASOF occurrence
+    // splice the plain join keyword over each ASOF occurrence,
+    // recording the span mapping (view-text restore needs it below)
     val sb = new StringBuilder
     var pos = 0
     var nLeft = 0
     var nInner = 0
+    val spans = Seq.newBuilder[Rw]
     hits.foreach { m =>
       sb.append(sqlText.substring(pos, m.start))
+      val rwStart = sb.length
       val isLeft = Option(m.group(1)).exists(_.equalsIgnoreCase("LEFT"))
       if (isLeft) { nLeft += 1; sb.append("LEFT JOIN") }
       else { nInner += 1; sb.append("JOIN") }
+      spans += Rw(m.start, m.end, rwStart, sb.length)
       pos = m.end
     }
     sb.append(sqlText.substring(pos))
-    val plan = parse(sb.toString)
-    mark(plan, sqlText, nInner = nInner, nLeft = nLeft)
+    val rewritten = sb.toString
+    val plan = parse(rewritten)
+    patchViewTexts(
+      mark(plan, sqlText, nInner = nInner, nLeft = nLeft),
+      sqlText, rewritten, spans.result())
+  }
+
+  /** CREATE/ALTER VIEW statements store the QUERY TEXT and re-parse it
+    * on every later read — but the text the delegate captured is the
+    * REWRITTEN one, where `ASOF` is gone, so a re-parse would silently
+    * run a plain join with different semantics (caught by
+    * AsOfSqlSpec's view test). Restore the ORIGINAL fragment by
+    * mapping the stored substring's offsets back through the
+    * recorded keyword replacements. */
+  private def patchViewTexts(
+      plan: LogicalPlan, orig: String, rw: String,
+      spans: Seq[Rw]): LogicalPlan = {
+    def back(frag: String): String = {
+      val a = rw.indexOf(frag)
+      if (a < 0) return frag // not a fragment of this statement
+      val b = a + frag.length
+      val intersects =
+        spans.exists(s => s.rwStart < b && s.rwEnd > a)
+      if (!intersects) return frag // no ASOF inside the view text
+      if (rw.indexOf(frag, a + 1) >= 0)
+        throw new IllegalArgumentException(
+          "cannot uniquely locate the view query text inside an ASOF " +
+            "JOIN statement (the fragment repeats); simplify the " +
+            "statement or create the view from the DataFrame API")
+      require(
+        spans.forall(s =>
+          s.rwEnd <= a || s.rwStart >= b ||
+            (s.rwStart >= a && s.rwEnd <= b)),
+        "rewritten ASOF span straddles the stored view-text boundary")
+      def toOrig(p: Int): Int =
+        p + spans.filter(_.rwEnd <= p)
+          .map(s => (s.origEnd - s.origStart) - (s.rwEnd - s.rwStart)).sum
+      orig.substring(toOrig(a), toOrig(b))
+    }
+    plan.transformDown {
+      case c: org.apache.spark.sql.execution.command.CreateViewCommand
+          if c.originalText.isDefined =>
+        c.copy(originalText = c.originalText.map(back))
+      case c: org.apache.spark.sql.catalyst.plans.logical.CreateView
+          if c.originalText.isDefined =>
+        c.copy(originalText = c.originalText.map(back))
+      case c: org.apache.spark.sql.execution.command.AlterViewAsCommand =>
+        c.copy(originalText = back(c.originalText))
+    }
   }
 
   /** AND the marker onto every as-of-shaped join of each rewritten

@@ -119,6 +119,37 @@ class AsOfSqlSpec extends AnyFunSuite {
     assert(rows.forall(r => !r.isNullAt(1)))
   }
 
+  test("mixed ASOF variants in one statement lower independently") {
+    stage()
+    // inner and left ASOF in the same text: the per-TYPE tally keeps
+    // the marking unambiguous (inner rewrites mark inner-shaped joins,
+    // left rewrites mark left-outer-shaped ones)
+    val rows = spark.sql(
+      """SELECT a.eid, b.eid AS eid2 FROM
+        |  (SELECT l.event_id AS eid FROM lft l ASOF JOIN rgt r
+        |     ON l.user_id = r.user_id AND r.ts <= l.ts) a
+        |  JOIN
+        |  (SELECT l.event_id AS eid FROM lft l ASOF LEFT JOIN rgt r
+        |     ON l.user_id = r.user_id AND r.ts <= l.ts) b
+        |  ON a.eid = b.eid
+        |ORDER BY a.eid""".stripMargin).collect()
+    // inner side keeps {1,2,5,8}; the left side keeps all 6; equi-join
+    // on event_id intersects to the inner set
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L, 8L))
+  }
+
+  test("ASOF inside a CREATE TEMP VIEW definition works end-to-end") {
+    stage()
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW asof_v AS
+        |SELECT l.event_id AS eid, r.event_id AS rid
+        |FROM lft l ASOF LEFT JOIN rgt r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin)
+    val rows = spark.sql("SELECT count(*) AS n, count(rid) AS m FROM asof_v")
+      .collect()
+    assert(rows.head.getLong(0) == 6L && rows.head.getLong(1) == 4L)
+  }
+
   test("non-asof SQL takes the delegate path untouched") {
     stage()
     val rows = spark.sql(
