@@ -653,6 +653,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // which by design is NOT in this final lineage — the d08 pattern)
   }
 
+  test("c04: ONE window pass feeds all three context-length branches") {
+    // count in the FINAL adaptive plan only — toString appends the
+    // "== Initial Plan ==" section, which would double every operator
+    val plan = executedPlan("c04_packing_curve").split("== Initial Plan ==")(0)
+    val windows = "Window ".r.findAllIn(plan).length
+    assert(windows == 1,
+      s"the packing curve's claim is one shared prefix sum — got $windows Window ops:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("d19: the visible (post-checkpoint) plan joins and sorts, never nested-loops") {
+    // the gram/stats stages live behind localCheckpoint (compute-once);
+    // the final lineage must be the rstarts equi-join + surgery only
+    val plan = executedPlan("d19_substring_scrub")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span surgery must join on doc_id, got:\n$plan")
+  }
+
   test("q53: ASOF LEFT JOIN sql text lowers to AsOfJoinExec") {
     val plan = executedPlan("q53_sql_asof")
     assert(plan.contains("AsOfJoin"),
