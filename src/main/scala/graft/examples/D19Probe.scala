@@ -176,6 +176,22 @@ object D19Probe {
     }
     runD19("d19 base corpus", d)
     runD19("d19 + 2000-copy template", hotDir)
+
+    // The same axis for q54 (streaming near-dup). HISTORY: the
+    // single-tier v1 (every doc through the uncapped band join)
+    // measured 7.5 s base → 377 s with the template mass — the
+    // |copies|²-per-band quadratic this probe exists to catch. The
+    // shipped TWO-TIER design (exact-hash classes collapse to their
+    // representative before the LSH tier; copies inherit the rep's
+    // verdict — see q54's scaladoc for the exactness proof) measures
+    // 12.1 s base → 8.6 s hot: template mass now costs a hash lookup
+    // per copy, and the all-template batch is the CHEAPEST batch.
+    val q54 = graft.SparkEntry.queries("q54_stream_neardup")
+    def runQ54(name: String, dir: String): Unit = time(name) {
+      q54(spark, dir).write.format("noop").mode("overwrite").save()
+    }
+    runQ54("q54 base corpus (cold)", d)
+    runQ54("q54 + 2000-copy template (cold)", hotDir)
     spark.stop()
   }
 }
