@@ -963,10 +963,12 @@ object TextQueries {
     * corpus pass folds tokens to (word, count) (map-side combined; the
     * vocabulary, not the corpus, is the state), and every round after
     * that is one |vocab|-sized pair aggregate + a 1-ROW broadcast
-    * crossJoin applying the argmax merge via left-to-right
-    * non-overlapping `replace` on the '~'-joined symbol string (the
-    * separator is outside the corpus alphabet; `replace`'s scan order
-    * IS greedy BPE merging, identically in both engines). Per-round
+    * crossJoin applying the argmax merge via a left-to-right FOLD over
+    * the symbol list (the separator is outside the corpus alphabet;
+    * the fold compares whole symbols, so a multi-char-symbol boundary
+    * can never be matched across — see the merge-step comment — and
+    * the fold's scan order IS greedy BPE merging, identically in both
+    * engines). Per-round
     * `localCheckpoint` pins each vocab generation — without it round
     * r's lineage re-executes every earlier round once per consumer
     * (the g01 checkpointed-iteration discipline). Segmentation strings
@@ -1010,11 +1012,32 @@ object TextQueries {
         .select(lit(r.toLong).as("step"),
           col("a").as("merge_a"), col("b").as("merge_b"), col("n"))
         .localCheckpoint()
+      // Greedy left-to-right non-overlapping merge as a FOLD over the
+      // symbol list, NOT a substring replace on the '~'-joined string:
+      // once symbols are multi-char (round 2+) an unanchored
+      // replace(sym, a~b, ab) can match ACROSS symbol boundaries —
+      // [ab, c] stored as 'ab~c' contains 'b~c', so merging (b, c)
+      // would corrupt it to the single symbol 'abc' (round-11 advisory,
+      // shared by the oracle so the cross-engine check couldn't see
+      // it). The fold's accumulator is the rebuilt '~'-joined string;
+      // its last symbol equals `a` iff acc IS a or acc ENDS WITH '~'+a
+      // (symbols never contain '~', so the separator anchors the
+      // boundary), and a just-merged trailing a+b can never re-match
+      // as `a` (that would need b = ''), so the fold is exactly the
+      // greedy scan: merge consumes both symbols, the next comparison
+      // starts after them.
       vocab = vocab.crossJoin(broadcast(top))
         .select(
-          call_function("replace", col("sym"),
-            concat(col("merge_a"), lit(sep), col("merge_b")),
-            concat(col("merge_a"), col("merge_b"))).as("sym"),
+          aggregate(
+            slice(split(col("sym"), sep), lit(2),
+              size(split(col("sym"), sep)) - 1),
+            element_at(split(col("sym"), sep), 1),
+            (acc, x) => when(
+              x === col("merge_b") &&
+                (acc === col("merge_a") ||
+                  acc.endsWith(concat(lit(sep), col("merge_a")))),
+              concat(acc, x)
+            ).otherwise(concat(acc, lit(sep), x))).as("sym"),
           col("cnt"))
         .localCheckpoint()
       top
@@ -1045,10 +1068,11 @@ object TextQueries {
         |m$r AS MATERIALIZED (SELECT $r::BIGINT AS step, a AS merge_a, b AS merge_b,
         |    n::BIGINT AS n
         |  FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-        |v$r AS MATERIALIZED (SELECT replace(sym,
-        |    (SELECT merge_a FROM m$r) || '~' || (SELECT merge_b FROM m$r),
-        |    (SELECT merge_a FROM m$r) || (SELECT merge_b FROM m$r)) sym, cnt
-        |  FROM $pv)""".stripMargin
+        |v$r AS MATERIALIZED (SELECT list_reduce(string_split(sym, '~'),
+        |    (acc, x) -> CASE WHEN x = merge_b
+        |        AND (acc = merge_a OR ends_with(acc, '~' || merge_a))
+        |      THEN acc || x ELSE acc || '~' || x END) sym, cnt
+        |  FROM $pv, m$r)""".stripMargin
     }
     s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
       |v0 AS MATERIALIZED (SELECT array_to_string(list_transform(generate_series(1, length(tok)),
