@@ -1045,16 +1045,28 @@ object Core {
     * the batch answer row for row. The external parquet indexes ARE
     * the streaming state — the `foreachBatch` pattern for state the
     * store can't hold (shingle sets grow with the corpus; a state
-    * store would replay them through every checkpoint commit).
-    * Retry-idempotent WITHOUT delete-first sinks: duplicate index
-    * rows cannot change a min-aggregate and duplicate result rows
-    * collapse under the final `distinct` — the q46 idempotence
-    * contract met by algebra instead of bookkeeping. Because arrival
+    * store would replay them through every checkpoint commit) — and
+    * they are [[graft.streaming.BucketedIndex]] generations, NOT plain
+    * appends: hash-bucket-partitioned on the probe key (band key /
+    * text hash), so each batch's probe reads only the buckets its own
+    * keys hash into (`bp` in PartitionFilters, plan-asserted), with
+    * the per-batch append files folded into one re-bucketed generation
+    * under [[graft.streaming.BucketedIndex.maybeCompact]]'s size-ratio
+    * trigger at the width the accumulated row count calls for (each
+    * row rewritten O(log) times over the stream's life, the LSM
+    * amortization — a fixed every-N cadence would rewrite the whole
+    * index every N batches) — per-batch probe cost
+    * stays O(batch keys × bucket occupancy) as the stream ages instead
+    * of growing with the whole history
+    * ([[graft.examples.Q54GrowthProbe]] measures the contrast against
+    * the round-11 plain-append layout). Retry-idempotent WITHOUT
+    * delete-first sinks: duplicate index rows cannot change a
+    * min-aggregate and duplicate result rows collapse under the final
+    * `distinct` — the q46 idempotence contract met by algebra instead
+    * of bookkeeping (the same algebra makes compaction's
+    * write-new-then-delete-old crash window safe). Because arrival
     * order is doc_id order, ONE oracle serves the streaming and batch
-    * forms — the q36/q43 discipline applied to dedup. At 100 TB: the
-    * band index is d09's bucketed artifact (per-batch join shuffles
-    * only the delta), the exact index is a hash-bucketed narrow
-    * table, history text never rescanned. */
+    * forms — the q36/q43 discipline applied to dedup. */
   private def q54(s0: SparkSession, d: String): DataFrame = {
     val r = new Replay(s0, "graft_neardup", "q54", d)((s, st) => {
       val docs = documents(s, d).select(col("doc_id"), col("text"))
@@ -1070,93 +1082,21 @@ object Core {
       st.stage(docs.filter(col("doc_id") >= c2), "batch2", 1000000120000L)
     })
     val s = r.session
-    val idxDir = r.outDir + "_index"
     val resDir = r.outDir
-    val exDir = r.outDir + "_exact"
     val stream = s.readStream.schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
     val query = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bs = batch.sparkSession
-        // ---- EXACT tier first (the standard pipeline layering, and
-        // the measured scale guard): template mass — many byte-equal
-        // copies — is d01/q18's signal, and letting it reach the band
-        // join costs |copies|² pairs PER BAND (probed: 2,000 template
-        // copies took the uncapped v1 join from 7.5 s to 377 s at
-        // sf0.1). Collapsing each text-hash class to its FIRST
-        // (min-id) representative before the LSH tier removes the
-        // quadratic WITHOUT changing the answer: for an exact copy X
-        // with representative R, every near partner Z < R of X is a
-        // partner of R with the same jaccard and the same bands, so
-        // min-partner(X) = min(m(R), R) and the reported jaccard is
-        // R's own — exactly what the copies inherit below. Docs with
-        // fewer than 2 tokens skip BOTH tiers (they have no shingles,
-        // so the oracle's pair chain never sees them either).
-        val withH = batch
-          .filter(size(split(col("text"), " ")) >= 2)
-          .select(col("doc_id"), col("text"),
-            md5(col("text").cast("binary")).as("h"))
-        val exIdx =
-          if (new java.io.File(exDir).exists()) bs.read.parquet(exDir)
-          else bs.emptyDataFrame
-            .select(lit("").as("h"), lit(0L).as("rep_id"),
-              lit(null).cast("long").as("rep_dup"),
-              lit(null).cast("double").as("rep_jac"))
-            .limit(0)
-        val looked = withH.join(exIdx, Seq("h"), "left_outer")
-        // copies of an ALREADY-INDEXED class inherit the rep's verdict
-        val oldCopies = looked.filter(col("rep_id").isNotNull)
-          .select(col("doc_id"),
-            coalesce(col("rep_dup"), col("rep_id")).as("dup_of"),
-            coalesce(col("rep_jac"), lit(1.0)).as("jaccard"))
-        // first-seen classes: min-id member is the rep; only reps LSH
-        val fresh = looked.filter(col("rep_id").isNull)
-          .select(col("doc_id"), col("text"), col("h"))
-        val reps = fresh.groupBy("h").agg(min("doc_id").as("rep_id"))
-        // disjoint column names, not df("col") refs: reps derives from
-        // fresh, and the ambiguous-self-join detector (correctly)
-        // rejects cross-lineage attribute references
-        val repDocs = fresh
-          .join(reps.select(col("rep_id").as("__rid")),
-            col("doc_id") === col("__rid"))
-          .select("doc_id", "text")
-        // ---- NEAR tier, representatives only
-        val bands = DedupQueries.keyedBandsOf(repDocs).localCheckpoint()
-        val rhs =
-          if (new java.io.File(idxDir).exists())
-            bands.unionByName(bs.read.parquet(idxDir))
-          else bands
-        val lsh = bands
-          .select(col("bk"), col("doc_id").as("new_id"), col("sh").as("shn"))
-          .join(rhs.select(
-            col("bk"), col("doc_id").as("dup_of"), col("sh").as("shh")), "bk")
-          .filter(col("dup_of") < col("new_id"))
-          .select(col("new_id"), col("dup_of"),
-            graft.functions.TextFns.jaccard(col("shn"), col("shh")).as("jac"))
-          .filter(col("jac") >= 0.8)
-          .groupBy("new_id")
-          .agg(min(struct(col("dup_of"), col("jac"))).as("m"))
-          .select(col("new_id").as("rep_id"), col("m.dup_of").as("rep_dup"),
-            oround(col("m.jac"), 3).as("rep_jac"))
-        // ONE checkpoint serves the three repRes consumers (newCopies,
-        // repHits, the exact-index append) — without it the LSH join
-        // subtree executes three times
-        val repRes = reps.join(lsh, Seq("rep_id"), "left_outer")
-          .localCheckpoint()
-        // in-batch copies of a fresh class inherit their rep's verdict
-        val newCopies = fresh.join(repRes, Seq("h"))
-          .filter(col("doc_id") =!= col("rep_id"))
-          .select(col("doc_id"),
-            coalesce(col("rep_dup"), col("rep_id")).as("dup_of"),
-            coalesce(col("rep_jac"), lit(1.0)).as("jaccard"))
-        val repHits = repRes.filter(col("rep_dup").isNotNull)
-          .select(col("rep_id").as("doc_id"), col("rep_dup").as("dup_of"),
-            col("rep_jac").as("jaccard"))
-        oldCopies.unionByName(newCopies).unionByName(repHits)
-          .write.mode("append").parquet(resDir)
-        bands.write.mode("append").parquet(idxDir)
-        repRes.select("h", "rep_id", "rep_dup", "rep_jac")
-          .write.mode("append").parquet(exDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the per-batch step (exact-class collapse → pruned LSH probe
+        // → append + periodic compaction) lives in NearDup.processBatch
+        // so the growth probe drives the IDENTICAL code over many more
+        // batches; tier semantics + the collapse-exactness proof are in
+        // the scaladoc above
+        graft.streaming.NearDup.processBatch(
+          batch, batchId,
+          resDir = resDir,
+          bandRoot = r.outDir + "_index",
+          exactRoot = r.outDir + "_exact")
         ()
       }
       .option("checkpointLocation", r.ckpDir)

@@ -729,8 +729,9 @@ object DedupQueries {
     * form q54's streaming foreachBatch feeds micro-batches through
     * (one signature definition for the at-rest index, the incremental
     * delta AND the stream; a constant edited anywhere re-syncs
-    * everywhere). private[queries]: Core's streaming family uses it. */
-  private[queries] def keyedBandsOf(docs: DataFrame): DataFrame = {
+    * everywhere). private[graft]: Core's streaming family and
+    * [[graft.streaming.NearDup]]'s micro-batch step use it. */
+  private[graft] def keyedBandsOf(docs: DataFrame): DataFrame = {
     val sig = docs
       .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= N)
@@ -1292,6 +1293,28 @@ object DedupQueries {
     * coverage, lag transitions for span count, ordered string_agg for
     * the rebuilt text) — two independent span-merge implementations
     * agreeing on the md5 of every cleaned document. */
+  /** d19's redundant-start derivation, factored so the corpus build
+    * (p16) scrubs with the IDENTICAL definition: over an exploded
+    * (doc_id, pos, h) k-gram frame, the per-doc sorted start positions
+    * of every NON-CANONICAL occurrence (canonical = min (doc_id, pos)
+    * per hash — count+argmin, never pair enumeration: a gram occurring
+    * 10⁶ times costs one count, not 10¹² pairs). */
+  private[queries] def scrubStarts(g: DataFrame): DataFrame = {
+    val stats = g.groupBy("h").agg(
+        count(lit(1)).as("nh"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .observe("d19_census",
+        max(col("nh")).as("max_gram_df"),
+        sum(when(col("nh") >= 2, col("nh") - 1).otherwise(0L))
+          .as("n_redundant_occurrences"))
+    g.join(stats, "h")
+      .filter(col("nh") >= 2 &&
+        !(col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("rst"))
+  }
+
   private def d19(s: SparkSession, d: String): DataFrame = {
     val k = 8
     // filter(size >= k), NOT a when()-guarded empty-array fallback: the
@@ -1311,19 +1334,7 @@ object DedupQueries {
         posexplode(TextFns.kgramHashes(col("toks"), k)).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
       .localCheckpoint()
-    val stats = g.groupBy("h").agg(
-        count(lit(1)).as("nh"),
-        min(struct(col("doc_id"), col("pos"))).as("first"))
-      .observe("d19_census",
-        max(col("nh")).as("max_gram_df"),
-        sum(when(col("nh") >= 2, col("nh") - 1).otherwise(0L))
-          .as("n_redundant_occurrences"))
-    val rstarts = g.join(stats, "h")
-      .filter(col("nh") >= 2 &&
-        !(col("doc_id") === col("first.doc_id") &&
-          col("pos") === col("first.pos")))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("pos"))).as("rst"))
+    val rstarts = scrubStarts(g)
     val n = size(col("toks"))
     val cov = array_sort(array_distinct(flatten(
       transform(col("rst"), i => sequence(i, least(i + (k - 1), n))))))

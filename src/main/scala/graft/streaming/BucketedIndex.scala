@@ -1,0 +1,279 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Hash-bucketed, generation-versioned parquet state for streaming
+  * operators whose accumulated index is too large (or too
+  * replay-hostile) for the state store — q54's band/exact indexes are
+  * the motivating users. This is the at-rest half of the
+  * `foreachBatch`-owns-its-state pattern, laid out so a micro-batch's
+  * probe reads only the buckets its own keys hash into instead of the
+  * whole accumulated history (the round-11 layout scanned the full
+  * index every batch — per-batch cost grew with stream age, cumulative
+  * cost quadratic in stream length).
+  *
+  * Layout — the two-level LSM shape:
+  *
+  *  - BASE `root/gen_<n>_p<P>_b/bp=<b>/part-*.parquet`: the product of
+  *    the last [[compact]] fold, hash-partitioned on
+  *    `bp = pmod(xxhash64(key), P)` with ONE file per bucket. The
+  *    width P is part of the generation's NAME because bp values are
+  *    only meaningful relative to the P they were computed with; a
+  *    probe re-derives the touched-bucket set with the base's own P.
+  *  - DELTA `root/gen_<n>_p0_a/part-*.parquet`: the rows appended
+  *    since — a FEW PLAIN sequential files, deliberately NOT
+  *    bucket-partitioned. (The first cut partitioned appends too:
+  *    every micro-batch then fans out into one tiny file PER TOUCHED
+  *    BUCKET — ~|batch keys| file commits per batch, measured 10×
+  *    slower than the full-scan layout it replaced. The L0-style plain
+  *    delta is one file per append; only the fold pays the bucket
+  *    fan-out, once per fold.)
+  *
+  *  A probe reads the base PRUNED to the touched buckets plus the
+  *  delta in full — and the delta is SMALL by the fold trigger below,
+  *  so probe cost ≈ |batch keys| × occupancy + |delta|, independent of
+  *  stream age (measured: [[graft.examples.Q54GrowthProbe]], against
+  *  the round-11 full-scan layout whose probe grows linearly with
+  *  history).
+  *
+  * Compaction cadence is SIZE-RATIO (LSM-style), not every-N-batches:
+  * [[maybeCompact]] folds when the delta reaches 1/[[BucketedIndex
+  * .FoldFraction]] of the base's bytes, re-bucketing at
+  * `P' = max(minBuckets, rows / targetRowsPerBucket)` — bucket
+  * OCCUPANCY (not bucket count) stays ~constant as the stream ages,
+  * the delta stays a bounded fraction of the base, and amortized
+  * write amplification is ~FoldFraction× per row per size doubling
+  * (a fixed every-N cadence would rewrite the whole index every N
+  * batches — amortized cost growing linearly with stream age). This
+  * is [[graft.sources.VectorIndex]]'s adaptive-width discipline
+  * applied to mutable streaming state.
+  *
+  * Crash contract (shared with q54's result sink): every mutation is
+  * append-or-create followed by delete-of-superseded; a crash between
+  * the two leaves DUPLICATE rows, never missing rows, and the
+  * consumers are duplicate-immune by algebra (min-aggregates /
+  * `distinct`), while [[compact]]'s `distinct` physically collapses
+  * any survivors. Generations are only visible once their `_SUCCESS`
+  * marker lands (a half-written compaction target is invisible and
+  * reaped at the next compact). All filesystem access goes through the
+  * session-configured Hadoop [[FileSystem]] — the round-11 layout's
+  * `java.io.File` checks assumed a local filesystem
+  * ([[graft.sources.AvroSource]] established the pattern).
+  */
+private[graft] final class BucketedIndex(
+    s: SparkSession,
+    root: String,
+    key: String,
+    rowSchema: StructType,
+    targetRowsPerBucket: Long = 4096L,
+    minBuckets: Int = 16) {
+
+  private val rootPath = new Path(root)
+  private def fs: FileSystem =
+    rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Schema as read back from a generation dir (partition col last). */
+  private val diskSchema: StructType = rowSchema.add("bp", LongType)
+
+  private def bpOf(c: org.apache.spark.sql.Column, p: Int) =
+    pmod(xxhash64(c), lit(p.toLong))
+
+  private val GenName = """gen_(\d+)_p(\d+)_([ab])""".r
+
+  private final case class Gen(dir: Path, n: Int, p: Int, kind: String) {
+    /** Bytes across data files. Base generations are IMMUTABLE after
+      * their fold, so their size is computed once and cached — the
+      * fold trigger then walks only the (small) delta each batch
+      * instead of O(buckets) files. */
+    def bytes(fs: FileSystem): Long =
+      if (kind == "b")
+        BucketedIndex.baseBytesCache.computeIfAbsent(dir.toString, _ => walk(fs))
+      else walk(fs)
+    private def walk(fs: FileSystem): Long = {
+      val it = fs.listFiles(dir, true)
+      var b = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-")) b += f.getLen
+      }
+      b
+    }
+  }
+
+  /** Complete (`_SUCCESS`-marked) generations, oldest first. */
+  private def gens(): Seq[Gen] = {
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case GenName(n, p, k) if fs.exists(new Path(st.getPath, "_SUCCESS")) =>
+            Some(Gen(st.getPath, n.toInt, p.toInt, k))
+          case _ => None
+        }
+      }
+      .sortBy(_.n)
+  }
+
+  def exists: Boolean = gens().nonEmpty
+
+  /** Executed-plan string of the most recent [[probe]]'s index scan,
+    * keyed by the index's key column — PlanAssertionsSpec pins that
+    * the per-batch probe carries `bp` in `PartitionFilters` (the d09
+    * pre-bucketed-read assertion applied to streaming state). */
+  def lastProbePlan: Option[String] =
+    Option(BucketedIndex.probePlans.get(key))
+
+  /** A base generation's DataFrame, cached per (session, dir): the
+    * partition-discovery listing over P bucket directories is a
+    * DISTRIBUTED JOB once P exceeds the parallel-listing threshold,
+    * and re-running it per micro-batch made per-batch cost grow with
+    * P — measured 6.5 → 9.5 → 17.8 s/batch across the ×4/×8/×16
+    * growth probe seeds BEFORE this cache, flat after. Safe because a
+    * base generation is immutable from `_SUCCESS` to deletion (appends
+    * go to delta generations only) — this is the manifest cache every
+    * table format (Delta/Iceberg) maintains so readers never re-list
+    * data directories. Keyed by session too: a relation executes in
+    * the session that built it. */
+  private def baseRelation(g: Gen): DataFrame =
+    BucketedIndex.relCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}:${g.dir}",
+      _ => s.read.schema(diskSchema).parquet(g.dir.toString))
+
+  /** The accumulated index restricted to the buckets `keys` (a
+    * single-column frame of probe keys, SMALL — it is collected per
+    * generation to derive the touched-bucket set) can possibly match.
+    * Pruning is exact: `bp` is a pure function of the key, so a row in
+    * an un-touched bucket cannot equal any probe key. None when the
+    * index has no generations yet. */
+  def probe(keys: DataFrame): Option[DataFrame] = {
+    val gs = gens()
+    if (gs.isEmpty) return None
+    val (bases, deltas) = gs.partition(_.kind == "b")
+    // one touched-set per distinct base width (steady state: ONE base,
+    // so one small collect per probe)
+    val pruned = bases.map { g =>
+      val touched = keys
+        .select(bpOf(col(key), g.p).as("bp")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      baseRelation(g).filter(col("bp").isin(touched: _*))
+    }
+    if (pruned.nonEmpty)
+      BucketedIndex.probePlans.put(
+        key, pruned.map(_.queryExecution.executedPlan.toString()).mkString("\n"))
+    val parts =
+      pruned.map(_.drop("bp")) ++
+        deltas.map(g => s.read.schema(rowSchema).parquet(g.dir.toString))
+    Some(parts.reduce(_ unionByName _))
+  }
+
+  /** Total rows across generations — parquet footer counts, a
+    * metadata-only scan (probe bookkeeping). */
+  def totalRows(): Long =
+    gens().map { g =>
+      val sch = if (g.kind == "b") diskSchema else rowSchema
+      s.read.schema(sch).parquet(g.dir.toString).count()
+    }.sum
+
+  /** Append a batch's rows into the current DELTA generation (plain
+    * sequential files — ONE file per append; the bucket fan-out is
+    * paid only at fold time, see the class doc). Empty appends are
+    * skipped. */
+  def append(df: DataFrame): Unit = {
+    if (df.isEmpty) return
+    val dir = gens().lastOption match {
+      case Some(g) if g.kind == "a" => g.dir.toString
+      case Some(g) => new Path(rootPath, s"gen_${g.n + 1}_p0_a").toString
+      case None    => new Path(rootPath, "gen_0_p0_a").toString
+    }
+    df.repartition(1).write.mode("append").parquet(dir)
+  }
+
+  /** The size-ratio trigger: fold when the delta has grown to
+    * 1/[[BucketedIndex.FoldFraction]] of the base's bytes (pure
+    * filesystem metadata — no Spark job). With no base yet, any
+    * non-empty delta folds (that first fold is what creates the
+    * base). Returns whether a compaction ran. */
+  def maybeCompact(): Boolean = {
+    val gs = gens()
+    if (gs.isEmpty) return false
+    val deltaBytes = gs.filter(_.kind == "a").map(_.bytes(fs)).sum
+    val baseBytes = gs.filter(_.kind == "b").map(_.bytes(fs)).sum
+    if (deltaBytes == 0L ||
+        deltaBytes * BucketedIndex.FoldFraction < baseBytes) return false
+    compact()
+    true
+  }
+
+  /** Fold every generation (and every per-batch append file) into ONE
+    * new base generation re-bucketed at the width the CURRENT row
+    * count calls for, then drop the superseded generations — the u05
+    * small-file compaction discipline applied to streaming state, plus
+    * the adaptive re-widening that keeps bucket occupancy (and
+    * therefore per-batch probe cost) constant as the stream ages. Runs
+    * inline in `foreachBatch` under [[maybeCompact]]'s trigger here;
+    * at deployment the same fold runs as an out-of-band job. */
+  def compact(): Unit = {
+    val gs = gens()
+    if (gs.isEmpty) return
+    // reap half-written compaction targets from a crashed predecessor
+    fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory &&
+        GenName.findFirstIn(st.getPath.getName).isDefined &&
+        !fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .foreach(st => fs.delete(st.getPath, true))
+    val union = gs
+      .map { g =>
+        if (g.kind == "b")
+          s.read.schema(diskSchema).parquet(g.dir.toString).drop("bp")
+        else s.read.schema(rowSchema).parquet(g.dir.toString)
+      }
+      .reduce(_ unionByName _)
+      .distinct() // collapses crash-window duplicates for good
+      .localCheckpoint() // two consumers: the count and the write
+    val rows = union.count()
+    if (rows == 0) return
+    val newP = math.max(
+      minBuckets, math.ceil(rows.toDouble / targetRowsPerBucket).toInt)
+    val nextGen = gs.map(_.n).max + 1
+    val dest = new Path(rootPath, s"gen_${nextGen}_p${newP}_b")
+    union
+      .withColumn("bp", bpOf(col(key), newP))
+      .repartition(col("bp")) // one writer task per bucket → one file
+      .write.partitionBy("bp").parquet(dest.toString)
+    // new generation is _SUCCESS-complete; superseded ones can go. A
+    // crash in this loop leaves both generations visible → duplicate
+    // rows → harmless (consumers are duplicate-immune; the next
+    // compact's distinct collapses them).
+    gs.foreach { g =>
+      fs.delete(g.dir, true)
+      BucketedIndex.baseBytesCache.remove(g.dir.toString)
+      BucketedIndex.relCache.keySet.removeIf(_.endsWith(s":${g.dir}"))
+    }
+  }
+}
+
+private[graft] object BucketedIndex {
+  /** Immutable-base caches (see [[BucketedIndex.baseRelation]] / Gen.bytes). */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val baseBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Fold when `delta × FoldFraction ≥ base` — the delta stays ≤ 1/4
+    * of the index (bounds the unpruned part of every probe) at ~4×
+    * amortized write amplification per size doubling. */
+  val FoldFraction = 4
+
+  /** Last probe plan per key column (see [[BucketedIndex.lastProbePlan]]). */
+  private val probePlans =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Static accessor for plan tests: the most recent probe's executed
+    * plan for an index keyed on `key`, across all instances. */
+  private[graft] def lastProbePlanFor(key: String): Option[String] =
+    Option(probePlans.get(key))
+}

@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.Num.oround
+
+/** The q54 streaming near-duplicate micro-batch step, factored out of
+  * the `foreachBatch` closure so the stream (q54) and the growth probe
+  * ([[graft.examples.Q54GrowthProbe]], which drives many more batches
+  * than the query stages) execute the IDENTICAL code. Semantics and
+  * the two-tier layering are documented at the q54 site
+  * (`graft.queries.Core`); this object owns only the state layout:
+  * both accumulated indexes live in [[BucketedIndex]] generations, so
+  * each batch's probes read ONLY the buckets the batch's own keys hash
+  * into (plan-asserted in PlanAssertionsSpec) and the per-batch
+  * small-file appends fold into one re-bucketed generation under
+  * [[BucketedIndex.maybeCompact]]'s size-ratio trigger.
+  *
+  * The `bucketed = false` path keeps the round-11 layout (plain
+  * parquet appends, the FULL accumulated index read back every batch)
+  * measurable — it exists for [[graft.examples.Q54GrowthProbe]]'s
+  * A/B contrast only; the stream always runs bucketed.
+  */
+private[graft] object NearDup {
+
+  private val exactSchema = StructType.fromDDL(
+    "h STRING, rep_id LONG, rep_dup LONG, rep_jac DOUBLE")
+  private val bandSchema = StructType.fromDDL(
+    "doc_id LONG, sh ARRAY<STRING>, bk STRING")
+
+  /** The state-layout seam: the shipped bucket-pruned store vs the
+    * round-11 full-scan layout, so the growth probe can A/B the two
+    * under the otherwise-identical batch step. */
+  private sealed trait Store {
+    def probe(keys: DataFrame): Option[DataFrame]
+    def append(df: DataFrame): Unit
+    def maybeCompact(): Boolean
+  }
+
+  private final class Bucketed(ix: BucketedIndex) extends Store {
+    def probe(keys: DataFrame): Option[DataFrame] = ix.probe(keys)
+    def append(df: DataFrame): Unit = ix.append(df)
+    def maybeCompact(): Boolean = ix.maybeCompact()
+  }
+
+  /** Round-11 layout: plain appends, full-history read per batch, no
+    * compaction. Existence via the Hadoop FileSystem (the one layout
+    * fix that applies to it too). */
+  private final class Plain(
+      s: SparkSession, root: String, schema: StructType) extends Store {
+    private val path = new Path(root)
+    private def fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def probe(keys: DataFrame): Option[DataFrame] =
+      if (fs.exists(path)) Some(s.read.schema(schema).parquet(root)) else None
+    def append(df: DataFrame): Unit =
+      df.write.mode("append").parquet(root)
+    def maybeCompact(): Boolean = false
+  }
+
+  def bandIndex(
+      s: SparkSession, root: String,
+      targetRowsPerBucket: Long, minBuckets: Int): BucketedIndex =
+    new BucketedIndex(s, root, "bk", bandSchema, targetRowsPerBucket, minBuckets)
+
+  def exactIndex(
+      s: SparkSession, root: String,
+      targetRowsPerBucket: Long, minBuckets: Int): BucketedIndex =
+    new BucketedIndex(s, root, "h", exactSchema, targetRowsPerBucket, minBuckets)
+
+  /** One micro-batch: exact-class collapse, LSH over first-seen class
+    * representatives against the pruned accumulated index, verdict
+    * append + index append, size-triggered compaction. Writes are
+    * append-only and the readers duplicate-immune (min-aggregates /
+    * final distinct), so a replayed batch is harmless — the q46
+    * idempotence contract met by algebra. Returns whether either
+    * index compacted this batch (probe bookkeeping). */
+  def processBatch(
+      batch: DataFrame, batchId: Long,
+      resDir: String, bandRoot: String, exactRoot: String,
+      targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16,
+      bucketed: Boolean = true): Boolean = {
+    val bs = batch.sparkSession
+    val exIdxStore: Store =
+      if (bucketed)
+        new Bucketed(exactIndex(bs, exactRoot, targetRowsPerBucket, minBuckets))
+      else new Plain(bs, exactRoot, exactSchema)
+    val bandStore: Store =
+      if (bucketed)
+        new Bucketed(bandIndex(bs, bandRoot, targetRowsPerBucket, minBuckets))
+      else new Plain(bs, bandRoot, bandSchema)
+    // ---- EXACT tier first (the measured scale guard: 2,000 template
+    // copies took the single-tier band join from 7.5 s to 377 s at
+    // sf0.1 — |copies|² pairs per band; collapsing each text-hash
+    // class to its min-id representative removes the quadratic without
+    // changing the answer — proof at the q54 site). Docs with fewer
+    // than 2 tokens skip BOTH tiers (no shingles, so the oracle's pair
+    // chain never sees them either). Checkpointed: the probe's
+    // touched-bucket collect adds a second consumer.
+    val withH = batch
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), col("text"),
+        md5(col("text").cast("binary")).as("h"))
+      .localCheckpoint()
+    val exIdx = exIdxStore.probe(withH.select(col("h"))).getOrElse(
+      bs.createDataFrame(
+        bs.sparkContext.emptyRDD[org.apache.spark.sql.Row], exactSchema))
+    val looked = withH.join(exIdx, Seq("h"), "left_outer")
+    // copies of an ALREADY-INDEXED class inherit the rep's verdict
+    val oldCopies = looked.filter(col("rep_id").isNotNull)
+      .select(col("doc_id"),
+        coalesce(col("rep_dup"), col("rep_id")).as("dup_of"),
+        coalesce(col("rep_jac"), lit(1.0)).as("jaccard"))
+    // first-seen classes: min-id member is the rep; only reps LSH
+    val fresh = looked.filter(col("rep_id").isNull)
+      .select(col("doc_id"), col("text"), col("h"))
+    val reps = fresh.groupBy("h").agg(min("doc_id").as("rep_id"))
+    // disjoint column names, not df("col") refs: reps derives from
+    // fresh, and the ambiguous-self-join detector (correctly) rejects
+    // cross-lineage attribute references
+    val repDocs = fresh
+      .join(reps.select(col("rep_id").as("__rid")),
+        col("doc_id") === col("__rid"))
+      .select("doc_id", "text")
+    // ---- NEAR tier, representatives only
+    val bands = graft.queries.DedupQueries.keyedBandsOf(repDocs)
+      .select("doc_id", "sh", "bk")
+      .localCheckpoint()
+    val rhs = bandStore.probe(bands.select(col("bk"))) match {
+      case Some(hist) => bands.unionByName(hist.select("doc_id", "sh", "bk"))
+      case None       => bands
+    }
+    val lsh = bands
+      .select(col("bk"), col("doc_id").as("new_id"), col("sh").as("shn"))
+      .join(rhs.select(
+        col("bk"), col("doc_id").as("dup_of"), col("sh").as("shh")), "bk")
+      .filter(col("dup_of") < col("new_id"))
+      .select(col("new_id"), col("dup_of"),
+        graft.functions.TextFns.jaccard(col("shn"), col("shh")).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .groupBy("new_id")
+      .agg(min(struct(col("dup_of"), col("jac"))).as("m"))
+      .select(col("new_id").as("rep_id"), col("m.dup_of").as("rep_dup"),
+        oround(col("m.jac"), 3).as("rep_jac"))
+    // ONE checkpoint serves the three repRes consumers (newCopies,
+    // repHits, the exact-index append) — without it the LSH join
+    // subtree executes three times
+    val repRes = reps.join(lsh, Seq("rep_id"), "left_outer")
+      .localCheckpoint()
+    // in-batch copies of a fresh class inherit their rep's verdict
+    val newCopies = fresh.join(repRes, Seq("h"))
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id"),
+        coalesce(col("rep_dup"), col("rep_id")).as("dup_of"),
+        coalesce(col("rep_jac"), lit(1.0)).as("jaccard"))
+    val repHits = repRes.filter(col("rep_dup").isNotNull)
+      .select(col("rep_id").as("doc_id"), col("rep_dup").as("dup_of"),
+        col("rep_jac").as("jaccard"))
+    oldCopies.unionByName(newCopies).unionByName(repHits)
+      .write.mode("append").parquet(resDir)
+    bandStore.append(bands)
+    exIdxStore.append(repRes.select("h", "rep_id", "rep_dup", "rep_jac"))
+    val c1 = bandStore.maybeCompact()
+    val c2 = exIdxStore.maybeCompact()
+    c1 || c2
+  }
+}

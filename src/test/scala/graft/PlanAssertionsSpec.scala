@@ -309,6 +309,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q54: each micro-batch's index probes read bucket-pruned, never the full history") {
+    // the d09 pre-bucketed-read assertion applied to STREAMING state:
+    // running the replay leaves the last batch's probe plans in the
+    // BucketedIndex debug hook; both the band index (key bk) and the
+    // exact index (key h) must carry their bucket column in the scan's
+    // PartitionFilters — a probe without it is the round-11 layout
+    // (full accumulated history scanned every batch).
+    SparkEntry.queries("q54_stream_neardup")(spark, sf).collect()
+    for (key <- Seq("bk", "h")) {
+      val plan = graft.streaming.BucketedIndex.lastProbePlanFor(key)
+        .getOrElse(fail(s"q54 never probed the $key index"))
+      assert(plan.contains("PartitionFilters: [bp#"),
+        s"the $key index probe must prune on the bp partition column, got:\n$plan")
+      // Spark prints the pushed set as INSET (>10 values) or IN (...)
+      assert(plan.contains("INSET") || plan.contains(" IN "),
+        s"the $key index probe must carry the touched-bucket set filter, got:\n$plan")
+    }
+  }
+
   test("u03: all four window passes + the run aggregate share ONE user_id exchange") {
     // the (user_id, run, event_type) aggregate runs on user_id-partitioned
     // data without reshuffling (grouping keys ⊇ partitioning keys), and
