@@ -62,7 +62,8 @@ case class AsOfJoinNode(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTs: Expression,
-    rightTs: Expression)
+    rightTs: Expression,
+    strict: Boolean = false)
   extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
@@ -104,8 +105,8 @@ case class AsOfJoinNode(
   * through to Spark's planner (which would fail on an unknown node). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, strict) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), strict) :: Nil
     case _ => Nil
   }
 }
@@ -131,7 +132,8 @@ case class AsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     left: SparkPlan,
-    right: SparkPlan)
+    right: SparkPlan,
+    strict: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -177,6 +179,7 @@ case class AsOfJoinExec(
     val rk = rightKeys
     val lt = leftTs
     val rt = rightTs
+    val st = strict
     val keyTypes = leftKeys.map(_.dataType)
     val outTypes = output.map(_.dataType).toArray
     val lrdd = left.execute()
@@ -186,7 +189,7 @@ case class AsOfJoinExec(
         s"(${lrdd.getNumPartitions} vs ${rrdd.getNumPartitions})")
     lrdd.zipPartitions(rrdd, preservesPartitioning = true) { (lIter, rIter) =>
       new AsOfMergeIterator(
-        lIter, rIter, lk, rk, lt, rt, lOut, rOut, keyTypes, outTypes)
+        lIter, rIter, lk, rk, lt, rt, lOut, rOut, keyTypes, outTypes, st)
     }
   }
 }
@@ -206,7 +209,8 @@ private[plans] final class AsOfMergeIterator(
     lOut: Seq[Attribute],
     rOut: Seq[Attribute],
     keyTypes: Seq[DataType],
-    outTypes: Array[DataType])
+    outTypes: Array[DataType],
+    strict: Boolean = false)
   extends Iterator[InternalRow] {
 
   private val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
@@ -261,7 +265,8 @@ private[plans] final class AsOfMergeIterator(
         val c = keyOrd.compare(rNextKey, lKey)
         if (c < 0) {
           rNext = null // left cursor is past this key for good
-        } else if (c == 0 && tsOrd.lteq(rNextTs, lTs)) {
+        } else if (c == 0 &&
+            (if (strict) tsOrd.lt(rNextTs, lTs) else tsOrd.lteq(rNextTs, lTs))) {
           matched = rNext.copy()
           matchedKey = rNextKey.copy()
           rNext = null

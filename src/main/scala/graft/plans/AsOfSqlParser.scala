@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{
-  And, Attribute, EqualTo, Expression, GreaterThanOrEqual,
-  IsNotNull, LessThanOrEqual, PredicateHelper, Unevaluable}
+  And, Attribute, BinaryComparison, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual,
+  PredicateHelper, SubqueryExpression, Unevaluable}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
@@ -34,10 +35,15 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StructType}
   *     came from an ASOF rewrite gets [[GraftAsOfMarker]] AND-ed onto
   *     its condition. The rewritten joins are found STRUCTURALLY (a
   *     join of the right type whose ON clause has the as-of shape:
-  *     ≥1 equality conjunct + exactly one `>=`/`<=` conjunct); the
+  *     ≥1 equality conjunct + exactly one strict-or-non-strict
+  *     inequality between column expressions + any number of residual
+  *     bounds with a literal operand — DuckDB's accepted surface,
+  *     probed); the
   *     match count must equal the rewrite count, so a statement that
   *     also contains a PLAIN join with an as-of-shaped range condition
   *     is rejected loudly (split the statement) rather than guessed at.
+  *     The walk descends into subquery-expression plans and EXPLAIN's
+  *     inner plan, whose joins a plain child traversal never reaches.
   *     Marking (not direct conversion) is what lets the standard
   *     analyzer do ALL the hard work first: `DeduplicateRelations`
   *     de-aliases self-join attribute collisions for `Join` nodes, and
@@ -180,16 +186,33 @@ object AsOfSqlRewrite extends PredicateHelper {
       nInner: Int, nLeft: Int): LogicalPlan = {
     var sawInner = 0
     var sawLeft = 0
-    val marked = plan.transformUp {
-      case j @ Join(_, _, Inner, Some(cond), _)
-          if nInner > 0 && isAsOfShaped(cond) =>
-        sawInner += 1
-        j.copy(condition = Some(And(cond, GraftAsOfMarker())))
-      case j @ Join(_, _, LeftOuter, Some(cond), _)
-          if nLeft > 0 && isAsOfShaped(cond) =>
-        sawLeft += 1
-        j.copy(condition = Some(And(cond, GraftAsOfMarker())))
+    // One tree walk is not enough: a rewritten join can live inside a
+    // subquery EXPRESSION (EXISTS / IN / scalar — the subplan hangs
+    // off an expression, not a child) or under EXPLAIN (ExplainCommand
+    // keeps its plan as innerChildren), and transformUp walks neither
+    // — the round-11 advisory's false 'ambiguous' rejection. markTree
+    // recurses into both; the lowering side needs no twin fix (subquery
+    // plans are analyzed by the full analyzer via ResolveSubquery, and
+    // EXPLAIN re-analyzes its inner plan at run time — both run the
+    // injected resolution rules).
+    def markTree(p: LogicalPlan): LogicalPlan = {
+      val top = p.transformUp {
+        case e: org.apache.spark.sql.execution.command.ExplainCommand =>
+          e.copy(logicalPlan = markTree(e.logicalPlan))
+        case j @ Join(_, _, Inner, Some(cond), _)
+            if nInner > 0 && isAsOfShaped(cond) =>
+          sawInner += 1
+          j.copy(condition = Some(And(cond, GraftAsOfMarker())))
+        case j @ Join(_, _, LeftOuter, Some(cond), _)
+            if nLeft > 0 && isAsOfShaped(cond) =>
+          sawLeft += 1
+          j.copy(condition = Some(And(cond, GraftAsOfMarker())))
+      }
+      top.transformAllExpressions {
+        case sq: SubqueryExpression => sq.withNewPlan(markTree(sq.plan))
+      }
     }
+    val marked = markTree(plan)
     if (sawInner != nInner || sawLeft != nLeft)
       throw new IllegalArgumentException(
         s"ASOF JOIN rewrite is ambiguous in this statement: the text has " +
@@ -202,16 +225,34 @@ object AsOfSqlRewrite extends PredicateHelper {
     marked
   }
 
-  /** Pre-resolution shape test: every conjunct an equality except
-    * exactly one non-strict inequality. */
+  /** Foldable test that survives unresolved expressions (some
+    * unresolved nodes throw from `foldable`). */
+  private def foldableSafe(e: Expression): Boolean =
+    try e.foldable catch { case _: Exception => false }
+
+  /** An inequality conjunct with a FOLDABLE operand is a residual
+    * bound (the tolerance spelling `l.ts - r.ts <= INTERVAL …`), not
+    * the ASOF inequality itself — DuckDB classifies the same way:
+    * the match inequality compares two column expressions. */
+  private def isResidual(c: BinaryComparison): Boolean =
+    foldableSafe(c.left) || foldableSafe(c.right)
+
+  /** Pre-resolution shape test: every conjunct an equality, except
+    * exactly one strict-or-non-strict inequality between two
+    * non-foldable expressions (the ASOF match), plus any number of
+    * residual bounds (see [[isResidual]]). DuckDB accepts strict
+    * comparisons and residual tolerance conjuncts in ASOF ON
+    * (probed on 1.0.0 — see the q55/q56 sites), so the shared-text
+    * contract must too. */
   private def isAsOfShaped(cond: Expression): Boolean = {
     val cs = splitConjunctivePredicates(cond)
-    val ineq = cs.count {
-      case _: GreaterThanOrEqual | _: LessThanOrEqual => true
-      case _ => false
+    val ineqs = cs.collect {
+      case c @ (_: GreaterThanOrEqual | _: LessThanOrEqual |
+                _: GreaterThan | _: LessThan) => c.asInstanceOf[BinaryComparison]
     }
+    val asof = ineqs.filterNot(isResidual)
     val eq = cs.count(_.isInstanceOf[EqualTo])
-    ineq == 1 && eq >= 1 && eq + ineq == cs.size
+    asof.size == 1 && eq >= 1 && eq + ineqs.size == cs.size
   }
 
   /** Mask string literals ('' with '' escapes), double-quoted strings,
@@ -282,39 +323,64 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
                 s"expression with one right-side expression; got ${a.sql} " +
                 s"vs ${b.sql}")
           }
-        val (eqs, ineqs) = cs.partition(_.isInstanceOf[EqualTo])
+        val (eqs, rest) = cs.partition(_.isInstanceOf[EqualTo])
         val keys = eqs.map { case EqualTo(a, b) => oriented(a, b) }
-        // normalize to leftTs >= rightTs ("right at or before left")
-        val (lts, rts) = ineqs match {
-          case Seq(GreaterThanOrEqual(a, b)) =>
-            val (x, y) = oriented(a, b)
-            if (x eq a) (a, b)
+        // residual bounds (tolerance conjuncts — a foldable operand)
+        // vs THE asof inequality: same classification as the
+        // pre-resolution shape test, now on resolved expressions
+        val (resids, ineqs) = rest.partition {
+          case c: BinaryComparison => c.left.foldable || c.right.foldable
+          case _ => false
+        }
+        // normalize to leftTs >= rightTs ("right at or before left");
+        // strict comparisons (DuckDB accepts them) lower to the exec's
+        // strict-prior mode
+        val (lts, rts, strict) = ineqs match {
+          case Seq(c @ (_: GreaterThanOrEqual | _: GreaterThan)) =>
+            val bc = c.asInstanceOf[BinaryComparison]
+            val (x, _) = oriented(bc.left, bc.right)
+            if (x eq bc.left) (bc.left, bc.right, c.isInstanceOf[GreaterThan])
             else fail(j, "ASOF requires left_ts >= right_ts (or the " +
-              "mirrored <=); this GE has the right side first")
-          case Seq(LessThanOrEqual(a, b)) =>
-            val (x, _) = oriented(a, b)
-            if (x eq b) (b, a)
+              "mirrored <=); this GE/GT has the right side first")
+          case Seq(c @ (_: LessThanOrEqual | _: LessThan)) =>
+            val bc = c.asInstanceOf[BinaryComparison]
+            val (x, _) = oriented(bc.left, bc.right)
+            if (x eq bc.right) (bc.right, bc.left, c.isInstanceOf[LessThan])
             else fail(j, "ASOF requires right_ts <= left_ts (or the " +
-              "mirrored >=); this LE has the left side first")
+              "mirrored >=); this LE/LT has the left side first")
           case other => fail(j,
-            s"ASOF JOIN needs exactly one >=/<= conjunct, got " +
+            s"ASOF JOIN needs exactly one >=/<=/>/< match conjunct, got " +
               s"${other.map(_.sql).mkString(", ")}")
         }
         if (keys.isEmpty) fail(j, "ASOF JOIN needs at least one equality")
-        val node = AsOfJoinNode(l, r, keys.map(_._1), keys.map(_._2), lts, rts)
+        val node =
+          AsOfJoinNode(l, r, keys.map(_._1), keys.map(_._2), lts, rts, strict)
+        // right-side attributes in post-join expressions must be the
+        // node's OUTPUT instances (same exprIds, nullability widened)
+        def onOutput(e: Expression): Expression = e.transform {
+          case a: Attribute =>
+            node.output.find(_.exprId == a.exprId).getOrElse(a)
+        }
+        // Residual bounds apply as a POST-JOIN FILTER — measured DuckDB
+        // 1.0.0 behavior for the shared text (q55 site): under ASOF
+        // LEFT JOIN a tolerance conjunct DROPS both stale-matched and
+        // unmatched left rows (the bound is NULL on a null-padded row,
+        // so the filter removes it) — filter semantics, not j11's
+        // null-out. Matching most-recent-then-filtering equals
+        // filtering-within-the-match for an upper staleness bound: a
+        // newer prior row is never staler, so no discarded match could
+        // have satisfied the bound when the kept one failed it.
+        val withResid =
+          if (resids.isEmpty) node
+          else Filter(resids.map(onOutput).reduce(And), node)
         jt match {
-          case LeftOuter => node
+          case LeftOuter => withResid
           case Inner =>
             // DuckDB's default ASOF JOIN is inner: drop unmatched left
             // rows. The node is natively left-outer; matched ⇔ the right
             // timestamp is non-null (null-ts right rows never match, so
             // a non-null rts in the output can only come from a match).
-            val rtsOut = rts.references.toSeq match {
-              case Seq(a: Attribute) =>
-                node.output.find(_.exprId == a.exprId).getOrElse(a)
-              case _ => rts
-            }
-            Filter(IsNotNull(rtsOut), node)
+            Filter(IsNotNull(onOutput(rts)), withResid)
           case other =>
             fail(j, s"ASOF with join type $other is not supported")
         }

@@ -218,6 +218,47 @@ object SqlQueries {
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** Q55 — ASOF with a TOLERANCE bound as shared SQL text: j11's
+    * staleness cutoff spelled the one way BOTH engines accept — an
+    * extra `p.ts - v.ts <= INTERVAL …` conjunct in the ASOF ON clause
+    * (DuckDB has no TOLERANCE keyword; probed on 1.0.0). The residual
+    * conjunct lowers to a post-join Filter over [[graft.plans
+    * .AsOfJoinNode]] — and that IS DuckDB's measured semantics for the
+    * form: under ASOF LEFT JOIN the bound DROPS stale-matched and
+    * unmatched rows alike (the filter is NULL on a null-padded row),
+    * unlike j11's keep-with-nulls null-out, which no shared spelling
+    * expresses. Filtering after matching equals bounding within the
+    * match for an upper staleness bound: a newer prior row is never
+    * staler, so no discarded candidate could pass a bound the kept
+    * match fails. Same single co-partitioned exchange pair as q53 at
+    * any scale; the Filter is a streamed post-pass. */
+  private val q55Sql =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+      |SELECT p.event_id AS purchase_id, v.event_id AS view_id
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts
+      |  AND p.ts - v.ts <= INTERVAL 10 MINUTE
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Q56 — STRICT ASOF as shared SQL text: `v.ts < p.ts` (the view
+    * strictly before the purchase — self-attribution at the same
+    * instant excluded), on the INNER variant (DuckDB's default ASOF
+    * JOIN drops unmatched purchases). DuckDB accepts strict
+    * comparisons in ASOF ON (probed on 1.0.0); the round-11 advisory
+    * showed this engine rejected them with a misleading 'ambiguous'
+    * error — now the shape test admits `>`/`<` and the lowering sets
+    * [[graft.plans.AsOfJoinNode]]'s strict-prior mode, where the merge
+    * consumes right rows while `rts < lts` instead of `<=` (a
+    * same-instant right row stays in the lookahead for later left
+    * rows, exactly like the non-strict tie case one tick later). */
+  private val q56Sql =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+      |SELECT p.event_id AS purchase_id, v.event_id AS view_id
+      |FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
+      |ORDER BY purchase_id""".stripMargin
+
   private val oq51 =
     """SELECT o_orderpriority AS priority,
       |  ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_total,
@@ -238,5 +279,7 @@ object SqlQueries {
     QueryDef("q35_sql_lateral", sql(q35Sql), Some(q35Sql)),
     QueryDef("q37_sql_recursive", sql(q37Sql), Some(q37Sql)),
     QueryDef("q38_sql_set_ops", sql(q38Sql), Some(q38Sql)),
-    QueryDef("q53_sql_asof", sql(q53Sql), Some(q53Sql)))
+    QueryDef("q53_sql_asof", sql(q53Sql), Some(q53Sql)),
+    QueryDef("q55_sql_asof_tolerance", sql(q55Sql), Some(q55Sql)),
+    QueryDef("q56_sql_asof_strict", sql(q56Sql), Some(q56Sql)))
 }

@@ -82,6 +82,66 @@ class AsOfSqlSpec extends AnyFunSuite {
     assert(rows.forall(!_.isNullAt(1)))
   }
 
+  test("strict ASOF (r.ts < l.ts) excludes same-instant rows, both spellings") {
+    stage()
+    val a = spark.sql(
+      """SELECT l.event_id AS eid, r.event_id AS rid
+        |FROM lft l ASOF LEFT JOIN rgt r
+        |  ON l.user_id = r.user_id AND r.ts < l.ts
+        |ORDER BY eid""".stripMargin).collect()
+    val byId = a.map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // non-strict matched 102 (ts==100) for eid 1 and 106 (ts==300) for
+    // eid 5; strict must step back to the strictly-prior rows
+    assert(byId(1L) == Some(101L), byId)
+    assert(byId(5L) == Some(107L), byId)
+    assert(byId(2L) == Some(103L) && byId(8L) == Some(110L), byId)
+    assert(byId(3L) == None && byId(4L) == None, byId)
+    val b = spark.sql(
+      """SELECT l.event_id AS eid, r.event_id AS rid
+        |FROM lft l ASOF LEFT JOIN rgt r
+        |  ON l.user_id = r.user_id AND l.ts > r.ts
+        |ORDER BY eid""".stripMargin).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("tolerance conjunct filters stale AND unmatched rows (measured DuckDB semantics)") {
+    stage()
+    val rows = spark.sql(
+      """SELECT l.event_id AS eid, r.event_id AS rid
+        |FROM lft l ASOF LEFT JOIN rgt r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |  AND l.ts - r.ts <= INTERVAL 0 SECOND
+        |ORDER BY eid""".stripMargin).collect()
+    // gap-0 matches survive (1→102, 5→106); 1-second-stale matches
+    // (2→103, 8→110) and unmatched lefts (3, 4) are DROPPED — the
+    // probed DuckDB ASOF LEFT behavior for the conjunct form, filter
+    // semantics rather than null-out
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 102L), (5L, 106L)), rows.mkString(", "))
+  }
+
+  test("ASOF inside a subquery expression is marked and lowered") {
+    stage()
+    val rows = spark.sql(
+      """SELECT event_id FROM lft x WHERE event_id IN (
+        |  SELECT l.event_id
+        |  FROM lft l ASOF LEFT JOIN rgt r
+        |    ON l.user_id = r.user_id AND r.ts <= l.ts
+        |  WHERE r.event_id IS NOT NULL)
+        |ORDER BY event_id""".stripMargin).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L, 8L), rows.mkString(", "))
+  }
+
+  test("EXPLAIN over an ASOF statement marks the inner plan (no false ambiguity)") {
+    stage()
+    val out = spark.sql(
+      """EXPLAIN SELECT l.event_id AS eid, r.event_id AS rid
+        |FROM lft l ASOF LEFT JOIN rgt r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin)
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(out.contains("AsOfJoin"), out)
+  }
+
   test("string literals containing 'ASOF JOIN' are not rewritten") {
     stage()
     val rows = spark.sql(
