@@ -602,6 +602,161 @@ object AnalyticsQueries {
       .orderBy("split")
   }
 
+  /** P16 — corpus build v3: the round-11 operators composed into ONE
+    * oracle-checked curation dataflow with the per-stage token-yield
+    * accounting a real curation run ships. Stages: (1) d19's substring
+    * scrub ([[DedupQueries.scrubStarts]] — the IDENTICAL count+argmin
+    * redundant-start definition, never pair enumeration) rewrites every
+    * doc with its non-canonical 8-gram spans removed; (2) t22's chosen
+    * operating point (τ = 0.5, the middle of its threshold curve)
+    * filters on the quality score RE-SCORED OVER THE CLEANED tokens —
+    * order matters: boilerplate inflates length and repetition features,
+    * so scoring before scrubbing grades the wrong text; (3) exact dedup
+    * on the cleaned text hash (scrubbing makes near-identical docs
+    * byte-identical — dedup AFTER scrub collapses what dedup before
+    * scrub would miss); (4) c04's chosen context length (L = 1024, its
+    * curve's knee) packs survivors per-lang first-fit and reports bins
+    * + fill. Scale shape: wide ops are d19's gram aggregate + its
+    * doc_id join-back, the dedup window, and the per-lang packing
+    * prefix sum — everything between is per-row scalar arithmetic on a
+    * checkpointed narrow profile (doc_id, lang, nt, hash, score; token
+    * arrays never survive past the profile projection). p06 remains
+    * the v2 build (filter→dedup→decontam→split on raw text); this one
+    * exists to prove the round-11 operators COMPOSE — each stage's
+    * doc/token deltas are the published result. */
+  private def p16(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    def toksOf = graft.Tables.rebalance(s, documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"))
+    // d19's staging discipline verbatim: filter(size ≥ k) not a CASE
+    // guard (the measured 10× Generate-fusion cliff), checkpoint the
+    // exploded grams (two consumers via scrubStarts' stats join)
+    val g = toksOf.filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(
+          graft.functions.TextFns.kgramHashes(col("toks"), k))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      .localCheckpoint()
+    val rstarts = DedupQueries.scrubStarts(g)
+    val n = size(col("toks"))
+    val cov = array_sort(array_distinct(flatten(
+      transform(col("rst"), i => sequence(i, least(i + (k - 1), n))))))
+    val profile = toksOf
+      .join(rstarts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("toks"),
+        coalesce(col("rst"), array().cast("array<int>")).as("rst"))
+      .select(col("doc_id"), col("lang"), col("toks"), cov.as("cov"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("nt_raw"),
+        transform(
+          array_except(sequence(lit(1), size(col("toks"))), col("cov")),
+          p => element_at(col("toks"), p)).as("ctoks"))
+      .select(col("doc_id"), col("lang"), col("nt_raw"),
+        size(col("ctoks")).cast("long").as("nt"),
+        md5(array_join(col("ctoks"), " ").cast("binary")).as("ch"),
+        // guarded: a FULLY-scrubbed doc has 0 tokens and quality's
+        // ratios would divide by zero under ANSI; NULL here → NULL
+        // score → dropped by the filter, same as the oracle's NULLs
+        when(size(col("ctoks")) >= 1,
+          graft.functions.TextFns.qualityOf(col("ctoks"))).as("quality"))
+      .select(col("doc_id"), col("lang"), col("nt_raw"), col("nt"),
+        col("ch"), TextQueries.qscore.as("score"))
+      .localCheckpoint() // four consumers: two stage stats + the chain
+    // nt ≥ 1 explicitly: a FULLY-scrubbed doc (an exact duplicate's
+    // every gram is redundant) has an empty token list whose quality
+    // ratios are 0/0 — dropping on the explicit predicate keeps both
+    // engines off NaN-comparison semantics
+    val filtered = profile.filter(col("nt") >= 1 && col("score") >= 0.5)
+    val deduped = filtered
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("ch").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .localCheckpoint() // two consumers: stage stats + packing
+    val packed = deduped
+      .select(col("lang"), col("nt"),
+        (sum("nt").over(Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("nt")).as("prior"))
+      .select(col("nt"),
+        concat_ws(":", col("lang"), floor(col("prior") / 1024)).as("bin_key"))
+    def stage(name: String, df: DataFrame, nt: String) = df
+      .agg(count(lit(1)).as("n_docs"), sum(nt).cast("long").as("n_tokens"))
+      .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
+        lit(null).cast("long").as("n_bins"),
+        lit(null).cast("double").as("fill_frac"))
+    stage("0_raw", profile, "nt_raw")
+      .unionByName(stage("1_scrubbed", profile, "nt"))
+      .unionByName(stage("2_filtered", filtered, "nt"))
+      .unionByName(stage("3_deduped", deduped, "nt"))
+      .unionByName(packed
+        .agg(count(lit(1)).as("n_docs"), sum("nt").cast("long").as("n_tokens"),
+          countDistinct("bin_key").as("n_bins"))
+        .select(lit("4_packed").as("stage"), col("n_docs"), col("n_tokens"),
+          col("n_bins"),
+          oround(col("n_tokens").cast("double") / (col("n_bins") * 1024), 4)
+            .as("fill_frac")))
+      .orderBy("stage")
+  }
+
+  /** Oracle twin of [[p16]] — od19's gram/coverage windows, ot22's
+    * feature spelling over the CLEANED token list, the dedup
+    * row_number, c04's prefix-sum packing at L = 1024, unioned stage
+    * aggregates. Every reused CTE is MATERIALIZED (the ot24 lesson —
+    * DuckDB's default inlining expands reused chains exponentially). */
+  // lazy: declared below the defs list that captures it (the d15 lesson)
+  private lazy val op16 =
+    """WITH t AS MATERIALIZED (SELECT doc_id, lang, string_split(text, ' ') toks FROM documents),
+      |g AS (SELECT doc_id, i AS pos,
+      |    md5(toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '
+      |      ||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]) h
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) i)
+      |  WHERE len(toks) >= 8),
+      |rd AS MATERIALIZED (SELECT doc_id, pos FROM (
+      |  SELECT doc_id, pos,
+      |      count(*) OVER (PARTITION BY h) >= 2
+      |        AND row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) > 1 red
+      |    FROM g) WHERE red),
+      |tok AS (SELECT doc_id, lang, i AS pos, toks[i] w
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) i)),
+      |cv AS MATERIALIZED (SELECT tok.doc_id, tok.lang, tok.pos, tok.w,
+      |    max(CASE WHEN rd.pos IS NOT NULL THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY tok.doc_id ORDER BY tok.pos
+      |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) covered
+      |  FROM tok LEFT JOIN rd ON tok.doc_id = rd.doc_id AND tok.pos = rd.pos),
+      |prof AS MATERIALIZED (SELECT doc_id, min(lang) lang,
+      |    count(*)::BIGINT nt_raw,
+      |    coalesce(count(*) FILTER (covered = 0), 0)::BIGINT nt,
+      |    md5(coalesce(string_agg(w, ' ' ORDER BY pos) FILTER (covered = 0), '')) ch,
+      |    list(w ORDER BY pos) FILTER (covered = 0) cl
+      |  FROM cv GROUP BY doc_id),
+      |q AS (SELECT doc_id, lang, nt_raw, nt, ch,
+      |    0.4*least(len(cl)::DOUBLE/60.0, 1.0)
+      |      + 0.3*(1.0 - len(list_filter(cl, w -> w IN ('the','a','and','of')))::DOUBLE/len(cl)::DOUBLE)
+      |      + 0.3*(len(list_distinct(cl))::DOUBLE/len(cl)::DOUBLE) AS quality
+      |  FROM prof),
+      |f AS MATERIALIZED (SELECT doc_id, lang, nt_raw, nt, ch
+      |  FROM (SELECT *, 1.0/(1.0+exp(-(8.0*quality - 4.8))) score FROM q)
+      |  WHERE nt >= 1 AND score >= 0.5),
+      |dd AS MATERIALIZED (SELECT doc_id, lang, nt FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) rn FROM f)
+      |  WHERE rn = 1),
+      |pk AS (SELECT nt, lang || ':' ||
+      |    ((sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt) // 1024)::VARCHAR bin_key
+      |  FROM dd)
+      |SELECT * FROM (
+      |  SELECT '0_raw' stage, count(*) n_docs, sum(nt_raw)::BIGINT n_tokens,
+      |    NULL::BIGINT n_bins, NULL::DOUBLE fill_frac FROM prof
+      |  UNION ALL SELECT '1_scrubbed', count(*), sum(nt)::BIGINT, NULL, NULL FROM prof
+      |  UNION ALL SELECT '2_filtered', count(*), sum(nt)::BIGINT, NULL, NULL FROM f
+      |  UNION ALL SELECT '3_deduped', count(*), sum(nt)::BIGINT, NULL, NULL FROM dd
+      |  UNION ALL SELECT '4_packed', count(*), sum(nt)::BIGINT,
+      |    count(DISTINCT bin_key),
+      |    ROUND(sum(nt)::DOUBLE/(count(DISTINCT bin_key)*1024), 4) FROM pk
+      |) ORDER BY stage""".stripMargin
+
   /** U1 — incremental aggregate maintenance (the materialized-view
     * pattern): yesterday's aggregate is never recomputed — its ALGEBRAIC
     * partials (sum, count) merge with the delta's partials, and avg
@@ -2394,6 +2549,7 @@ object AnalyticsQueries {
     QueryDef("p04_decontaminate", p04, Some(op04)),
     QueryDef("p05_stratified_sample", p05, Some(op05Sql)),
     QueryDef("p06_corpus_build", p06, Some(op06)),
+    QueryDef("p16_corpus_build_v3", p16, Some(op16)),
     QueryDef("p07_interleave", p07, Some(op07)),
     QueryDef("p08_temperature_mix", p08, Some(op08)),
     QueryDef("p09_source_stats", p09, Some(op09)),

@@ -262,7 +262,8 @@ object TextQueries {
     * `quality` column: w·quality + b, steepness 8 centered at quality
     * 0.6 — fixed published weights, the inference contract (training
     * is offline). */
-  private def qscore: Column =
+  // private[queries]: p16's corpus build filters with the same score
+  private[queries] def qscore: Column =
     lit(1.0) / (lit(1.0) + exp(-(lit(8.0) * col("quality") - lit(4.8))))
 
   private def t11(s: SparkSession, d: String): DataFrame = {
@@ -986,7 +987,17 @@ object TextQueries {
     * the final state as the ENCODER (a word's segmentation after
     * training IS its BPE encoding under the learned rules). */
   private def bpeTrain(
-      s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
+      s: SparkSession, d: String): (Seq[DataFrame], DataFrame) =
+    bpeTrainRounds(s, d, 5)()
+
+  /** [[bpeTrain]] with the merge budget exposed, plus a per-round hook
+    * (the round-12 BpeRoundsProbe times each round through it — 5
+    * rounds is the oracle-checked surface, realistic tokenizer budgets
+    * are 10⁴⁺ and the probe pins that per-round cost stays flat). */
+  private[graft] def bpeTrainRounds(
+      s: SparkSession, d: String, rounds: Int)(
+      onRound: (Int, DataFrame) => Unit = (_, _) => ())
+      : (Seq[DataFrame], DataFrame) = {
     val sep = "~" // outside the corpus alphabet (a–y + space)
     val init = graft.Tables.rebalance(s, documents(s, d))
       .select(explode(TextFns.tokens(col("text"))).as("tok"))
@@ -996,7 +1007,7 @@ object TextQueries {
           i => col("tok").substr(i, lit(1))), sep).as("sym"))
       .groupBy("sym").agg(count(lit(1)).as("cnt"))
     var vocab = init.localCheckpoint()
-    val merges = (1 to 5).map { r =>
+    val merges = (1 to rounds).map { r =>
       val pairs = vocab
         .select(col("cnt"), split(col("sym"), sep).as("ss"))
         .filter(size(col("ss")) >= 2)
@@ -1040,6 +1051,7 @@ object TextQueries {
             ).otherwise(concat(acc, lit(sep), x))).as("sym"),
           col("cnt"))
         .localCheckpoint()
+      onRound(r, vocab)
       top
     }
     (merges, vocab)
