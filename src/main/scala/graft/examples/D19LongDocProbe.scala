@@ -32,17 +32,21 @@ object D19LongDocProbe {
     for (exp <- 3 to maxExp) {
       val L = math.pow(10, exp).toLong
       val dir = s"/tmp/d19long_${ProcessHandle.current().pid()}/L$exp"
-      // 8 docs × L tokens: token i of doc d is wd<mix> — unique per
-      // (d, i) — except every 256-token stripe opens with a 64-token
-      // SHARED block (same words across docs) → cross-doc redundant
-      // 8-gram spans ≈ 25% of each doc, the d19 workload shape
+      // 8 docs × L tokens: token i of doc d is w<d>x<i> — globally
+      // unique BY CONSTRUCTION (a modular mix here collides in
+      // arithmetic RUNS once 8·L exceeds the modulus, silently turning
+      // filler into scrubbable spans) — except every 256-token stripe
+      // opens with a 64-token SHARED block (same words across docs AND
+      // stripes) → redundant 8-gram spans ≈ 25% of each doc + the
+      // 7-token gram extension, the d19 workload shape
       spark.range(8).select(
           col("id").as("doc_id"),
           array_join(
             transform(sequence(lit(1L), lit(L)), i =>
               when(i % 256 < 64, concat(lit("s"), (i % 256).cast("string")))
-                .otherwise(concat(lit("w"),
-                  ((col("id") * 7919L + i * 104729L) % 900000L).cast("string")))),
+                .otherwise(concat(
+                  lit("w"), col("id").cast("string"), lit("x"),
+                  i.cast("string")))),
             " ").as("text"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val t0 = System.nanoTime()

@@ -74,10 +74,16 @@ object StreamMassProbe {
     hotDf.unionAll(bgDf)
   }
 
-  private def sentinel(s: SparkSession): DataFrame =
+  /** TWO sentinel batches, not one: the watermark a batch runs under is
+    * derived from the PREVIOUS batch's max event time, so the batch that
+    * carries the far-future row only ADVANCES the watermark — the
+    * timeouts/window-finalizations it unlocks fire in the batch AFTER
+    * it. One sentinel under AvailableNow (which stops at the last file)
+    * leaves sessions and windows in state, never emitted. */
+  private def sentinel(s: SparkSession, day: Int): DataFrame =
     s.range(1).select(
-      lit(-99L).as("event_id"),
-      lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+      lit(-99L - day).as("event_id"),
+      lit(f"2030-01-0$day%d 00:00:00").cast("timestamp").as("ts"),
       lit(-1L).as("user_id"), lit("view").as("event_type"),
       lit(0.0).as("value"))
 
@@ -103,7 +109,8 @@ object StreamMassProbe {
         val root = s"/tmp/streammass_${ProcessHandle.current().pid()}/$tag"
         Files.createDirectories(Paths.get(s"$root/src"))
         stage(eventsDf(s, hot, bg), s"$root/src", "batch0", 1000000000000L)
-        stage(sentinel(s), s"$root/src", "batch1", 1000000060000L)
+        stage(sentinel(s, 1), s"$root/src", "batch1", 1000000060000L)
+        stage(sentinel(s, 2), s"$root/src", "batch2", 1000000120000L)
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
         val out = op match {
