@@ -2506,6 +2506,91 @@ object AnalyticsQueries {
       |  UNION ALL SELECT 'uniqueness_event_id', ROUND(nde/n,4), nde >= n FROM m)
       |ORDER BY check_name""".stripMargin
 
+  /** A15 — HOPPING (sliding) window aggregates: 30-minute windows
+    * advancing every 10 minutes over the event stream — OP-08's
+    * tumbling window (q05) generalized to overlapping panes, the third
+    * of Spark's window families alongside tumbling (q05) and
+    * session (w06/a11's gap windows). Each event lands in exactly
+    * length/slide = 3 panes; Spark's `window(ts, '30 minutes',
+    * '10 minutes')` expands them in the scan projection (a 3-row
+    * Expand, no join, no extra pass), and the aggregate
+    * partial-combines per (pane, type) — the shuffle carries one row
+    * per group, so 100 TB of events reduce to (time-range/10 min) ×
+    * |types| rows regardless of input mass. The oracle rebuilds the
+    * same panes by epoch-second integer arithmetic (Spark's window
+    * origin is the 1970 epoch; DuckDB's `time_bucket` origin is
+    * 2000-01-01 — q05's µs-division trick sidesteps the mismatch, here
+    * swept over the 3 slide offsets). Busiest panes first under a
+    * total order — the overlap means a burst shows up in 3 panes with
+    * different partial masses, which is the point of hopping windows:
+    * burst onset resolves to the slide, not the window length. */
+  private def a15(s: SparkSession, d: String): DataFrame =
+    events(s, d).filter(col("ts").isNotNull)
+      .groupBy(
+        window(col("ts"), "30 minutes", "10 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), oround(sum("value"), 3).as("sv"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("sv"))
+      .orderBy(col("n").desc, col("w_start"), col("event_type"))
+      .limit(96)
+
+  private val oa15 =
+    """WITH e AS (SELECT floor(epoch(ts))::BIGINT // 600 AS b10, event_type, value
+      |    FROM events WHERE ts IS NOT NULL),
+      |p AS (SELECT to_timestamp((b10 - k) * 600)::TIMESTAMP AS w_start,
+      |    event_type, value
+      |  FROM e, LATERAL (SELECT unnest([0, 1, 2]) k))
+      |SELECT w_start, event_type, count(*) AS n, ROUND(sum(value), 3) AS sv
+      |FROM p GROUP BY w_start, event_type
+      |ORDER BY n DESC, w_start, event_type LIMIT 96""".stripMargin
+
+  /** P17 — BALANCED SHARD MANIFEST: every document assigned to one of
+    * 8 training shards, balanced by token count — the write plan a
+    * distributed dataloader consumes (shards must carry near-equal
+    * token mass or the slowest shard gates every epoch step).
+    * Longest-processing-time round-robin: within each language, docs
+    * ranked by (n_tokens desc, doc_id) take shard (rank−1) mod 8 — the
+    * classic LPT approximation made deterministic and oracle-able (no
+    * RNG, stable under reshuffles, the p01 discipline applied to shard
+    * assignment). Published per (lang, shard): doc count, token mass,
+    * and load relative to the per-lang ideal (load ≈ 1.0000 everywhere
+    * is the receipt that round-robin-after-sort balances). The rank
+    * window is per-lang (c03's stratified discipline); at 100 TB a
+    * dominant language salts into (lang, hash(doc_id) mod K)
+    * sub-strata — each sub-stratum round-robins independently and a
+    * union of balanced assignments stays balanced, so the salt costs
+    * only the ≤ 8·K stragglers at stratum edges. */
+  private def p17(s: SparkSession, d: String): DataFrame = {
+    val nShards = 8
+    val rk = Window.partitionBy("lang").orderBy(col("nt").desc, col("doc_id"))
+    val tot = Window.partitionBy("lang")
+    documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("nt"))
+      .select(col("lang"), col("nt"),
+        ((row_number().over(rk) - 1) % nShards).cast("long").as("shard"),
+        sum("nt").over(tot).as("lt"))
+      .groupBy("lang", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nt").cast("long").as("n_tokens"),
+        oround(sum("nt") * lit(nShards.toDouble) / max("lt"), 4).as("load"))
+      .orderBy("lang", "shard")
+  }
+
+  private val op17 =
+    """WITH t AS (SELECT lang, doc_id,
+      |    len(string_split(text, ' '))::BIGINT AS nt FROM documents),
+      |r AS (SELECT lang, nt,
+      |    (row_number() OVER (PARTITION BY lang
+      |                        ORDER BY nt DESC, doc_id) - 1) % 8 AS shard,
+      |    sum(nt) OVER (PARTITION BY lang) AS lt
+      |  FROM t)
+      |SELECT lang, shard, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
+      |  ROUND(sum(nt) * 8.0 / max(lt), 4) AS load
+      |FROM r GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_lag_delta", w01, Some(ow01)),
     QueryDef("w02_moving_avg", w02, Some(ow02)),
@@ -2566,5 +2651,7 @@ object AnalyticsQueries {
     QueryDef("p15_quota_sample", p15, Some(op15)),
     QueryDef("u07_cdc_net", u07, Some(ou07)),
     QueryDef("a14_constraint_suite", a14, Some(oa14)),
+    QueryDef("a15_hopping_window", a15, Some(oa15)),
+    QueryDef("p17_shard_manifest", p17, Some(op17)),
     QueryDef("w12_ohlc_bars", w12, Some(ow12)))
 }
