@@ -890,6 +890,140 @@ object TextQueries {
       |  sum(CASE WHEN clean = text THEN 1 ELSE 0 END)::BIGINT AS n_restored
       |FROM m""".stripMargin
 
+  /** T25 — BM25 RANKED RETRIEVAL (Robertson–Spärck Jones, the public
+    * Okapi BM25 with k1=1.2, b=0.75): the corpus statistics (tf, df,
+    * doc length, avgdl) built in ONE tokenize pass, then the 5
+    * mid-frequency terms ranked 6–10 by document frequency taken as
+    * the standing query (deterministic — the df head is ubiquitous
+    * filler, ranks 6–10 are discriminative), and every document scored
+    * by Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)). Reference has
+    * no retrieval; this is the t06 tf-idf family completed into the
+    * ranking function real curation/search stacks run. Shuffle
+    * inventory at 100 TB: the (doc,term) tf aggregate (map-side
+    * combined, corpus-bounded), the vocab-sized df aggregate, the
+    * 5-row query set and 1-row N/avgdl as broadcasts, the dl join on
+    * doc_id (both sides already keyed by doc_id), and a TakeOrdered
+    * top-20 — no vocab-sized side ever crosses the driver. The rank
+    * 6–10 selection is limit(10)-then-reversed-limit(5): two
+    * TakeOrdereds over the df aggregate, no single-partition window
+    * at any width. Constants are spelled as the SAME literals on both
+    * engines (2.2, 1.2, 0.25, 0.75 — no k1+1 constant-fold whose
+    * rounding could diverge); the per-doc score is rounded to 4dp and
+    * the ordering key IS the rounded score, so ulp-level ln/sum-order
+    * differences cannot reorder the top-k. */
+  private def t25(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // One corpus pass: tf is the root aggregate; df, dl, avgdl and the
+    // query set all derive from it (the t06 checkpoint discipline).
+    val tf = tok.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+    val avgdl = dl.agg(avg("dl").as("avgdl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = documents(s, d).agg(count(lit(1)).cast("double").as("n"))
+    // ranks 6..10 by (df desc, term): top-10 then the reversed bottom-5
+    val qterms = dft.orderBy(col("df").desc, col("term")).limit(10)
+      .orderBy(col("df").asc, col("term").desc).limit(5)
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val ts = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(avgdl))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), ts.as("ts"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_qterms"), oround(sum("ts"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val ot25 =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY doc_id),
+      |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      |q AS (SELECT term, df FROM dft
+      |      QUALIFY row_number() OVER (ORDER BY df DESC, term) BETWEEN 6 AND 10),
+      |sc AS (SELECT tf.doc_id,
+      |    ln(1.0 + (nd.n - q.df + 0.5) / (q.df + 0.5)) * (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) AS ts
+      |  FROM tf JOIN q ON tf.term = q.term
+      |  JOIN dl ON tf.doc_id = dl.doc_id, ad, nd)
+      |SELECT doc_id, count(*) AS n_qterms, ROUND(sum(ts), 4) AS bm25
+      |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  /** T26 — DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — the
+    * public hashed-n-gram importance-sampling recipe, spelled here
+    * over exact unigrams since the synthetic vocab is small; at web
+    * scale the ONLY change is `term` → `xxhash64(term) % 10⁴`, which
+    * BOUNDS the feature table at 10⁴ rows instead of vocab-sized —
+    * same plan, stronger guarantee). Target domain = the corpus'
+    * majority language (deterministic: doc-count desc, lang asc);
+    * per-document weight = mean over tokens of
+    * ln p̂_target(tok) − ln p̂_corpus(tok), both Laplace-smoothed over
+    * the shared vocabulary. Published: the top-30 OUT-OF-DOMAIN docs
+    * by weight — "which docs outside the target stratum look most
+    * like it", exactly the resampling key DSIR ranks on. Both
+    * unigram tables come from ONE aggregate (c_all and the
+    * lang-gated c_t in the same groupBy — no second corpus pass);
+    * totals and |V| are a 1-row broadcast; the scoring join keys on
+    * term (vocab-sized side left to AQE, never driver-forced,
+    * the t07 discipline); top-30 is a TakeOrdered ordered by the
+    * ROUNDED weight so cross-engine ulp noise cannot reorder it. */
+  private def t26(s: SparkSession, d: String): DataFrame = {
+    val tgt = documents(s, d).groupBy("lang").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("lang")).limit(1)
+      .select(col("lang").as("tlang"))
+    val tok = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+    val tc = tok.crossJoin(broadcast(tgt))
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("c_all"),
+        sum(when(col("lang") === col("tlang"), 1L).otherwise(0L)).as("c_t"))
+      .localCheckpoint()
+    val tot = tc.agg(
+      sum("c_all").cast("double").as("tot_all"),
+      sum("c_t").cast("double").as("tot_t"),
+      count(lit(1)).cast("double").as("v"))
+    val lr = log((col("c_t") + lit(1.0)) / (col("tot_t") + col("v"))) -
+      log((col("c_all") + lit(1.0)) / (col("tot_all") + col("v")))
+    tok.join(tc, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"), lr.as("lr"))
+      .groupBy("doc_id", "lang")
+      .agg(oround(avg("lr"), 4).as("dsir"))
+      .crossJoin(broadcast(tgt))
+      .filter(col("lang") =!= col("tlang"))
+      .select("doc_id", "lang", "dsir")
+      .orderBy(col("dsir").desc, col("doc_id"))
+      .limit(30)
+  }
+
+  private val ot26 =
+    """WITH tgt AS (SELECT lang AS tlang FROM documents
+      |      GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1),
+      |tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tc AS (SELECT term, count(*) AS c_all,
+      |    sum(CASE WHEN lang = (SELECT tlang FROM tgt) THEN 1 ELSE 0 END) AS c_t
+      |  FROM tok GROUP BY term),
+      |tot AS (SELECT sum(c_all)::DOUBLE AS tot_all, sum(c_t)::DOUBLE AS tot_t,
+      |    count(*)::DOUBLE AS v FROM tc),
+      |sc AS (SELECT tok.doc_id, tok.lang,
+      |    ln((tc.c_t + 1.0) / (tot.tot_t + tot.v)) -
+      |      ln((tc.c_all + 1.0) / (tot.tot_all + tot.v)) AS lr
+      |  FROM tok JOIN tc ON tok.term = tc.term, tot)
+      |SELECT doc_id, lang, ROUND(avg(lr), 4) AS dsir
+      |FROM sc WHERE lang <> (SELECT tlang FROM tgt)
+      |GROUP BY doc_id, lang ORDER BY dsir DESC, doc_id LIMIT 30""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_lang_stats", t01, Some(ot01)),
     QueryDef("t02_quality_score", t02, Some(ot02)),
@@ -914,7 +1048,9 @@ object TextQueries {
     QueryDef("t21_homoglyph_scrub", t21, Some(ot21)),
     QueryDef("t22_threshold_curve", t22, Some(ot22)),
     QueryDef("t23_bpe_training", t23, Some(ot23)),
-    QueryDef("t24_bpe_encode", t24, Some(ot24)))
+    QueryDef("t24_bpe_encode", t24, Some(ot24)),
+    QueryDef("t25_bm25", t25, Some(ot25)),
+    QueryDef("t26_dsir_weights", t26, Some(ot26)))
 
   /** T24 — BPE ENCODE: the other half of the tokenizer loop. After
     * [[bpeTrain]]'s 5 merge rounds, each distinct word's final

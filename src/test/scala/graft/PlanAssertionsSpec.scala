@@ -700,4 +700,44 @@ class PlanAssertionsSpec extends AnyFunSuite {
       !plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoop"),
       s"the SQL spelling must not fall back to a composed/range plan, got:\n$plan")
   }
+
+  test("t25: corpus stats derive from ONE scan; top-20 is a TakeOrdered") {
+    val df = SparkEntry.queries("t25_bm25")(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // tf is checkpointed; dl/df/avgdl/qterms and the scoring join all
+    // read it — the only parquet scan left is nd's zero-column count
+    val parquetScans = "Scan parquet".r.findAllIn(plan).length
+    assert(parquetScans == 1,
+      s"t25 must tokenize the corpus once (stats via checkpoint), got $parquetScans in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-20 must be TakeOrdered, not a full sort:\n$plan")
+    // a doc matches at most the 5 query terms, and ranking is by score
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 5))
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"bm25 must be non-increasing, got ${scores.mkString(",")}")
+  }
+
+  test("t26: one tokenize pass feeds both unigram tables; no target-lang rows") {
+    val df = SparkEntry.queries("t26_dsir_weights")(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the (c_all, c_t) table is ONE checkpointed aggregate; the visible
+    // plan scans documents only for the scoring tok pass + the 1-row tgt
+    val parquetScans = "Scan parquet".r.findAllIn(plan).length
+    assert(parquetScans == 2,
+      s"t26 must not re-tokenize for the second distribution, got $parquetScans in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-30 must be TakeOrdered, not a full sort:\n$plan")
+    val tlang = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc,
+        org.apache.spark.sql.functions.col("lang"))
+      .limit(1).collect()(0).getString(0)
+    assert(rows.nonEmpty && rows.forall(_.getString(1) != tlang),
+      s"importance weights rank OUT-of-domain docs; target '$tlang' must be excluded")
+    val w = rows.map(_.getDouble(2))
+    assert(w.zip(w.tail).forall { case (a, b) => a >= b })
+  }
 }
