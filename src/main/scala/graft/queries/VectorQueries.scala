@@ -1119,6 +1119,99 @@ object VectorQueries {
       |  (rt.vec_id IN (SELECT vec_id FROM ex)) AS in_exhaustive_topk
       |FROM rt ORDER BY rk""".stripMargin
 
+  /** V25 — PCA TOP COMPONENT by one-pass covariance + unrolled power
+    * iteration: the dimensionality-reduction / whitening step embedding
+    * pipelines run before ANN or clustering (v18's Matryoshka rerank
+    * assumes someone ORDERED the dimensions by variance — this is the
+    * operator that finds that ordering). One corpus pass computes the
+    * raw second moment AND the mean in the SAME aggregate: row i of
+    * E[xxᵀ] is the element-wise mean of x_i·x vectors (the
+    * [[graft.functions.VectorMean]] Aggregator — mergeable (sums, n)
+    * buffers, so the shuffle carries 64 buffers of 64 doubles per
+    * partition, never the corpus), and C = E[xxᵀ] − m·mᵀ is assembled
+    * afterwards on a 1-ROW matrix. Three power-iteration steps
+    * v ← normalize(C·v) from v₀ = 1 then run as nested higher-order
+    * lambdas on that single row — 64×64 multiply-adds in whole-stage
+    * codegen, no join, no loop machinery — and the Rayleigh quotient
+    * v₃ᵀCv₃ is the dominant-eigenvalue estimate. At a billion vectors
+    * the cost is exactly the scan; everything after the 64-row
+    * aggregate is constant work. (The E[xxᵀ]−mmᵀ form loses precision
+    * when ‖m‖ ≫ σ — the production fix is the two-pass centered sum;
+    * both engines here spell the SAME one-pass formula, so the
+    * cross-check pins the algebra, and the final round-4 absorbs
+    * sum-order ulp.) Oracle: the identical moments from a d²-explode
+    * self-join and the identical 3 unrolled CTE iterations. */
+  private def v25(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val meanAgg = udaf(
+      new graft.functions.VectorMean(),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
+    val idx = sequence(lit(0), lit(dim - 1))
+    // ONE corpus pass: row i of E[xx^T] + mean_i from the same aggregate
+    val rows = corpus(s, d)
+      .select(posexplode(col("e")).as(Seq("i", "xi")), col("e"))
+      .select(col("i"), col("xi"),
+        transform(col("e"), x => x * col("xi")).as("prod"))
+      .groupBy("i")
+      .agg(meanAgg(col("prod")).as("rrow"), avg(col("xi")).as("mi"))
+    // collapse the 64-row moment table to ONE row: flattened r + mean m
+    val mat = rows.agg(
+      flatten(transform(
+        array_sort(collect_list(struct(col("i"), col("rrow")))),
+        x => x.getField("rrow"))).as("r"),
+      transform(
+        array_sort(collect_list(struct(col("i"), col("mi")))),
+        x => x.getField("mi")).as("m"))
+    def matvec(c: Column, v: Column): Column =
+      transform(idx, i =>
+        aggregate(idx, lit(0.0), (acc, j) =>
+          acc + element_at(c, i * dim + j + 1) * element_at(v, j + 1)))
+    def normalize(v: Column): Column =
+      transform(v, x => x / sqrt(aggregate(v, lit(0.0), (a, y) => a + y * y)))
+    // each step localCheckpoints the 1-ROW state: chained selects would
+    // otherwise CollapseProject-inline v_{k} into v_{k+1}, duplicating
+    // the nested matvec lambdas ~65× per iteration (the t05 lesson —
+    // expression-tree blowup, not runtime cost; the checkpoint is one
+    // 64-double row)
+    var it = mat
+      .select(flatten(transform(idx, i => transform(idx, j =>
+        element_at(col("r"), i * dim + j + 1) -
+          element_at(col("m"), i + 1) * element_at(col("m"), j + 1)))).as("c"))
+      .select(col("c"), normalize(matvec(col("c"), transform(idx, _ => lit(1.0)))).as("v"))
+      .localCheckpoint()
+    for (_ <- 2 to 3)
+      it = it.select(col("c"), normalize(matvec(col("c"), col("v"))).as("v"))
+        .localCheckpoint()
+    val fin = it.select(col("v").as("v3"), matvec(col("c"), col("v")).as("cv"))
+    fin.select(posexplode(col("v3")).as(Seq("i", "l")),
+        aggregate(zip_with(col("v3"), col("cv"), _ * _), lit(0.0), _ + _).as("ev"))
+      .select(col("i").cast("long").as("i"),
+        oround(col("l"), 4).as("loading"),
+        oround(col("ev"), 4).as("eigval"))
+      .orderBy("i")
+  }
+
+  private val ov25 =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |tok AS (SELECT vec_id, i, e[i] AS xi
+      |        FROM n, (SELECT unnest(generate_series(1,64)) i)),
+      |st AS (SELECT a.i AS i, b.i AS j, avg(a.xi * b.xi) AS r
+      |       FROM tok a JOIN tok b USING (vec_id) GROUP BY a.i, b.i),
+      |mn AS (SELECT i, avg(xi) AS m FROM tok GROUP BY i),
+      |c AS (SELECT st.i, st.j, st.r - ma.m * mb.m AS c
+      |      FROM st JOIN mn ma ON st.i = ma.i JOIN mn mb ON st.j = mb.i),
+      |y1 AS (SELECT i, sum(c) AS y FROM c GROUP BY i),
+      |u1 AS (SELECT i, y / (SELECT sqrt(sum(y*y)) FROM y1) AS v FROM y1),
+      |y2 AS (SELECT c.i, sum(c.c * u1.v) AS y FROM c JOIN u1 ON c.j = u1.i GROUP BY c.i),
+      |u2 AS (SELECT i, y / (SELECT sqrt(sum(y*y)) FROM y2) AS v FROM y2),
+      |y3 AS (SELECT c.i, sum(c.c * u2.v) AS y FROM c JOIN u2 ON c.j = u2.i GROUP BY c.i),
+      |u3 AS (SELECT i, y / (SELECT sqrt(sum(y*y)) FROM y3) AS v FROM y3),
+      |cv AS (SELECT c.i, sum(c.c * u3.v) AS y FROM c JOIN u3 ON c.j = u3.i GROUP BY c.i),
+      |ev AS (SELECT sum(u3.v * cv.y) AS ev FROM u3 JOIN cv ON u3.i = cv.i)
+      |SELECT (u3.i - 1)::BIGINT AS i, ROUND(u3.v, 4) AS loading,
+      |  (SELECT ROUND(ev, 4) FROM ev) AS eigval
+      |FROM u3 ORDER BY i""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(ov01)),
     QueryDef("v02_srp_ann", v02, Some(ov02)),
@@ -1143,7 +1236,8 @@ object VectorQueries {
     QueryDef("v21_filtered_ann", v21, Some(ov21)),
     QueryDef("v22_multitable_ann", v22, Some(ov22)),
     QueryDef("v23_nprobe_curve", v23, Some(ov23)),
-    QueryDef("v24_retrieval_metrics", v24, Some(ov24)))
+    QueryDef("v24_retrieval_metrics", v24, Some(ov24)),
+    QueryDef("v25_pca_power", v25, Some(ov25)))
 
   /** V23 — the nprobe TUNING CURVE: recall@10 AND scanned-row count
     * for nprobe ∈ {1, 2, 3} in ONE query — the sweep a deployment runs

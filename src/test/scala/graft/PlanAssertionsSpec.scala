@@ -719,6 +719,34 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"bm25 must be non-increasing, got ${scores.mkString(",")}")
   }
 
+  test("v25: loadings are unit-norm, eigval positive, and double-run stable") {
+    def run() = SparkEntry.queries("v25_pca_power")(spark, sf).collect()
+    val rows = run()
+    assert(rows.length == 64)
+    // the published vector is normalize(C·v2): unit norm up to round-4
+    val n2 = rows.map(_.getDouble(1)).map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-3, s"loadings must be unit-norm, got |v|^2=$n2")
+    // covariance is PSD: the Rayleigh quotient is a nonnegative variance
+    val ev = rows.map(_.getDouble(2)).distinct
+    assert(ev.length == 1 && ev.head > 0.0, s"one positive eigval, got ${ev.toSeq}")
+    // deterministic: the checkpointed iteration must not drift across runs
+    assert(run().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("v26/vmean: VectorMean partial-aggregates match whole-partition means") {
+    // partitioning-invariance = merge correctness (the property that
+    // makes the covariance pass ONE bounded-shuffle aggregate)
+    import spark.implicits._
+    val vecs = (1 to 100).map(i => Array(i.toDouble, 2.0 * i, -i.toDouble))
+    def mean(parts: Int): Seq[Double] = spark.createDataset(vecs).repartition(parts)
+      .groupByKey(_ => 0).mapValues(identity)
+      .agg(new graft.functions.VectorMean().toColumn.name("m"))
+      .collect().head._2.toSeq
+    assert(mean(1) == Seq(50.5, 101.0, -50.5))
+    assert(mean(1) == mean(7))
+  }
+
   test("t26: one tokenize pass feeds both unigram tables; no target-lang rows") {
     val df = SparkEntry.queries("t26_dsir_weights")(spark, sf)
     val rows = df.collect()
