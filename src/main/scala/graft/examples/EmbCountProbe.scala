@@ -54,7 +54,8 @@ object EmbCountProbe {
       "v01_cosine_topk", // brute force: the α = 1 full-scan yardstick
       "v02_srp_ann", "v05_srp_multiprobe", "v10_batch_ann",
       "v03_ivf_centroid", "v16_ivfpq_pipeline", "v22_multitable_ann",
-      "d05_embedding_near_dup")
+      "d05_embedding_near_dup",
+      "v25_pca_power") // one-pass covariance: the scan IS the cost, α→1
     val rows = names.map { n =>
       val (b1, b2) = cold2(query(spark, Base, n))
       val (g1, g2) = cold2(query(spark, dir, n))

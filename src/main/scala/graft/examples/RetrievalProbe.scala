@@ -5,17 +5,21 @@ import org.apache.spark.sql.functions._
 
 import graft.Engine
 
-/** ×N document-count growth probe for the round-12 retrieval/selection
-  * pair (t25 BM25, t26 DSIR) — the DocCountProbe axis applied to the
+/** ×N growth probe for the round-12 batch additions (t25 BM25,
+  * t26 DSIR, p17 shard manifests over documents; a15 hopping windows
+  * over events) — the DocCountProbe axis applied to the
   * corpus-statistics queries: sf0.1 documents unioned as doc_id-offset
   * copies with IDENTICAL texts, so tf/tok rows grow ×N while the
   * VOCABULARY — and with it every structure the scale story leans on —
   * stays fixed: df's aggregate output, t25's 5-term query set (df
   * counts all scale ×N so the 6–10 ranking is unchanged), t26's
-  * (c_all, c_t) feature table. Expected α ≈ 1 (the tokenize pass and
-  * the tf aggregate are the only ×N work; everything downstream is
-  * vocab- or top-k-bounded). The vocab censuses printed alongside are
-  * the structural receipt: identical base vs ×N.
+  * (c_all, c_t) feature table. Events are unioned as event_id-offset
+  * copies at the SAME timestamps, so a15's pane count is fixed and
+  * only per-pane mass grows — the partial-combine axis. Expected
+  * α ≈ 1 (the scan and the map-side-combined aggregates are the only
+  * ×N work; everything downstream is vocab-, pane- or top-k-bounded).
+  * The vocab censuses printed alongside are the structural receipt:
+  * identical base vs ×N.
   *
   * Usage: `sbt "runMain graft.examples.RetrievalProbe [copies]"`
   * (default 10). α = log(t_big/t_base)/log(copies).
@@ -28,7 +32,7 @@ object RetrievalProbe {
     val spark = Engine.session()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = stage(spark, copies)
-    println(s"probe estate: $dir (sf0.1 documents x $copies doc_id-offset copies)")
+    println(s"probe estate: $dir (sf0.1 documents+events x $copies id-offset copies)")
 
     // structural censuses: the vocab-bounded tables must NOT grow
     def vocab(d: String): Long = spark.read.parquet(s"$d/documents.parquet")
@@ -39,7 +43,9 @@ object RetrievalProbe {
 
     val rows = Seq(
       "t25_bm25" -> both(spark, dir, "t25_bm25"),
-      "t26_dsir_weights" -> both(spark, dir, "t26_dsir_weights"))
+      "t26_dsir_weights" -> both(spark, dir, "t26_dsir_weights"),
+      "p17_shard_manifest" -> both(spark, dir, "p17_shard_manifest"),
+      "a15_hopping_window" -> both(spark, dir, "a15_hopping_window"))
     println(f"${"query"}%-20s ${"base"}%8s ${"x" + copies}%8s ${"alpha"}%7s")
     rows.foreach { case (n, (t1, tN)) =>
       val a = math.log(tN / t1) / math.log(copies.toDouble)
@@ -55,6 +61,13 @@ object RetrievalProbe {
         .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
       .reduce(_ unionByName _)
       .coalesce(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // same timestamps, offset event ids: pane/window count FIXED,
+    // per-pane mass ×copies — a15's partial-combine claim on its axis
+    (0 until copies).map(i =>
+      s.read.parquet(s"$Base/events.parquet")
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L)))
+      .reduce(_ unionByName _)
+      .coalesce(8).write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
 
