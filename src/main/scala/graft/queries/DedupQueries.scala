@@ -1231,6 +1231,68 @@ object DedupQueries {
       |  ROUND(1.0 - COALESCE(dr.n_dropped, 0)::DOUBLE / t.n_docs, 4) AS pct_kept
       |FROM tot t LEFT JOIN drops dr USING (source) ORDER BY source""".stripMargin
 
+  /** D20 — LEXICAL ⊗ SEMANTIC near-dup ENSEMBLE: d02's MinHash-LSH
+    * verdict full-outer-joined with d05's embedding-cosine verdict over
+    * the shared id domain (vec_id = doc_id, the v07 retrieval contract),
+    * censused per agreement class. The question a curation run actually
+    * asks before picking a dedup policy: how much dup mass is
+    * SEMANTIC-ONLY (paraphrase/translation/boilerplate-rewrite — shingle
+    * dedup structurally misses it), how much LEXICAL-ONLY (shared
+    * n-grams without embedding-space proximity — template frames around
+    * different content), and how much both methods agree on. Both pair
+    * streams arrive bucketed-not-all-pairs (the band/bucket cap and the
+    * SRP bucket join — this query ADDS no pair enumeration, only an
+    * equi-join of two already-linear pair streams on the pair id), the
+    * lexical side is restricted to ids carrying embeddings by two
+    * semi-joins (at 100 TB the embedding coverage is the smaller
+    * curated slice, so the restriction prunes, not grows), and the
+    * output is one row per agreement class with mean scores. Oracle:
+    * the SAME shared [[lshPairCtes]]/[[cosineEdgeCtes]] every other
+    * dedup oracle interpolates — the ensemble can never census edge
+    * sets the per-method oracles didn't verify. On the synthetic
+    * estate the `both` class comes back EMPTY at every SF (the driver
+    * generates embeddings independently of the texts, so the two
+    * similarity spaces share no pairs) — which is the operator doing
+    * its job: the agreement census is exactly how a run would DETECT
+    * that its embedding space does not track lexical similarity. */
+  private def d20(s: SparkSession, d: String): DataFrame = {
+    val ids = embeddings(s, d).select(col("vec_id"))
+    val lex = lshVerifiedPairs(s, d)
+      .groupBy(col("da"), col("db")).agg(max(col("jac")).as("jac"))
+      .join(ids, col("da") === col("vec_id"), "left_semi")
+      .join(ids, col("db") === col("vec_id"), "left_semi")
+    val sem = cosineEdges(s, d)
+    lex.join(sem, col("da") === col("va") && col("db") === col("vb"), "full_outer")
+      .select(
+        when(col("jac").isNotNull && col("cos").isNotNull, "both")
+          .when(col("jac").isNotNull, "lexical_only")
+          .otherwise("semantic_only").as("verdict"),
+        col("jac"), col("cos"))
+      .groupBy("verdict")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        oround(avg(col("jac")), 3).as("avg_jaccard"),
+        oround(avg(col("cos")), 4).as("avg_cosine"))
+      .orderBy("verdict")
+  }
+
+  private val od20 =
+    s"""WITH ${lshPairCtes(Some(PairBlockCap))},
+      |${cosineEdgeCtes()},
+      |lex0 AS (SELECT da, db, max(jac) AS jac FROM j WHERE jac >= 0.8 GROUP BY da, db),
+      |lex AS (SELECT lex0.* FROM lex0
+      |  WHERE da IN (SELECT vec_id FROM embeddings)
+      |    AND db IN (SELECT vec_id FROM embeddings)),
+      |f AS (SELECT l.jac, c.cos FROM lex l FULL OUTER JOIN ce c
+      |      ON l.da = c.va AND l.db = c.vb)
+      |SELECT CASE WHEN jac IS NOT NULL AND cos IS NOT NULL THEN 'both'
+      |            WHEN jac IS NOT NULL THEN 'lexical_only'
+      |            ELSE 'semantic_only' END AS verdict,
+      |  count(*) AS n_pairs,
+      |  ROUND(avg(jac), 3) AS avg_jaccard,
+      |  ROUND(avg(cos), 4) AS avg_cosine
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_fingerprint_blocks", d01, Some(od01)),
     QueryDef("d02_minhash_lsh_pairs", d02, Some(od02)),
@@ -1251,7 +1313,8 @@ object DedupQueries {
     QueryDef("d16_semantic_dedup", d16, Some(od16)),
     QueryDef("d17_semantic_decontam", d17, Some(od17)),
     QueryDef("d18_banding_curve", d18, Some(od18)),
-    QueryDef("d19_substring_scrub", d19, Some(od19)))
+    QueryDef("d19_substring_scrub", d19, Some(od19)),
+    QueryDef("d20_dedup_ensemble", d20, Some(od20)))
 
   /** D19 — EXACT-SUBSTRING dedup with span REMOVAL (the Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better" shape):

@@ -719,6 +719,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"bm25 must be non-increasing, got ${scores.mkString(",")}")
   }
 
+  test("d20: ensemble census classes are well-formed and score-consistent") {
+    val rows = SparkEntry.queries("d20_dedup_ensemble")(spark, sf).collect()
+    val classes = rows.map(_.getString(0)).toSet
+    assert(rows.nonEmpty &&
+      classes.subsetOf(Set("both", "lexical_only", "semantic_only")))
+    rows.foreach { r =>
+      val (v, n) = (r.getString(0), r.getLong(1))
+      assert(n > 0)
+      // a class's defining score must be present; the other one absent
+      // exactly when the class says so
+      if (v != "semantic_only") assert(!r.isNullAt(2) && r.getDouble(2) >= 0.8)
+      if (v != "lexical_only") assert(!r.isNullAt(3) && r.getDouble(3) >= 0.3)
+      if (v == "lexical_only") assert(r.isNullAt(3))
+      if (v == "semantic_only") assert(r.isNullAt(2))
+    }
+  }
+
   test("v25: loadings are unit-norm, eigval positive, and double-run stable") {
     def run() = SparkEntry.queries("v25_pca_power")(spark, sf).collect()
     val rows = run()
