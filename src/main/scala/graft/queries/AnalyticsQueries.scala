@@ -2535,7 +2535,9 @@ object AnalyticsQueries {
       .orderBy(col("n").desc, col("w_start"), col("event_type"))
       .limit(96)
 
-  private val oa15 =
+  /** Shared with Core's q57 — the STREAMED hopping window must equal
+    * this exact batch answer (the q36/q43 one-oracle discipline). */
+  private[queries] val oa15 =
     """WITH e AS (SELECT floor(epoch(ts))::BIGINT // 600 AS b10, event_type, value
       |    FROM events WHERE ts IS NOT NULL),
       |p AS (SELECT to_timestamp((b10 - k) * 600)::TIMESTAMP AS w_start,

@@ -1020,6 +1020,63 @@ object Core {
     """SELECT event_type, count(*) AS n, ROUND(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q57 — STREAMING hopping-window aggregates: a15's 30-min/10-min
+    * sliding panes as a watermarked streaming aggregation, sharing
+    * a15's EXACT batch oracle (the q36/q43 one-oracle discipline
+    * applied to the third window family — tumbling has q05↔q33,
+    * session has w06↔q36; this closes hopping). Three time-ordered
+    * micro-batches replay the event stream; each event expands to its
+    * 3 panes map-side (the same Expand as batch), the state store
+    * keeps one row per OPEN (pane, type) — bounded by panes inside the
+    * watermark horizon × |types|, never by event mass (the
+    * StreamMassProbe winagg axis measured: 10⁵ hot events → 2 state
+    * rows) — and append mode emits each pane exactly once when the
+    * watermark passes its end. TWO far-future sentinel batches flush
+    * the tail (a batch's watermark derives from the PREVIOUS batch's
+    * max event time — the probe lesson now load-bearing in a query);
+    * the read-back drops the sentinel panes and applies a15's exact
+    * projection, so the streamed answer must hash-equal the batch
+    * text. */
+  private def q57(s0: SparkSession, d: String): DataFrame = {
+    val r = new Replay(s0, "graft_hopwin", "q57", d)((s, st) => {
+      val ev = events(s, d)
+        .filter(col("ts").isNotNull)
+        .select(col("ts"), col("event_type"), col("value"))
+      val (cut1, cut2) =
+        (lit("2024-01-11").cast("timestamp"), lit("2024-01-21").cast("timestamp"))
+      def sentinel(t: String) = s.range(1)
+        .select(lit(t).cast("timestamp").as("ts"),
+          lit("zz_sentinel").as("event_type"), lit(0.0).as("value"))
+      st.stage(ev.filter(col("ts") < cut1), "batch0", 1000000000000L)
+      st.stage(ev.filter(col("ts") >= cut1 && col("ts") < cut2), "batch1", 1000000060000L)
+      st.stage(ev.filter(col("ts") >= cut2), "batch2", 1000000120000L)
+      st.stage(sentinel("2030-01-01 00:00:00"), "batch3", 1000000180000L)
+      st.stage(sentinel("2030-02-01 00:00:00"), "batch4", 1000000240000L)
+    })
+    val s = r.session
+    val stream = s.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    val query = stream.writeStream
+      .format("parquet")
+      .option("path", r.outDir)
+      .option("checkpointLocation", r.ckpDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(r.outDir)
+      .filter(col("event_type") =!= "zz_sentinel")
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), oround(col("sv"), 3).as("sv"))
+      .orderBy(col("n").desc, col("w_start"), col("event_type"))
+      .limit(96)
+  }
+
   /** Q54 — STREAMING near-duplicate detection: the continuous-crawl
     * dedup loop, TWO-TIERED the way a production pipeline layers it.
     * Documents arrive in doc_id-ordered micro-batches (three staged
@@ -1762,6 +1819,7 @@ object Core {
     QueryDef("q44_stream_restart", q44, Some(oq33)),
     QueryDef("q45_stream_dedup", q45, Some(oq45)),
     QueryDef("q54_stream_neardup", q54, Some(oq54)),
+    QueryDef("q57_stream_hopping", q57, Some(AnalyticsQueries.oa15)),
     // q33's oracle a third time: the JDBC-sink path must persist exactly
     // what the parquet sink persists
     QueryDef("q46_stream_jdbc", q46, Some(oq33)),
