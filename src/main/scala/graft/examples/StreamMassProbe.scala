@@ -97,7 +97,7 @@ object StreamMassProbe {
     val shapes = Seq(
       ("hot", 1000L, 0L), ("hot", 10000L, 0L), ("hot", 100000L, 0L),
       ("uniform", 0L, 1000L), ("uniform", 0L, 10000L))
-    for ((op, idx) <- Seq("sessionize", "ssjoin", "dedup", "winagg").zipWithIndex;
+    for ((op, idx) <- Seq("sessionize", "ssjoin", "dedup", "winagg", "hopwin").zipWithIndex;
          (kind, hot, bg) <- shapes) {
       // the join's output is quadratic in the hot mass BY SEMANTICS —
       // cap its hot axis where the oracle's own answer explodes
@@ -145,6 +145,14 @@ object StreamMassProbe {
           case "winagg" =>
             stream.withWatermark("ts", "1 minute")
               .groupBy(window(col("ts"), "30 minutes"), col("user_id"))
+              .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+          case "hopwin" =>
+            // q57's operator: the 3-pane Expand means hot mass lands in
+            // 3 open panes instead of 1 — state must stay 3×panes, not
+            // grow with events
+            stream.withWatermark("ts", "1 minute")
+              .groupBy(window(col("ts"), "30 minutes", "10 minutes"),
+                col("user_id"))
               .agg(count(lit(1)).as("n"), sum("value").as("sv"))
         }
         val t0 = System.nanoTime()
