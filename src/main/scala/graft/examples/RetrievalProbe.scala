@@ -45,7 +45,10 @@ object RetrievalProbe {
       "t25_bm25" -> both(spark, dir, "t25_bm25"),
       "t26_dsir_weights" -> both(spark, dir, "t26_dsir_weights"),
       "p17_shard_manifest" -> both(spark, dir, "p17_shard_manifest"),
-      "a15_hopping_window" -> both(spark, dir, "a15_hopping_window"))
+      "a15_hopping_window" -> both(spark, dir, "a15_hopping_window"),
+      // the composed 4-stage curation dataflow: its α is gated by its
+      // widest stage (the d19 gram aggregate + the dedup window)
+      "p16_corpus_build_v3" -> both(spark, dir, "p16_corpus_build_v3"))
     println(f"${"query"}%-20s ${"base"}%8s ${"x" + copies}%8s ${"alpha"}%7s")
     rows.foreach { case (n, (t1, tN)) =>
       val a = math.log(tN / t1) / math.log(copies.toDouble)
