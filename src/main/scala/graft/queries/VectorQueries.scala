@@ -1212,6 +1212,118 @@ object VectorQueries {
       |  (SELECT ROUND(ev, 4) FROM ev) AS eigval
       |FROM u3 ORDER BY i""".stripMargin
 
+  /** V26 — RESIDUAL IVF-PQ: v16's pipeline with the refinement every
+    * production IVF-PQ (FAISS's IndexIVFPQ default) actually ships —
+    * quantize the RESIDUAL x − c(x) instead of x. Within a coarse
+    * cell all vectors share the cell's centroid, so residuals
+    * concentrate near the origin and the same codebook budget spends
+    * its codewords on the part of the vector that still varies; the
+    * query is re-expressed per probed cell as qe − c(cell) (nprobe=2
+    * here → two query residuals, each row scored against its OWN
+    * cell's), and the 3-entry codebook is itself built from residuals.
+    * Plumbing-wise the change is three `zip_with` subtractions and a
+    * column rename — [[adcExpr]] is reused VERBATIM over the
+    * residual-named columns, so v16 and v26 can never drift in their
+    * ADC algebra; the exact re-rank and the exhaustive audit run on
+    * the ORIGINAL vectors, same as v16. Same scale posture: DPP-pruned
+    * probed partitions, 1-row broadcast contexts, TakeOrdered
+    * shortlist — the residual subtraction is per-row arithmetic.
+    * Audit honesty: on this estate the in_exhaustive_topk flag reads
+    * ~nprobe/|labels| (2/10 at sf0.01) for BOTH v16 and v26 — the
+    * synthetic embeddings are isotropic, so recall is pinned by
+    * coarse-probe coverage and the 3-seed toy codebook, not by the
+    * encoding; the residual win shows on clustered data where
+    * within-cell variance ≪ corpus variance. What the query pins
+    * cross-engine is the residual ADC algebra itself. */
+  private def v26(s: SparkSession, d: String): DataFrame = {
+    val (centPath, corpPath) = graft.sources.VectorIndex.ensureIvf(s, d)
+    val q = queryVec(s, d)
+    val best = coarseProbe(s, centPath, q)
+    val cent = s.read.parquet(centPath).select(col("label").as("clabel"), col("ce"))
+    // the codebook re-expressed in residual space (3 rows; one row out)
+    val rseeds = embeddings(s, d).filter(col("vec_id") <= 2)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e0"))
+      .join(cent, col("label") === col("clabel"))
+      .select(struct(col("vec_id").as("sid"),
+        zip_with(col("e0"), col("ce"), _ - _).as("se")).as("sd"))
+      .groupBy().agg(sort_array(collect_list(col("sd"))).as("seeds"))
+    val shortlist = s.read.parquet(corpPath)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("x"))
+      .join(broadcast(best), col("label") === col("best_label"))
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(cent), col("label") === col("clabel"))
+      .crossJoin(broadcast(q.select(col("qe").as("qfull"), col("qn"))))
+      .crossJoin(broadcast(rseeds))
+      .select(col("vec_id"), col("x"), col("qfull"), col("qn"), col("seeds"),
+        zip_with(col("x"), col("ce"), _ - _).as("e"),
+        zip_with(col("qfull"), col("ce"), _ - _).as("qe"))
+      .select(col("vec_id"), col("x"), col("qfull"), col("qn"), adcExpr.as("adc"))
+      .orderBy("adc", "vec_id")
+      .limit(30)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val reranked = shortlist
+      .select(
+        col("vec_id"),
+        oround(dot(col("x"), col("qfull")) / (norm(col("x")) * col("qn")), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val exhaustive = corpus(s, d).filter(col("vec_id") =!= 0)
+      .withColumn("nrm", norm(col("e")))
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id").as("xid"),
+        oround(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cx"))
+      .orderBy(col("cx").desc, col("xid"))
+      .limit(10)
+      .select(col("xid"))
+    reranked.join(exhaustive, col("vec_id") === col("xid"), "left")
+      .select(col("rk"), col("vec_id"), col("cos_sim"),
+        col("xid").isNotNull.as("in_exhaustive_topk"))
+      .orderBy("rk")
+  }
+
+  private val ov26 =
+    s"""WITH n AS (SELECT vec_id, label, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |q AS (SELECT e qe FROM n WHERE vec_id = 0),
+      |$oCentBestCtes,
+      |rseeds AS (SELECT n.vec_id sid,
+      |    list_transform(list_zip(n.e, cent.ce), p -> p[1]-p[2]) se
+      |  FROM n JOIN cent USING (label) WHERE vec_id <= 2),
+      |cand AS (SELECT n.vec_id, n.e,
+      |    list_transform(list_zip(n.e, cent.ce), p -> p[1]-p[2]) re,
+      |    list_transform(list_zip(q.qe, cent.ce), p -> p[1]-p[2]) rq
+      |  FROM n JOIN best USING (label) JOIN cent USING (label), q
+      |  WHERE n.vec_id <> 0),
+      |blk AS (
+      |  SELECT v.vec_id, b,
+      |    (SELECT dq FROM (
+      |       SELECT s.sid,
+      |         list_sum(list_transform(list_zip(v.re[b*8+1 : b*8+8], s.se[b*8+1 : b*8+8]),
+      |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS da,
+      |         list_sum(list_transform(list_zip(v.rq[b*8+1 : b*8+8], s.se[b*8+1 : b*8+8]),
+      |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS dq
+      |       FROM rseeds s) t
+      |     ORDER BY da, sid LIMIT 1) AS dq
+      |  FROM cand v, (SELECT unnest(generate_series(0,7)) b)),
+      |adc AS (SELECT vec_id, sum(dq) AS adc FROM blk GROUP BY vec_id),
+      |short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 30),
+      |rr AS (SELECT c.vec_id,
+      |    ROUND(list_sum(list_transform(list_zip(c.e, q.qe), x -> x[1]*x[2]))
+      |      / (sqrt(list_sum(list_transform(c.e, x->x*x))) * sqrt(list_sum(list_transform(q.qe, x->x*x)))), 4) AS cos_sim
+      |  FROM cand c JOIN short ON c.vec_id = short.vec_id, q),
+      |top AS (SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) rk
+      |        FROM rr ORDER BY cos_sim DESC, vec_id LIMIT 10),
+      |ex AS (SELECT n.vec_id,
+      |    ROUND(list_sum(list_transform(list_zip(n.e, q.qe), x -> x[1]*x[2]))
+      |      / (sqrt(list_sum(list_transform(n.e, x->x*x))) * sqrt(list_sum(list_transform(q.qe, x->x*x)))), 4) AS cx
+      |  FROM n, q WHERE n.vec_id <> 0 ORDER BY cx DESC, n.vec_id LIMIT 10)
+      |SELECT rk::BIGINT AS rk, t.vec_id, cos_sim,
+      |  (t.vec_id IN (SELECT vec_id FROM ex)) AS in_exhaustive_topk
+      |FROM top t ORDER BY rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(ov01)),
     QueryDef("v02_srp_ann", v02, Some(ov02)),
@@ -1237,7 +1349,8 @@ object VectorQueries {
     QueryDef("v22_multitable_ann", v22, Some(ov22)),
     QueryDef("v23_nprobe_curve", v23, Some(ov23)),
     QueryDef("v24_retrieval_metrics", v24, Some(ov24)),
-    QueryDef("v25_pca_power", v25, Some(ov25)))
+    QueryDef("v25_pca_power", v25, Some(ov25)),
+    QueryDef("v26_ivfpq_residual", v26, Some(ov26)))
 
   /** V23 — the nprobe TUNING CURVE: recall@10 AND scanned-row count
     * for nprobe ∈ {1, 2, 3} in ONE query — the sweep a deployment runs

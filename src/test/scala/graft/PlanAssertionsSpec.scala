@@ -719,6 +719,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"bm25 must be non-increasing, got ${scores.mkString(",")}")
   }
 
+  test("v26: residual pipeline keeps v16's output contract") {
+    val rows = SparkEntry.queries("v26_ivfpq_residual")(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val cs = rows.map(_.getDouble(2))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+      s"rerank order must be cos desc, got ${cs.mkString(",")}")
+    // candidates come from the SAME probed cells as v16: the query
+    // vector itself (vec_id 0) is never a result
+    assert(rows.forall(_.getLong(1) != 0L))
+  }
+
   test("d20: ensemble census classes are well-formed and score-consistent") {
     val rows = SparkEntry.queries("d20_dedup_ensemble")(spark, sf).collect()
     val classes = rows.map(_.getString(0)).toSet
