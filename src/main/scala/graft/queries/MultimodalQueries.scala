@@ -363,6 +363,50 @@ object MultimodalQueries {
       |  max(w * h) AS max_px
       |FROM o GROUP BY orient ORDER BY orient""".stripMargin
 
+  /** M11 — AUDIO frame-energy / VAD census, completing the modality
+    * triple (image m08/m09/m10, video m04, audio here): each event is
+    * an audio CLIP of 160 PCM-ish samples framed into ten 16-sample
+    * windows; per-window energy Σ s² drives a voice-activity flag
+    * (energy > threshold), published per clip as (n_active_frames,
+    * total_energy) — the triage a speech-data pipeline runs to drop
+    * silence/noise-only clips before expensive ASR. The DECODE is the
+    * mandated deterministic stub (no codec libs in this container):
+    * sample(t) = ((event_id·31 + t·17) mod 201) − 100, an
+    * integer-exact stand-in with per-clip phase variety; at deployment
+    * it swaps for the real PCM decoder via the m06 `mapPartitions`
+    * stub seam, and every downstream stage — the framing `transform`,
+    * the per-window `aggregate` fold, the VAD filter, the census — is
+    * the real operator shape, all-INTEGER so the cross-engine check is
+    * exact (no float tolerance anywhere). One narrow pass, codegen
+    * lambdas, output bounded by the top-100 cut. */
+  private def m11(s: SparkSession, d: String): DataFrame = {
+    val frames = transform(sequence(lit(0), lit(9)), f =>
+      aggregate(sequence(lit(1), lit(16)), lit(0L), (acc, i) => {
+        val smp = (col("event_id") * 31L + (f * 16L + i) * 17L) % 201L - 100L
+        acc + smp * smp
+      }))
+    events(s, d)
+      .select(col("event_id"), col("event_type"), frames.as("fe"))
+      .select(
+        col("event_id"), col("event_type"),
+        size(filter(col("fe"), e => e > 40000L)).cast("long").as("n_active"),
+        aggregate(col("fe"), lit(0L), _ + _).as("total_energy"))
+      .orderBy(col("total_energy").desc, col("event_id"))
+      .limit(100)
+  }
+
+  private val om11 =
+    """WITH fe AS (SELECT event_id, event_type,
+      |    list_transform(generate_series(0, 9), f ->
+      |      list_sum(list_transform(generate_series(1, 16), i ->
+      |        ((event_id*31 + (f*16 + i)*17) % 201 - 100)
+      |          * ((event_id*31 + (f*16 + i)*17) % 201 - 100)))) AS fe
+      |  FROM events)
+      |SELECT event_id, event_type,
+      |  len(list_filter(fe, e -> e > 40000))::BIGINT AS n_active,
+      |  list_sum(fe)::BIGINT AS total_energy
+      |FROM fe ORDER BY total_energy DESC, event_id LIMIT 100""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("m01_json_multikey", m01, Some(om01)),
     QueryDef("m02_binary_metadata", m02, Some(om02)),
@@ -374,7 +418,8 @@ object MultimodalQueries {
     QueryDef("m07_byte_entropy", m07, Some(om07)),
     QueryDef("m08_image_dims", m08, Some(om08)),
     QueryDef("m09_resize_plan", m09, Some(om09)),
-    QueryDef("m10_image_near_dup", m10, Some(om10)))
+    QueryDef("m10_image_near_dup", m10, Some(om10)),
+    QueryDef("m11_audio_vad", m11, Some(om11)))
 
   /** M10 — PERCEPTUAL image near-dup (dHash): the loop between the
     * multimodal estate and the dedup family. Every image blob gets the
