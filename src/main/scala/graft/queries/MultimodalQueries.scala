@@ -374,23 +374,40 @@ object MultimodalQueries {
     * sample(t) = ((event_id·31 + t·17) mod 201) − 100, an
     * integer-exact stand-in with per-clip phase variety; at deployment
     * it swaps for the real PCM decoder via the m06 `mapPartitions`
-    * stub seam, and every downstream stage — the framing `transform`,
-    * the per-window `aggregate` fold, the VAD filter, the census — is
-    * the real operator shape, all-INTEGER so the cross-engine check is
-    * exact (no float tolerance anywhere). One narrow pass, codegen
-    * lambdas, output bounded by the top-100 cut. */
+    * stub seam, and every downstream stage — the framing, the
+    * per-window energy fold, the VAD filter, the census — is the real
+    * operator shape, all-INTEGER so the cross-engine check is exact
+    * (no float tolerance anywhere). The decode+energy loop runs as a
+    * typed `mapPartitions` pass (the m06 preference-(d) seam): per-
+    * sample work is imperative per-blob computation, and the FIRST
+    * spelling as nested Catalyst `transform`/`aggregate` lambdas
+    * measured 7.5 s at sf0.1 — every one of the 16M stub samples was
+    * an interpreted expression-tree walk — where the tight JVM loop
+    * is ~40×, the same lesson as m07's NibbleCounts at the
+    * whole-operator tier. Output bounded by the top-100 cut. */
   private def m11(s: SparkSession, d: String): DataFrame = {
-    val frames = transform(sequence(lit(0), lit(9)), f =>
-      aggregate(sequence(lit(1), lit(16)), lit(0L), (acc, i) => {
-        val smp = (col("event_id") * 31L + (f * 16L + i) * 17L) % 201L - 100L
-        acc + smp * smp
-      }))
-    events(s, d)
-      .select(col("event_id"), col("event_type"), frames.as("fe"))
-      .select(
-        col("event_id"), col("event_type"),
-        size(filter(col("fe"), e => e > 40000L)).cast("long").as("n_active"),
-        aggregate(col("fe"), lit(0L), _ + _).as("total_energy"))
+    import s.implicits._
+    graft.Tables.rebalance(s, events(s, d).select(col("event_id"), col("event_type")))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, tp) =>
+        var f = 0
+        var nActive = 0L
+        var total = 0L
+        while (f < 10) {
+          var i = 1
+          var e = 0L
+          while (i <= 16) {
+            val smp = (id * 31L + (f * 16L + i) * 17L) % 201L - 100L
+            e += smp * smp
+            i += 1
+          }
+          if (e > 40000L) nActive += 1
+          total += e
+          f += 1
+        }
+        (id, tp, nActive, total)
+      })
+      .toDF("event_id", "event_type", "n_active", "total_energy")
       .orderBy(col("total_energy").desc, col("event_id"))
       .limit(100)
   }
