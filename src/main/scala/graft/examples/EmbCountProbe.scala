@@ -55,7 +55,8 @@ object EmbCountProbe {
       "v02_srp_ann", "v05_srp_multiprobe", "v10_batch_ann",
       "v03_ivf_centroid", "v16_ivfpq_pipeline", "v22_multitable_ann",
       "d05_embedding_near_dup",
-      "v25_pca_power") // one-pass covariance: the scan IS the cost, α→1
+      "v25_pca_power", // one-pass covariance: the scan IS the cost, α→1
+      "v26_ivfpq_residual") // DPP-pruned probe: reads nprobe/|labels| of any corpus
     val rows = names.map { n =>
       val (b1, b2) = cold2(query(spark, Base, n))
       val (g1, g2) = cold2(query(spark, dir, n))
