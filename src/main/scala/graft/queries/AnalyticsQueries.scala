@@ -2593,6 +2593,57 @@ object AnalyticsQueries {
       |  ROUND(sum(nt) * 8.0 / max(lt), 4) AS load
       |FROM r GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
 
+  /** P18 — DETERMINISTIC EPOCH SHUFFLE: the per-epoch reshuffle every
+    * training dataloader runs, spelled reproducibly — shuffle key =
+    * md5(doc_id ‖ ':' ‖ epoch) (the p01 portable-hash discipline: same
+    * bytes hash identically on any engine, any cluster, any restart),
+    * rank within the language stratum, published as each stratum's
+    * first 5 positions for epochs 0 and 1 WITH each doc's rank in the
+    * OTHER epoch carried alongside — the inline decorrelation audit
+    * (a healthy reshuffle sends an epoch-0 head doc to an arbitrary
+    * epoch-1 position; systematic head-stickiness would mean the key
+    * leaks doc identity). Scale shape: one per-(stratum, epoch) rank
+    * window — the c03/p17 discipline, strata sort independently after
+    * one shuffle — a self-join on doc_id bounded by |head| rows on the
+    * probe side, and the head cut is rank ≤ 5, so output is
+    * 2·5·|langs| rows at any corpus size. At 100 TB the total-order
+    * rank is the one genuinely expensive step (a full per-stratum
+    * sort); the production spelling keeps the SAME key but ranges-
+    * partitions on it — the order, and therefore this manifest, is
+    * identical, which is the point of hashing rather than RNG. */
+  private def p18(s: SparkSession, d: String): DataFrame = {
+    val keyed = documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .crossJoin(s.range(2).select(col("id").cast("int").as("epoch")))
+      .select(col("doc_id"), col("lang"), col("epoch"),
+        md5(concat_ws(":", col("doc_id"), col("epoch"))).as("k"))
+    val w = Window.partitionBy("lang", "epoch").orderBy("k")
+    val ranked = keyed.select(col("doc_id"), col("lang"), col("epoch"),
+      row_number().over(w).cast("long").as("pos"))
+    val head = ranked.filter(col("pos") <= 5)
+    val other = ranked.select(
+      col("doc_id").as("o_doc"), col("lang").as("o_lang"),
+      col("epoch").as("o_epoch"), col("pos").as("pos_other_epoch"))
+    head.join(other,
+        col("doc_id") === col("o_doc") && col("lang") === col("o_lang") &&
+          col("epoch") =!= col("o_epoch"))
+      .select(col("epoch"), col("lang"), col("pos"), col("doc_id"),
+        col("pos_other_epoch"))
+      .orderBy("epoch", "lang", "pos")
+  }
+
+  private val op18 =
+    """WITH k AS (SELECT doc_id, lang, epoch,
+      |    md5(doc_id::VARCHAR || ':' || epoch::VARCHAR) AS k
+      |  FROM documents, (SELECT unnest([0, 1]) AS epoch)),
+      |r AS (SELECT doc_id, lang, epoch,
+      |    row_number() OVER (PARTITION BY lang, epoch ORDER BY k)::BIGINT AS pos
+      |  FROM k)
+      |SELECT h.epoch, h.lang, h.pos, h.doc_id, o.pos AS pos_other_epoch
+      |FROM r h JOIN r o ON h.doc_id = o.doc_id AND h.lang = o.lang
+      |  AND h.epoch <> o.epoch
+      |WHERE h.pos <= 5 ORDER BY h.epoch, h.lang, h.pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_lag_delta", w01, Some(ow01)),
     QueryDef("w02_moving_avg", w02, Some(ow02)),
@@ -2655,5 +2706,6 @@ object AnalyticsQueries {
     QueryDef("a14_constraint_suite", a14, Some(oa14)),
     QueryDef("a15_hopping_window", a15, Some(oa15)),
     QueryDef("p17_shard_manifest", p17, Some(op17)),
+    QueryDef("p18_epoch_shuffle", p18, Some(op18)),
     QueryDef("w12_ohlc_bars", w12, Some(ow12)))
 }
