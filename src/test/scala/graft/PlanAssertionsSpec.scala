@@ -719,6 +719,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"bm25 must be non-increasing, got ${scores.mkString(",")}")
   }
 
+  test("p18: epoch heads decorrelate and both epochs publish full heads") {
+    val rows = SparkEntry.queries("p18_epoch_shuffle")(spark, sf).collect()
+    val byEpoch = rows.groupBy(_.getInt(0))
+    assert(byEpoch.keySet == Set(0, 1))
+    // each (epoch, lang) head is positions 1..5 exactly
+    rows.groupBy(r => (r.getInt(0), r.getString(1))).foreach { case (_, g) =>
+      assert(g.map(_.getLong(2)).sorted.toSeq == (1L to 5L))
+    }
+    // decorrelation: an epoch-0 head doc's epoch-1 rank is arbitrary —
+    // if EVERY head doc stayed in the other epoch's head, the shuffle
+    // key would be leaking doc identity
+    assert(rows.exists(_.getLong(4) > 5L),
+      "every head doc kept its head rank across epochs — shuffle key is not reshuffling")
+  }
+
   test("v26: residual pipeline keeps v16's output contract") {
     val rows = SparkEntry.queries("v26_ivfpq_residual")(spark, sf).collect()
     assert(rows.length == 10)
