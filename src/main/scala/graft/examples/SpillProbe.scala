@@ -59,7 +59,10 @@ object SpillProbe {
       "g06_personalized_pagerank", "g04_copurchase_jaccard", "g01_pagerank",
       "d08_simhash_hamming", "d13_containment", "d19_substring_scrub",
       "w03_cumulative", "a13_corr_matrix", "q24_sessionize",
-      "j12_asof_native", "q49_typed_topk", "t06_tfidf_top_terms")
+      "j12_asof_native", "q49_typed_topk", "t06_tfidf_top_terms",
+      // round-12 heavies: the ensemble pair join, the composed
+      // curation dataflow, the covariance aggregate + 1-row iteration
+      "d20_dedup_ensemble", "p16_corpus_build_v3", "v25_pca_power")
       .filter(SparkEntry.queries.contains)
 
     println(f"${"query"}%-28s ${"wall_s"}%8s ${"spillMB"}%9s ${"diskMB"}%8s ${"peakMB"}%8s  status")
