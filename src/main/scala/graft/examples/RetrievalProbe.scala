@@ -59,16 +59,25 @@ object RetrievalProbe {
 
   private def stage(s: SparkSession, copies: Int): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_retrieval").toString
+    // Offsets derived from max(id)+1 of the base table, not a fixed
+    // constant: a hard-coded stride silently collides (breaking the
+    // fixed-vocab / ×N-rows invariant the alpha computation relies on)
+    // the day the base estate's ids outgrow it.
+    def strideOf(table: String, idCol: String): Long =
+      s.read.parquet(s"$Base/$table.parquet")
+        .agg(max(col(idCol))).collect()(0).getLong(0) + 1L
+    val docStride = strideOf("documents", "doc_id")
     (0 until copies).map(i =>
       s.read.parquet(s"$Base/documents.parquet")
-        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * docStride)))
       .reduce(_ unionByName _)
       .coalesce(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // same timestamps, offset event ids: pane/window count FIXED,
     // per-pane mass ×copies — a15's partial-combine claim on its axis
+    val evStride = strideOf("events", "event_id")
     (0 until copies).map(i =>
       s.read.parquet(s"$Base/events.parquet")
-        .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L)))
+        .withColumn("event_id", col("event_id") + lit(i.toLong * evStride)))
       .reduce(_ unionByName _)
       .coalesce(8).write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir

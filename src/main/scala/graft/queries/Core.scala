@@ -1070,7 +1070,14 @@ object Core {
       .start()
     query.awaitTermination()
     s.read.parquet(r.outDir)
-      .filter(col("event_type") =!= "zz_sentinel")
+      // Null-safe drop: `=!=` is NULL (row silently dropped) for a
+      // NULL event_type, diverging from the shared batch oracle oa15
+      // which keeps a NULL group. <=> keeps NULL-typed events. The
+      // sentinel value itself is in-band by construction — the estate
+      // domain is pinned by a14, and the 2030 timestamps put sentinel
+      // panes a decade past any real event, so a collision would also
+      // need an impossible ts.
+      .filter(!(col("event_type") <=> lit("zz_sentinel")))
       .select(col("w.start").as("w_start"), col("event_type"),
         col("n"), oround(col("sv"), 3).as("sv"))
       .orderBy(col("n").desc, col("w_start"), col("event_type"))
@@ -1171,6 +1178,59 @@ object Core {
       |SELECT db AS doc_id, min(da) AS dup_of,
       |  ROUND(arg_min(jac, da), 3) AS jaccard
       |FROM j WHERE jac >= 0.8 GROUP BY db ORDER BY doc_id""".stripMargin
+
+  /** Q58 — STREAMING incremental dedup: batch d09's "dedup the delta
+    * against the persisted history index" made CONTINUOUS, the index
+    * backed by [[graft.streaming.BucketedIndex]] exactly as q54's (one
+    * state-store format for every foreachBatch state consumer — the
+    * round-12 seed). The indexing job seeds the history corpus's bands
+    * (doc_id % 5 ≠ 4, d09's split) once; the delta (doc_id % 5 = 4)
+    * then arrives as three id-ordered micro-batches, and each batch
+    * probes the index PRUNED to its own band keys, Jaccard-verifies on
+    * the joined row, appends its verdicts, and appends its own bands so
+    * LATER deltas dedup against it — with size-ratio compaction folding
+    * the per-batch files into the re-bucketed base as the stream ages.
+    * Semantics, the partner rule, and the append-idempotence argument
+    * live at [[graft.streaming.IncDedup]]; the oracle is od09's chain
+    * plus the one earlier-delta clause
+    * ([[DedupQueries.oIncDedupStream]]). Resume contract: a second
+    * construction over the same checkpoint re-ingests nothing (index
+    * seeding is existence-gated, AvailableNow finds every file
+    * committed) and returns identical rows. */
+  private def q58(s0: SparkSession, d: String): DataFrame = {
+    val r = new Replay(s0, "graft_incdedup", "q58", d)((s, st) => {
+      val delta = documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 4)
+      val mx = delta.agg(max("doc_id")).head().getLong(0)
+      val (c1, c2) = (mx / 3, 2 * mx / 3)
+      st.stage(delta.filter(col("doc_id") < c1), "batch0", 1000000000000L)
+      st.stage(delta.filter(col("doc_id") >= c1 && col("doc_id") < c2),
+        "batch1", 1000000060000L)
+      st.stage(delta.filter(col("doc_id") >= c2), "batch2", 1000000120000L)
+    })
+    val s = r.session
+    val resDir = r.outDir
+    val idxRoot = r.outDir + "_index"
+    graft.streaming.IncDedup.seedHistory(
+      s,
+      DedupQueries.keyedBandsOf(
+        documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 5 =!= 4)),
+      idxRoot)
+    val stream = s.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.streaming.IncDedup.processBatch(
+          batch, batchId, resDir = resDir, root = idxRoot)
+        ()
+      }
+      .option("checkpointLocation", r.ckpDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(resDir).distinct().orderBy("new_id", "dup_of")
+  }
 
   /** Q46 — the streaming pipeline through the RELATIONAL sink, under
     * the oracle: q33's dataflow with `foreachBatch` loading each
@@ -1820,6 +1880,7 @@ object Core {
     QueryDef("q45_stream_dedup", q45, Some(oq45)),
     QueryDef("q54_stream_neardup", q54, Some(oq54)),
     QueryDef("q57_stream_hopping", q57, Some(AnalyticsQueries.oa15)),
+    QueryDef("q58_stream_incdedup", q58, Some(DedupQueries.oIncDedupStream)),
     // q33's oracle a third time: the JDBC-sink path must persist exactly
     // what the parquet sink persists
     QueryDef("q46_stream_jdbc", q46, Some(oq33)),

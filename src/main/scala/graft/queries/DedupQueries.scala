@@ -123,24 +123,152 @@ object DedupQueries {
       .orderBy("da", "db")
 
   /** D2's verified near-dup pair stream: (da < db, exact Jaccard ≥ 0.8),
-    * possibly repeated when a pair collides in several bands, with the
-    * (band, bh) buckets df-capped at [[PairBlockCap]] ([[capBlocks]]
-    * discipline — the signature table is checkpointed first so the
-    * bucket census and the capped join read one materialization).
-    * `cap = None` is the probe-only uncapped hazard twin. */
+    * possibly repeated when a pair collides in several bands (the
+    * join-back shape emits each pair once — consumers distinct/aggregate
+    * either way), with the (band, bh) buckets df-capped at
+    * [[PairBlockCap]] ([[capBlocks]] discipline — the signature table is
+    * checkpointed first so the bucket census and the capped join read
+    * one materialization). `cap = None` is the probe-only uncapped
+    * hazard twin (always carry — it exists to measure the carry
+    * hazard). The CARRY vs JOIN-BACK choice is automatic — see
+    * [[chooseJoinBack]]; `forceShape` pins it for the A/B probe. */
   private[graft] def lshVerifiedPairs(
       s: SparkSession, d: String,
-      cap: Option[Int] = Some(PairBlockCap)): DataFrame = {
+      cap: Option[Int] = Some(PairBlockCap),
+      forceShape: Option[Boolean] = None): DataFrame = {
     val sig0 = sigWithSh(s, d)
-    val sig = if (cap.isDefined) sig0.localCheckpoint() else sig0
-    // band key = the two component values, delimited — no hashing needed,
-    // the pair of longs IS the identity the band compares on
-    val bands = sig.select(
-      col("doc_id"), col("sh"),
-      posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh")))
-    pairsFromShBuckets(
-      capBlocks(bands, Seq("band", "bh"), "d02_bucket_census", cap))
+    if (cap.isEmpty) {
+      val bands = sig0.select(
+        col("doc_id"), col("sh"),
+        posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh")))
+      return pairsFromShBuckets(
+        capBlocks(bands, Seq("band", "bh"), "d02_bucket_census", cap))
+    }
+    val sig = sig0.localCheckpoint()
+    if (chooseJoinBack("d02_bucket_census", sig, forceShape, d))
+      joinBackVerifiedPairs(sig, "d02_bucket_census", cap)
+    else {
+      // band key = the two component values, delimited — no hashing
+      // needed, the pair of longs IS the identity the band compares on
+      val bands = sig.select(
+        col("doc_id"), col("sh"),
+        posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh")))
+      pairsFromShBuckets(
+        capBlocks(bands, Seq("band", "bh"), "d02_bucket_census", cap))
+    }
   }
+
+  /** The JOIN-BACK spelling of [[lshVerifiedPairs]]'s tail over an
+    * already-checkpointed (doc_id, sh, mh0..7) signature table — d07's
+    * shape driven off the ONE shared sig materialization: the 4× band
+    * explosion carries only (doc_id, band key), candidate pairs are
+    * distinct'd BEFORE verification, and exactly the surviving pairs
+    * join back (twice, keyed on doc_id) for the exact-Jaccard check.
+    * Chosen by [[chooseJoinBack]] when the carried payload would
+    * dominate the band shuffle. */
+  private def joinBackVerifiedPairs(
+      sig: DataFrame, censusName: String, cap: Option[Int]): DataFrame =
+    joinBackScoredPairs(
+      sig,
+      sig.select(
+        col("doc_id"), posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh"))),
+      censusName, cap)
+      .filter(col("jac") >= 0.8)
+
+  /** [[joinBackVerifiedPairs]] WITHOUT the verification threshold, over
+    * caller-supplied narrow bands — d18's join-back twin needs the
+    * scored CANDIDATE stream per banding config. */
+  private def joinBackScoredPairs(
+      sig: DataFrame, bands: DataFrame,
+      censusName: String, cap: Option[Int]): DataFrame = {
+    val pairs = capBlocks(bands, Seq("band", "bh"), censusName, cap)
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - 1, lit(0))),
+          y => struct(x.as("da"), y.as("db")))))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .distinct()
+    pairs
+      .join(sig.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
+      .select(col("da"), col("db"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          (size(col("sha")) + size(col("shb"))
+            - size(array_intersect(col("sha"), col("shb"))))).as("jac"))
+  }
+
+  /** The AUTOMATED d02↔d07 switch (round-12 verdict item 7): carry the
+    * shingle arrays through the band shuffle, or persist narrow bands
+    * and join back? The choice is made per-corpus from a CHEAP stats
+    * probe instead of a hand edit: average carried-payload bytes per
+    * doc, read from the first [[SwitchSampleRows]] rows of the
+    * already-checkpointed signature (a `limit` over cached blocks —
+    * bounded work at ANY corpus size, deterministic for a given plan),
+    * cached per estate so one tiny job serves d02/d10/d18 and Bench's
+    * min-of-2 reruns.
+    *
+    * What the model says and what the probe measured: carry ships the
+    * payload ×4 (band fanout) through the bucket shuffle; join-back
+    * ships it ≤2× (the two verification joins — 0× when the candidate
+    * side broadcasts) plus fixed machinery (an extra exchange pair, a
+    * distinct, two joins). [[graft.examples.SwitchProbe]]'s 70×
+    * payload sweep (2 KB → 146 KB/doc, planted verifying pairs):
+    * 2 KB carry 1.48 vs jb 1.01 (machinery noise at tiny payloads),
+    * 8.5 KB 1.23 vs 1.39, 35 KB 1.76 vs 2.03, 146 KB carry 5.36 vs
+    * JOIN-BACK 4.16 — the payload term wins the far end even at
+    * local[32], where a shuffle is only a memory copy; on a cluster
+    * fabric the crossover moves LEFT because shuffle bytes become the
+    * real cost and join-back halves them. [[CarryShBytesCutoff]] sits
+    * in the measured-neutral middle: below it carry's simpler plan
+    * wins outright (the estate's ~2.6 KB payloads, and the measured
+    * d02 1.6 s vs d07 3.4 s endpoints), above it join-back is ~free
+    * locally and halves network bytes at deployment. The decision is
+    * LOGGED per census key ([[switchDecision]]) so specs pin it and
+    * bench runs can attribute shape changes. */
+  private def chooseJoinBack(
+      census: String, sig: DataFrame, force: Option[Boolean],
+      estate: String): Boolean = {
+    val jb = force.getOrElse {
+      // the payload stat is an ESTATE property, not a query property —
+      // one tiny job per estate per JVM, shared by d02/d10/d18 and by
+      // Bench's min-of-2 reruns
+      val avgBytes = avgShBytesCache.computeIfAbsent(estate, _ => {
+        val r = sig.limit(SwitchSampleRows)
+          .agg(avg(aggregate(col("sh"), lit(0L),
+            (acc, x) => acc + length(x) + lit(16L))))
+          .head()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      })
+      avgBytes > CarryShBytesCutoff
+    }
+    switchLog.put(census, if (jb) "join-back" else "carry")
+    jb
+  }
+
+  private val avgShBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** Payload-stats sample size — first rows of the checkpointed
+    * signature, NOT a corpus scan (bounded work at 100 TB). */
+  private val SwitchSampleRows = 2048
+
+  /** Carried-payload cutoff (bytes/doc) above which [[chooseJoinBack]]
+    * picks the join-back shape — set at the point
+    * [[graft.examples.SwitchProbe]] measured the shapes LOCALLY
+    * neutral (see [[chooseJoinBack]]'s doc: above this, join-back is
+    * free locally and halves shuffle bytes on a real fabric). */
+  private[graft] val CarryShBytesCutoff = 8192.0
+
+  private val switchLog =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The last carry/join-back decision recorded under `census` —
+    * spec/bench bookkeeping ("the decision logged"). */
+  private[graft] def switchDecision(census: String): Option[String] =
+    Option(switchLog.get(census))
 
   /** Bucket-local pair emission + exact-Jaccard verification over a
     * (doc_id, sh, band, bh) band-exploded frame — the shared tail of
@@ -804,6 +932,31 @@ object DedupQueries {
       |SELECT new_id, dup_of, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.8
       |ORDER BY new_id, dup_of""".stripMargin
 
+  /** q58 (STREAMING incremental dedup)'s oracle — [[od09]]'s
+    * delta-vs-history pair chain EXTENDED with the one clause
+    * continuous ingest adds: an EARLIER-INGESTED delta doc
+    * (`dup_of < new_id` — under id-ordered batching, earlier batch ⇒
+    * smaller id, and within a batch the strict order both de-dups the
+    * pair listing and excludes self-pairs) also qualifies as a
+    * partner. Built on the same [[sigCtes]] chain as every MinHash
+    * oracle, so the signature definition can never drift between the
+    * batch and streaming spellings. private[queries]: Core's q58 pairs
+    * it with the replayed stream. */
+  private[queries] val oIncDedupStream: String =
+    s"""WITH $sigCtes,
+      |bands AS (SELECT doc_id, b, mh[2*b-1]::VARCHAR || ':' || mh[2*b]::VARCHAR bh
+      |          FROM sig, (SELECT unnest(generate_series(1,4)) b)),
+      |cand AS (SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS dup_of
+      |         FROM bands n JOIN bands h ON n.b = h.b AND n.bh = h.bh
+      |         WHERE n.doc_id % 5 = 4
+      |           AND (h.doc_id % 5 <> 4 OR h.doc_id < n.doc_id)),
+      |j AS (SELECT new_id, dup_of,
+      |        len(list_intersect(sa.sh, sb.sh))::DOUBLE
+      |          / (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh))) jac
+      |      FROM cand JOIN s sa ON cand.new_id = sa.doc_id JOIN s sb ON cand.dup_of = sb.doc_id)
+      |SELECT new_id, dup_of, ROUND(jac, 3) AS jaccard FROM j WHERE jac >= 0.8
+      |ORDER BY new_id, dup_of""".stripMargin
+
   /** D10 — MinHash ESTIMATOR calibration: for every band-collision
     * candidate pair, the signature-agreement estimate (matching
     * components / 8) next to the exact Jaccard and the absolute error —
@@ -811,15 +964,76 @@ object DedupQueries {
     * trusting the estimate (8 components put ~0.2 mean absolute error
     * on low-similarity collisions; a production 128-component signature
     * shrinks it ∝ 1/√k, same plan). The audit discipline v09/v11/v15
-    * apply to ANN, applied to the dedup estimator. Join-back shape on
-    * the checkpointed signature table (d07's lesson — lambda exprIds
-    * defeat ReuseExchange, so the un-checkpointed self-join would
-    * recompute every signature twice). */
+    * apply to ANN, applied to the dedup estimator.
+    *
+    * Shape: the [[chooseJoinBack]] switch, same rule as d02 — the
+    * round-12 bench's slowest query (6.3 s at sf0.1) was this
+    * calibration in its hand-written join-back form, both verification
+    * joins shuffling the full (sh, mh0..7) signature; at the estate's
+    * ~2.6 KB payloads the stats probe picks CARRY (payload rides the
+    * band shuffle once, pairs score in-bucket, zero joins), and on a
+    * long-document corpus the same probe flips it back. The carry
+    * branch's buckets are UNCAPPED like the candidate set itself
+    * (od10 has no HAVING bound — d10 audits every collision): hot
+    * exact-dup MASS would fatten a bucket row here exactly as in
+    * d02's uncapped twin, which is a measured hazard the calibration
+    * audit accepts by contract (it runs before, not inside, the
+    * production pipeline). */
   private def d10(s: SparkSession, d: String): DataFrame = {
     // THE shared signature + banding definitions (sigWithSh /
     // bandKeyCols) — d10 must calibrate exactly the candidate-pair set
     // d02 verifies, so it derives from the same single copy
     val sig = sigWithSh(s, d).localCheckpoint()
+    val scored =
+      if (chooseJoinBack("d10_switch", sig, None, d)) d10JoinBack(sig)
+      else d10Carry(sig)
+    scored
+      .select(col("da"), col("db"),
+        oround(col("est"), 3).as("mh_estimate"),
+        oround(col("jac"), 3).as("jaccard"),
+        oround(abs(col("est") - col("jac")), 3).as("abs_err"))
+      .orderBy("da", "db")
+  }
+
+  /** d10's carry branch: (sh, mh[8]) ride the band explosion once;
+    * pairs are emitted and scored INSIDE the bucket (both the estimate
+    * and the exact Jaccard from the struct fields — only 6 scalars
+    * leave the lambda); multi-band collisions carry identical scores,
+    * so the distinct is exact. */
+  private def d10Carry(sig: DataFrame): DataFrame =
+    sig.select(
+        col("doc_id"), col("sh"),
+        array((0 until 8).map(i => col(s"mh$i")): _*).as("mh"),
+        posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh")))
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(struct(
+        col("doc_id").as("id"), col("sh").as("sh"), col("mh").as("mh"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(
+          slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
+          y => struct(
+            x.getField("id").as("da"), y.getField("id").as("db"),
+            size(array_intersect(x.getField("sh"), y.getField("sh"))).as("ni"),
+            size(x.getField("sh")).as("na"),
+            size(y.getField("sh")).as("nb"),
+            aggregate(
+              zip_with(x.getField("mh"), y.getField("mh"),
+                (a, b) => when(a === b, 1).otherwise(0)),
+              lit(0), (acc, v) => acc + v).as("nm")))))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"),
+        (col("p.nm").cast("double") / 8.0).as("est"),
+        (col("p.ni").cast("double")
+          / (col("p.na") + col("p.nb") - col("p.ni"))).as("jac"))
+      .distinct()
+
+  /** d10's join-back branch — the round-12 spelling: narrow bands,
+    * distinct candidates, two verification joins against the
+    * checkpointed signature (d07's lesson — lambda exprIds defeat
+    * ReuseExchange, so the un-checkpointed self-join would recompute
+    * every signature twice). */
+  private def d10JoinBack(sig: DataFrame): DataFrame = {
     val bands = sig.select(
       col("doc_id"), posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh")))
     val cand = bands.toDF("da", "ba", "ka")
@@ -839,11 +1053,6 @@ object DedupQueries {
       .select(col("da"), col("db"),
         est.as("est"),
         TextFns.jaccard(col("sha"), col("shb")).as("jac"))
-      .select(col("da"), col("db"),
-        oround(col("est"), 3).as("mh_estimate"),
-        oround(col("jac"), 3).as("jaccard"),
-        oround(abs(col("est") - col("jac")), 3).as("abs_err"))
-      .orderBy("da", "db")
   }
 
   private val od10 =
@@ -1816,16 +2025,26 @@ object DedupQueries {
   private def d18(s: SparkSession, d: String): DataFrame = {
     val sig = sigWithSh(s, d).localCheckpoint()
     val configs = Seq((2, 4), (4, 2), (8, 1))
+    // ONE stats probe decides the shape for all three branches — the
+    // same [[chooseJoinBack]] rule as d02/d10 (each branch is a
+    // d02-class pipeline, so the payload economics are identical)
+    val jb = chooseJoinBack("d18_switch", sig, None, d)
     val scored = configs.map { case (b, r) =>
       val keys = (0 until b).map(i =>
         concat_ws(":", (0 until r).map(j => col(s"mh${i * r + j}")): _*))
-      val bands = sig.select(
-        col("doc_id"), col("sh"),
-        posexplode(array(keys: _*)).as(Seq("band", "bh")))
-      (b, r, pairsScoredFromShBuckets(
-          capBlocks(bands, Seq("band", "bh"), s"d18_census_${b}x$r",
-            Some(PairBlockCap)))
-        .select(col("da"), col("db"), col("jac")).distinct()
+      val census = s"d18_census_${b}x$r"
+      val p =
+        if (jb) joinBackScoredPairs(
+          sig,
+          sig.select(col("doc_id"),
+            posexplode(array(keys: _*)).as(Seq("band", "bh"))),
+          census, Some(PairBlockCap))
+        else pairsScoredFromShBuckets(
+          capBlocks(
+            sig.select(col("doc_id"), col("sh"),
+              posexplode(array(keys: _*)).as(Seq("band", "bh"))),
+            Seq("band", "bh"), census, Some(PairBlockCap)))
+      (b, r, p.select(col("da"), col("db"), col("jac")).distinct()
         .localCheckpoint())
     }
     val union = scored.map(_._3.filter(col("jac") >= 0.8).select("da", "db"))

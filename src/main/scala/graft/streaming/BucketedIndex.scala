@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{
+  FileStatusCache, HadoopFsRelation, InMemoryFileIndex}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
 
@@ -87,10 +90,16 @@ private[graft] final class BucketedIndex(
     /** Bytes across data files. Base generations are IMMUTABLE after
       * their fold, so their size is computed once and cached — the
       * fold trigger then walks only the (small) delta each batch
-      * instead of O(buckets) files. */
+      * instead of O(buckets) files. A fresh session reads the base's
+      * `_MANIFEST` (one small file, written at fold time) instead of
+      * walking P bucket directories. */
     def bytes(fs: FileSystem): Long =
       if (kind == "b")
-        BucketedIndex.baseBytesCache.computeIfAbsent(dir.toString, _ => walk(fs))
+        BucketedIndex.baseBytesCache.computeIfAbsent(
+          dir.toString,
+          _ => BucketedIndex.readManifest(fs, dir)
+            .map(_.map(_.getLen).sum: java.lang.Long)
+            .getOrElse(walk(fs)))
       else walk(fs)
     private def walk(fs: FileSystem): Long = {
       val it = fs.listFiles(dir, true)
@@ -137,11 +146,46 @@ private[graft] final class BucketedIndex(
     * go to delta generations only) — this is the manifest cache every
     * table format (Delta/Iceberg) maintains so readers never re-list
     * data directories. Keyed by session too: a relation executes in
-    * the session that built it. */
+    * the session that built it.
+    *
+    * COLD START (a fresh session's first probe of a generation) used
+    * to pay the full discovery job once per generation — measured
+    * 6.8/9.6/19.8 s at ×4/×8/×16 index age, the one number in the q54
+    * story that still grew with index size. Now [[compact]] persists
+    * the generation's file manifest (relative path, bytes, mtime — one
+    * small `_MANIFEST` file, what Delta's checkpoint / Iceberg's
+    * manifest list is for) and a fresh session rebuilds the relation
+    * FROM the manifest: the [[FileStatus]]es are seeded into the file
+    * index's status cache, so neither partition discovery nor any
+    * per-file stat touches the filesystem — one `open` of one small
+    * file replaces the O(P)-directory listing job. Falls back to the
+    * listing read when no manifest exists (a generation folded by an
+    * older build, or a crash between parquet commit and manifest
+    * write — the manifest is an optimization, never a correctness
+    * dependency). */
   private def baseRelation(g: Gen): DataFrame =
     BucketedIndex.relCache.computeIfAbsent(
       s"${System.identityHashCode(s)}:${g.dir}",
-      _ => s.read.schema(diskSchema).parquet(g.dir.toString))
+      _ => BucketedIndex.readManifest(fs, g.dir) match {
+        case Some(files) => relationFromManifest(g, files)
+        case None => s.read.schema(diskSchema).parquet(g.dir.toString)
+      })
+
+  /** Build the generation's DataFrame from manifest-supplied statuses:
+    * an [[InMemoryFileIndex]] whose status cache is pre-seeded answers
+    * the root-path lookup from memory, so construction performs ZERO
+    * filesystem listing; partition inference (the `bp=<b>` dirs) runs
+    * over the cached statuses, typed by the user-specified schema
+    * exactly as the listing path types them. */
+  private def relationFromManifest(g: Gen, files: Array[FileStatus]): DataFrame = {
+    val seeded = new BucketedIndex.SeededStatusCache(g.dir, files)
+    val index = new InMemoryFileIndex(
+      s, Seq(g.dir), Map("basePath" -> g.dir.toString),
+      Some(diskSchema), seeded, None, None)
+    s.baseRelationToDataFrame(HadoopFsRelation(
+      index, index.partitionSchema, rowSchema, None,
+      new ParquetFileFormat, Map.empty[String, String])(s))
+  }
 
   /** The accumulated index restricted to the buckets `keys` (a
     * single-column frame of probe keys, SMALL — it is collected per
@@ -244,6 +288,18 @@ private[graft] final class BucketedIndex(
       .withColumn("bp", bpOf(col(key), newP))
       .repartition(col("bp")) // one writer task per bucket → one file
       .write.partitionBy("bp").parquet(dest.toString)
+    // The fold owns the one recursive listing a generation ever needs:
+    // persist it as the `_MANIFEST` so every FUTURE session's first
+    // probe reads one small file instead (see [[baseRelation]]). A
+    // crash landing between the parquet commit and this write leaves a
+    // _SUCCESS'd generation without a manifest — readers fall back to
+    // listing, correctness unchanged.
+    BucketedIndex.writeManifest(fs, dest)
+    // test-only crash injection: the window between the new base
+    // becoming visible and the superseded generations' deletion —
+    // see the crash contract in the class doc, executed by
+    // BucketedIndexCrashSpec
+    failpointAfterBaseWrite()
     // new generation is _SUCCESS-complete; superseded ones can go. A
     // crash in this loop leaves both generations visible → duplicate
     // rows → harmless (consumers are duplicate-immune; the next
@@ -254,6 +310,13 @@ private[graft] final class BucketedIndex(
       BucketedIndex.relCache.keySet.removeIf(_.endsWith(s":${g.dir}"))
     }
   }
+
+  /** Test-only failpoint, invoked by [[compact]] after the new base
+    * generation is `_SUCCESS`-complete but BEFORE the superseded
+    * generations are deleted — the crash window the contract argues
+    * leaves duplicates, never missing rows. Production value is a
+    * no-op. */
+  private[graft] var failpointAfterBaseWrite: () => Unit = () => ()
 }
 
 private[graft] object BucketedIndex {
@@ -276,4 +339,75 @@ private[graft] object BucketedIndex {
     * plan for an index keyed on `key`, across all instances. */
   private[graft] def lastProbePlanFor(key: String): Option[String] =
     Option(probePlans.get(key))
+
+  /** Drop the immutable-base caches — lets a spec simulate a FRESH
+    * session's cold start against an existing on-disk index without
+    * tearing down the shared test SparkSession. */
+  private[graft] def clearCachesForTesting(): Unit = {
+    relCache.clear()
+    baseBytesCache.clear()
+  }
+
+  private val ManifestName = "_MANIFEST"
+
+  /** Persist `dir`'s data-file manifest (relative path, bytes, mtime —
+    * tab-separated, one line per file) as `dir/_MANIFEST`. Called once
+    * per fold, on the generation the fold just wrote; the recursive
+    * listing here is the LAST one the generation ever needs. */
+  private[graft] def writeManifest(fs: FileSystem, dir: Path): Unit = {
+    val sb = new StringBuilder
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.startsWith("part-")) {
+        val rel = f.getPath.toString.stripPrefix(
+          fs.makeQualified(dir).toString).stripPrefix("/")
+        sb.append(rel).append('\t').append(f.getLen)
+          .append('\t').append(f.getModificationTime).append('\n')
+      }
+    }
+    val out = fs.create(new Path(dir, ManifestName), true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The generation's data files as [[FileStatus]]es reconstructed from
+    * its `_MANIFEST` — ONE small-file read, no directory listing. None
+    * when the generation has no manifest (pre-manifest fold, or a crash
+    * between parquet commit and manifest write). */
+  private[graft] def readManifest(
+      fs: FileSystem, dir: Path): Option[Array[FileStatus]] = {
+    val mp = new Path(dir, ManifestName)
+    if (!fs.exists(mp)) return None
+    val in = fs.open(mp)
+    val text =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    val qualified = fs.makeQualified(dir)
+    Some(text.split('\n').iterator.filter(_.nonEmpty).map { line =>
+      val Array(rel, len, mtime) = line.split('\t')
+      new FileStatus(len.toLong, false, 1, 128L << 20, mtime.toLong,
+        new Path(qualified, rel))
+    }.toArray)
+  }
+
+  /** A [[FileStatusCache]] pre-seeded with one root path's manifest
+    * statuses: the file index's root lookup is answered from memory, so
+    * building the relation performs no filesystem listing at all. */
+  private[graft] final class SeededStatusCache(
+      root: Path, files: Array[FileStatus]) extends FileStatusCache {
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[Path, Array[FileStatus]]()
+    m.put(root, files)
+    override def getLeafFiles(path: Path): Option[Array[FileStatus]] =
+      Option(m.get(path))
+    override def putLeafFiles(path: Path, leafFiles: Array[FileStatus]): Unit =
+      m.put(path, leafFiles)
+    override def invalidateAll(): Unit = m.clear()
+  }
 }
