@@ -2,7 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{
+  Explode, Expression, ExpressionInfo, Literal, StringSplit}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine extension point, wired via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (set by
@@ -31,6 +34,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    resolution rule: DuckDB's `ASOF [LEFT|INNER] JOIN` SQL syntax,
   *    lowered to the same [[AsOfJoinNode]] — the `injectParser` tier,
   *    letting one query text run verbatim on both engines.
+  *  - `string_split(s, sep)` / `unnest(array)` — the tokenizer-parity
+  *    shim: DuckDB's native spellings as aliases over Spark's split
+  *    (separator regex-quoted at parse time) and explode, extending
+  *    the one-text-two-engines contract to tokenize-dependent queries
+  *    (q59's BM25).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -109,6 +117,59 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"char_class_counts expects 2 arguments (s, alphabet STRING), got ${children.length}")
         CharClassCounts(children.head, children(1))
+      }))
+    // ---- the TOKENIZER-PARITY shim (round-12 verdict item 3): DuckDB's
+    // `string_split`/`unnest` spellings registered as ALIASES over
+    // Spark's own codegen'd expressions, so tokenize-dependent queries
+    // can ride the q27 "one text, two engines" contract — the driver's
+    // plain DuckDB needs NO macro because these are DuckDB's native
+    // names; Spark gains them here. Aliases, not new expressions: the
+    // extension-ladder floor (compose existing ops) applies to dialect
+    // shims too.
+    ext.injectFunction((
+      FunctionIdentifier("string_split"),
+      new ExpressionInfo(
+        classOf[StringSplit].getCanonicalName,
+        null,
+        "string_split",
+        "string_split(s, sep) - Splits s on the LITERAL separator sep " +
+          "(DuckDB semantics: trailing empty strings kept, '' yields ['']) — " +
+          "lowered to Spark's split with the separator regex-quoted at " +
+          "parse time. sep must be a string literal.",
+        "", "", "", "string_funcs", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"string_split expects 2 arguments (s, sep STRING), got ${children.length}")
+        val quoted = children(1) match {
+          // quote at build time: Spark's split treats the separator as a
+          // REGEX; DuckDB's string_split treats it as a LITERAL. A
+          // foldable literal is quoted once here; a non-literal separator
+          // has no safe lowering (quoting would need a per-row regex
+          // compile), so the shim rejects it — the shared-SQL contract
+          // only ever passes literal separators.
+          case Literal(s: UTF8String, StringType) =>
+            Literal(UTF8String.fromString(
+              java.util.regex.Pattern.quote(s.toString)), StringType)
+          case _ => throw new IllegalArgumentException(
+            "string_split(s, sep): sep must be a string LITERAL " +
+              "(the tokenizer-parity shim quotes it at parse time)")
+        }
+        StringSplit(children.head, quoted, Literal(-1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("unnest"),
+      new ExpressionInfo(
+        classOf[Explode].getCanonicalName,
+        null,
+        "unnest",
+        "unnest(array) - DuckDB's array-flattening spelling, lowered to " +
+          "Spark's explode (empty array and NULL both yield zero rows on " +
+          "both engines).",
+        "", "", "", "generator_funcs", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"unnest expects 1 argument (ARRAY), got ${children.length}")
+        Explode(children.head)
       }))
   }
 }

@@ -259,6 +259,41 @@ object SqlQueries {
       |FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** Q59 — BM25 as ONE SHARED TEXT, the q27 contract finally covering a
+    * TOKENIZE-dependent query (the round-12 seed said this was blocked
+    * on `split` vs `string_split` parity; the blocker is gone —
+    * [[graft.plans.GraftExtensions]] registers DuckDB's native
+    * `string_split` (literal split, separator regex-quoted at parse
+    * time) and `unnest` (→ explode) as Spark aliases, so the text
+    * below is VERBATIM-runnable by both engines and the driver's plain
+    * DuckDB needs no macro). Same Okapi constants and mid-frequency
+    * query set (df-ranks 6–10) as t25, whose optimized DataFrame form
+    * it cross-checks from a THIRD independent spelling; ranks via an
+    * inline row_number subquery (QUALIFY is DuckDB-only), cross joins
+    * explicit (both dialects), `ln` (natural log on both — DuckDB's
+    * 2-arg `log` is base-10), CAST not `::`. Plan on the Spark side:
+    * one tokenize explode, partial-aggregated tf as the root, the
+    * singleton stats rows broadcast — the same shape t25 hand-builds. */
+  private val q59Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+      |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |q AS (SELECT term, df FROM (
+      |        SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rn
+      |        FROM dft) ranked
+      |      WHERE rn BETWEEN 6 AND 10),
+      |sc AS (SELECT tf.doc_id,
+      |    ln(1.0 + (nd.n - q.df + 0.5) / (q.df + 0.5)) * (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) AS ts
+      |  FROM tf JOIN q ON tf.term = q.term
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN ad CROSS JOIN nd)
+      |SELECT doc_id, count(*) AS n_qterms, ROUND(sum(ts), 4) AS bm25
+      |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   private val oq51 =
     """SELECT o_orderpriority AS priority,
       |  ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_total,
@@ -267,6 +302,7 @@ object SqlQueries {
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q59_sql_bm25", sql(q59Sql), Some(q59Sql)),
     QueryDef("q50_sql_modern", sql(q50Sql), Some(q50Sql)),
     QueryDef("q51_sql_pivot", sql(q51Sql), Some(oq51)),
     QueryDef("q47_sql_fuzzy", sql(q47Sql), Some(q47Sql)),

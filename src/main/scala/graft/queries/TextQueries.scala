@@ -963,7 +963,14 @@ object TextQueries {
     * over exact unigrams since the synthetic vocab is small; at web
     * scale the ONLY change is `term` → `xxhash64(term) % 10⁴`, which
     * BOUNDS the feature table at 10⁴ rows instead of vocab-sized —
-    * same plan, stronger guarantee). Target domain = the corpus'
+    * same plan, stronger guarantee. No longer just a claim: both
+    * halves are MEASURED on a staged 47.5k-term corpus by
+    * [[graft.examples.DsirHashProbe]] — feature table 47,500 → 9,919
+    * rows, plan node-for-node equal, weight correlation 0.91 at
+    * 4.75:1 collision load (0.98 at 1.4:1); the receipt's caveat is
+    * that a literal top-k cut over near-tied weights IS
+    * collision-sensitive — hashing suits DSIR's soft resampling, not
+    * hard ranking). Target domain = the corpus'
     * majority language (deterministic: doc-count desc, lang asc);
     * per-document weight = mean over tokens of
     * ln p̂_target(tok) − ln p̂_corpus(tok), both Laplace-smoothed over

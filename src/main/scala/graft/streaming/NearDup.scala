@@ -81,7 +81,9 @@ private[graft] object NearDup {
       batch: DataFrame, batchId: Long,
       resDir: String, bandRoot: String, exactRoot: String,
       targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16,
-      bucketed: Boolean = true): Boolean = {
+      bucketed: Boolean = true,
+      bandCap: Option[Int] = Some(graft.queries.DedupQueries.PairBlockCap))
+      : Boolean = {
     val bs = batch.sparkSession
     val exIdxStore: Store =
       if (bucketed)
@@ -128,9 +130,48 @@ private[graft] object NearDup {
     val bands = graft.queries.DedupQueries.keyedBandsOf(repDocs)
       .select("doc_id", "sh", "bk")
       .localCheckpoint()
-    val rhs = bandStore.probe(bands.select(col("bk"))) match {
+    val rhs0 = bandStore.probe(bands.select(col("bk"))) match {
       case Some(hist) => bands.unionByName(hist.select("doc_id", "sh", "bk"))
       case None       => bands
+    }
+    // THE CAPPED STREAMING POLICY (round-12 verdict item 4, probed by
+    // Q54AdversarialProbe): the exact tier collapses BYTE-EQUAL copies,
+    // but a template farm with per-copy PERTURBATIONS defeats it — every
+    // copy is its own exact class, all 2,000 reps share most band keys,
+    // and the in-batch join explodes |copies|² pairs a stream cannot
+    // df-cap after the fact (quadratic in the farm size — measured on
+    // the copy-count axis in Q54AdversarialProbe; capped, the same
+    // batches run flat). So the d02 discipline rides
+    // the probe union: band keys whose membership (batch reps +
+    // accumulated index) exceeds `bandCap` are EXCLUDED from pair
+    // enumeration, and the drop is SURFACED (a census row appended to
+    // `<resDir>_capcensus` whenever anything drops — never silent).
+    // EXACTNESS TRADEOFF, stated plainly: a capped-out key contributes
+    // no pairs THIS batch, so a genuine near-dup hiding inside hot
+    // template mass is missed by the near tier (it still collapses via
+    // the exact tier when byte-equal); on hot-free estates the cap never
+    // fires and the streamed answer still equals the uncapped batch
+    // oracle — q54's contract, green at all three SFs with the cap
+    // active. rhs is checkpointed: the census sizes aggregate and the
+    // pair join are two consumers of the probe union.
+    val rhs = bandCap match {
+      case None => rhs0
+      case Some(cap) =>
+        val ck = rhs0.localCheckpoint()
+        val sizes = ck.groupBy("bk").agg(count(lit(1)).as("bn"))
+          .localCheckpoint()
+        val hot = sizes.filter(col("bn") > cap)
+          .agg(count(lit(1)).as("hot_keys"), max("bn").as("max_bucket"),
+            sum(col("bn") * (col("bn") - 1)).as("dropped_pair_bound2x"))
+          .head()
+        if (hot.getLong(0) > 0)
+          bs.range(1).select(
+            lit(batchId).as("batch_id"),
+            lit(hot.getLong(0)).as("hot_keys"),
+            lit(hot.getLong(1)).as("max_bucket"),
+            lit(hot.getLong(2) / 2).as("dropped_pair_bound"))
+            .write.mode("append").parquet(resDir + "_capcensus")
+        ck.join(sizes.filter(col("bn") <= cap).select("bk"), "bk")
     }
     val lsh = bands
       .select(col("bk"), col("doc_id").as("new_id"), col("sh").as("shn"))
