@@ -52,12 +52,12 @@ object Q54AdversarialProbe {
       // fresh index per cell, seeded with the normal corpus
       NearDup.processBatch(docs, 0L, s"$base/res", s"$base/band",
         s"$base/exact", targetRowsPerBucket = 256L,
-        bandCap = if (capped) Some(graft.queries.DedupQueries.PairBlockCap)
+        bandCap = if (capped) Some(graft.streaming.NearDup.StreamBandCap)
           else None)
       val t0 = System.nanoTime()
       NearDup.processBatch(farm(n), 1L, s"$base/res", s"$base/band",
         s"$base/exact", targetRowsPerBucket = 256L,
-        bandCap = if (capped) Some(graft.queries.DedupQueries.PairBlockCap)
+        bandCap = if (capped) Some(graft.streaming.NearDup.StreamBandCap)
           else None)
       val wall = (System.nanoTime() - t0) / 1e9
       val pairs = spark.read.parquet(s"$base/res")

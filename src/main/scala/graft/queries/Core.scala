@@ -1232,6 +1232,75 @@ object Core {
     s.read.parquet(resDir).distinct().orderBy("new_id", "dup_of")
   }
 
+  /** Q60 — STREAMING ANN: continuous embedding ingest with
+    * search-on-arrival, the THIRD foreachBatch state consumer on
+    * [[graft.streaming.BucketedIndex]] (q54 near-dup, q58 dedup
+    * signatures, now the v-family). Each arriving delta vector
+    * (vec_id % 5 = 4, three id-ordered micro-batches) is answered with
+    * its top-10 most-cosine-similar EARLIER vectors among its
+    * SRP-bucket-mates — history (vec_id % 5 ≠ 4, seeded once into the
+    * index) unconditionally, earlier-ingested delta by the q58
+    * `pid < qid` rule — then added to the index so later arrivals can
+    * match it. The SRP width is fixed by the HISTORY count through the
+    * ONE [[graft.functions.VectorFns.adaptiveSrpBits]] rule (the
+    * indexing job sizes the width; the oracle re-derives it from the
+    * same count with the same integer-shift SQL). Semantics, partner
+    * algebra and the rounded-rank discipline live at
+    * [[graft.streaming.AnnStream]]. */
+  private def q60(s0: SparkSession, d: String): DataFrame = {
+    val r = new Replay(s0, "graft_annstream", "q60", d)((s, st) => {
+      val delta = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 5 === 4)
+      val mx = delta.agg(max("vec_id")).head().getLong(0)
+      val (c1, c2) = (mx / 3, 2 * mx / 3)
+      st.stage(delta.filter(col("vec_id") < c1), "batch0", 1000000000000L)
+      st.stage(delta.filter(col("vec_id") >= c1 && col("vec_id") < c2),
+        "batch1", 1000000060000L)
+      st.stage(delta.filter(col("vec_id") >= c2), "batch2", 1000000120000L)
+    })
+    val s = r.session
+    val hist = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 5 =!= 4)
+    val bits = graft.functions.VectorFns.adaptiveSrpBits(
+      hist.count(), graft.sources.VectorIndex.IndexBucketTarget)
+    val resDir = r.outDir
+    val idxRoot = r.outDir + "_index"
+    graft.streaming.AnnStream.seedHistory(s, hist, idxRoot, bits)
+    val stream = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.streaming.AnnStream.processBatch(
+          batch, batchId, resDir = resDir, root = idxRoot, bits = bits)
+        ()
+      }
+      .option("checkpointLocation", r.ckpDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(resDir).distinct()
+      .orderBy("vec_id", "nb_rank")
+  }
+
+  /** One oracle text for the streamed top-k: the ov02 SRP CTE family
+    * with the width from the HISTORY count, the q58 partner clause,
+    * and rank over the ROUNDED cosine. */
+  private val oq60 =
+    """WITH hb AS (SELECT coalesce(min(k), 16) AS bits FROM generate_series(4,16) t(k)
+      |      WHERE (SELECT count(*) FROM embeddings WHERE vec_id % 5 <> 4) <= 4096 * (1::BIGINT << k)),
+      |n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
+      |  substr(array_to_string(list_transform(list_slice(e, 1, 16),
+      |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), ''), 1, (SELECT bits FROM hb)) bucket FROM n),
+      |cand AS (SELECT q.vec_id qid, p.vec_id pid,
+      |    list_sum(list_transform(list_zip(q.e, p.e), x -> x[1]*x[2]))/(q.nrm*p.nrm) cos
+      |  FROM b q JOIN b p ON q.bucket = p.bucket
+      |  WHERE q.vec_id % 5 = 4 AND (p.vec_id % 5 <> 4 OR p.vec_id < q.vec_id)),
+      |r AS (SELECT qid, pid, ROUND(cos, 4) cs,
+      |    row_number() OVER (PARTITION BY qid ORDER BY ROUND(cos, 4) DESC, pid) rn FROM cand)
+      |SELECT qid AS vec_id, pid AS neighbor, cs AS cos_sim, rn AS nb_rank
+      |FROM r WHERE rn <= 10 ORDER BY vec_id, nb_rank""".stripMargin
+
   /** Q46 — the streaming pipeline through the RELATIONAL sink, under
     * the oracle: q33's dataflow with `foreachBatch` loading each
     * micro-batch into embedded Derby via
@@ -1881,6 +1950,7 @@ object Core {
     QueryDef("q54_stream_neardup", q54, Some(oq54)),
     QueryDef("q57_stream_hopping", q57, Some(AnalyticsQueries.oa15)),
     QueryDef("q58_stream_incdedup", q58, Some(DedupQueries.oIncDedupStream)),
+    QueryDef("q60_stream_ann", q60, Some(oq60)),
     // q33's oracle a third time: the JDBC-sink path must persist exactly
     // what the parquet sink persists
     QueryDef("q46_stream_jdbc", q46, Some(oq33)),

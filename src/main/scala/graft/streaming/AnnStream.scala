@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.Num.oround
+import graft.functions.VectorFns
+
+/** The q60 STREAMING ANN micro-batch step — continuous embedding ingest
+  * with search-on-arrival, the THIRD `foreachBatch` state consumer on
+  * [[BucketedIndex]] (after q54's near-dup indexes and q58's dedup
+  * signature index): each arriving vector is answered with its top-k
+  * most-similar EARLIER vectors, then added to the index so later
+  * arrivals can match it — the shape a production retrieval stack runs
+  * when the corpus itself is a stream (dedup-on-ingest, link-back,
+  * freshness-ranked search).
+  *
+  * Candidate generation is the v02 SRP discipline: the ONE
+  * [[VectorFns.srpBucket]] definition keys both the index rows and the
+  * probes, at a width FIXED when the history index was built
+  * ([[VectorFns.adaptiveSrpBits]] over the history count — the
+  * indexing job sizes the width; a stream keeps it until a re-band
+  * fold, which is [[BucketedIndex.compact]]-shaped work this query
+  * deliberately leaves at the documented seam). The per-batch probe
+  * reads the index PRUNED to the batch's own bucket keys
+  * (BucketedIndex `bp` pruning, plan-asserted machinery shared with
+  * q54/q58); exact cosine runs only on bucket-mates.
+  *
+  * Partner rule — identical algebra to q58's, making the result
+  * deterministic under any id-ordered batching and therefore
+  * DuckDB-oracle-able: a candidate qualifies if it is HISTORY
+  * (vec_id % 5 ≠ 4, all "before" the stream) or an earlier-ingested
+  * delta vector (`pid < qid` — earlier batch ⇒ smaller id, in-batch
+  * the strict order excludes self-matches). Ranking is over the
+  * ROUNDED cosine (v24's discipline: cross-engine ulp noise cannot
+  * reorder the cut), ties broken by partner id. Appends are
+  * idempotent-by-algebra (the final read distincts; rank rows are pure
+  * functions of the pair set).
+  */
+private[graft] object AnnStream {
+
+  private val rowSchema = StructType.fromDDL(
+    "vec_id LONG, e ARRAY<DOUBLE>, bk STRING")
+
+  def index(
+      s: SparkSession, root: String,
+      targetRowsPerBucket: Long, minBuckets: Int): BucketedIndex =
+    new BucketedIndex(s, root, "bk", rowSchema, targetRowsPerBucket, minBuckets)
+
+  /** (vec_id, e double[], bk) for a (vec_id, embedding float[]) frame. */
+  def keyed(vecs: DataFrame, bits: Int): DataFrame =
+    vecs.select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+      .select(col("vec_id"), col("e"),
+        VectorFns.srpBucket(col("e"), bits).as("bk"))
+
+  /** Seed the history corpus once — idempotent (q58's contract). */
+  def seedHistory(
+      s: SparkSession, history: DataFrame, root: String, bits: Int,
+      targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16): Unit = {
+    val ix = index(s, root, targetRowsPerBucket, minBuckets)
+    if (ix.exists) return
+    ix.append(keyed(history, bits))
+    ix.compact()
+  }
+
+  /** One micro-batch: bucket → pruned probe → exact cosine on
+    * bucket-mates → per-query top-k → append results + own rows →
+    * size-triggered fold. Returns whether the index compacted. */
+  def processBatch(
+      batch: DataFrame, batchId: Long,
+      resDir: String, root: String, bits: Int, k: Int = 10,
+      targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16): Boolean = {
+    val bs = batch.sparkSession
+    val ix = index(bs, root, targetRowsPerBucket, minBuckets)
+    val rows = keyed(batch, bits).localCheckpoint()
+    val rhs = ix.probe(rows.select(col("bk"))) match {
+      case Some(hist) => rows.unionByName(hist.select("vec_id", "e", "bk"))
+      case None       => rows
+    }
+    val ranked = rows
+      .select(col("bk"), col("vec_id").as("qid"), col("e").as("qe"))
+      .join(rhs.select(
+        col("bk"), col("vec_id").as("pid"), col("e").as("pe")), "bk")
+      .filter(col("pid") % 5 =!= 4 || col("pid") < col("qid"))
+      .select(col("qid"), col("pid"),
+        oround(VectorFns.cosine(col("qe"), col("pe")), 4).as("cos_sim"))
+      // a (qid, pid) pair cohabits exactly one bucket (the key is a pure
+      // function of the vector), so no same-pair duplicates enter the rank
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("pid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("pid").as("neighbor"),
+        col("cos_sim"), col("rank").cast("long").as("nb_rank"))
+    ranked.write.mode("append").parquet(resDir)
+    ix.append(rows)
+    ix.maybeCompact()
+  }
+}

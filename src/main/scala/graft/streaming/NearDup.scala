@@ -77,12 +77,27 @@ private[graft] object NearDup {
     * final distinct), so a replayed batch is harmless — the q46
     * idempotence contract met by algebra. Returns whether either
     * index compacted this batch (probe bookkeeping). */
+  /** The stream's band-bucket overload guard. DELIBERATELY distinct
+    * from d02's [[graft.queries.DedupQueries.PairBlockCap]] (64): that
+    * cap is part of d02's ORACLE TEXT (a HAVING bound both engines
+    * apply), while q54's oracle is the UNCAPPED closure — this cap
+    * exists only to bound farm mass, so it is sized by the measured
+    * separation between adversarial template farms (bucket membership
+    * 479/960/1,998 at 500/1k/2k perturbed copies,
+    * Q54AdversarialProbe) and GENUINE near-dup families (tens; the
+    * largest real family bucket seen on any staged estate is 76, at
+    * sf1 — which a 64 cap wrongly dropped, the round-13 sf1 sweep's
+    * one row of divergence). 256 keeps every measured genuine family
+    * and still kills every measured farm; a >256 genuine family would
+    * be dropped WITH a census row — surfaced, never silent. */
+  val StreamBandCap = 256
+
   def processBatch(
       batch: DataFrame, batchId: Long,
       resDir: String, bandRoot: String, exactRoot: String,
       targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16,
       bucketed: Boolean = true,
-      bandCap: Option[Int] = Some(graft.queries.DedupQueries.PairBlockCap))
+      bandCap: Option[Int] = Some(StreamBandCap))
       : Boolean = {
     val bs = batch.sparkSession
     val exIdxStore: Store =
