@@ -224,7 +224,13 @@ private[graft] final class BucketedIndex(
 
   /** Append a batch's rows into the current DELTA generation (plain
     * sequential files — ONE file per append; the bucket fan-out is
-    * paid only at fold time, see the class doc). Empty appends are
+    * paid only at fold time, see the class doc). `coalesce`, not
+    * `repartition`: every caller appends an already-checkpointed
+    * frame, so the single writer task reads cached blocks directly —
+    * no shuffle exchange just to funnel into one file. (The funnel
+    * itself is intentional — one delta file per micro-batch; a
+    * high-throughput stream would raise the coalesce width and let
+    * the size-ratio fold absorb the extra files.) Empty appends are
     * skipped. */
   def append(df: DataFrame): Unit = {
     if (df.isEmpty) return
@@ -233,7 +239,7 @@ private[graft] final class BucketedIndex(
       case Some(g) => new Path(rootPath, s"gen_${g.n + 1}_p0_a").toString
       case None    => new Path(rootPath, "gen_0_p0_a").toString
     }
-    df.repartition(1).write.mode("append").parquet(dir)
+    df.coalesce(1).write.mode("append").parquet(dir)
   }
 
   /** The size-ratio trigger: fold when the delta has grown to
