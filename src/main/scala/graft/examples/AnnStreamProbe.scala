@@ -40,6 +40,8 @@ object AnnStreamProbe {
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     val nVecs = vecs.count()
+    // vector-mix replica — the Sf1Stage trick (see Replicas.scala's
+    // note: the two sites differ in projection, label carried there)
     val partner = vecs.select(
       col("vec_id").as("pid"), col("embedding").as("pe"))
     def replicas(from: Int, until: Int) = (from until until).map { r =>

@@ -41,11 +41,9 @@ object ColdStartProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).localCheckpoint()
     val nDocs = docs.count()
-    def replicas(from: Int, until: Int) = docs.crossJoin(
-        spark.range(from, until).select(col("id").as("rep")))
-      .select(
-        (col("doc_id") + col("rep") * nDocs).as("doc_id"),
-        concat(col("text"), lit(" z"), col("rep")).as("text"))
+    // the ONE doc-replica staging definition (see Replicas.scala)
+    def replicas(from: Int, until: Int) =
+      Replicas.docReplicas(docs, nDocs)(from, until)
 
     val root = s"/tmp/q54cold_${ProcessHandle.current().pid()}"
     println(f"${"seed"}%5s ${"buckets"}%8s ${"cold+manifest_s"}%16s " +

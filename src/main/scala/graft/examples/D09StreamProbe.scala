@@ -31,11 +31,9 @@ object D09StreamProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).localCheckpoint()
     val nDocs = docs.count()
-    def replicas(from: Int, until: Int) = docs.crossJoin(
-        spark.range(from, until).select(col("id").as("rep")))
-      .select(
-        (col("doc_id") + col("rep") * nDocs).as("doc_id"),
-        concat(col("text"), lit(" z"), col("rep")).as("text"))
+    // the ONE doc-replica staging definition (see Replicas.scala)
+    def replicas(from: Int, until: Int) =
+      Replicas.docReplicas(docs, nDocs)(from, until)
 
     val root = s"/tmp/d09probe_${ProcessHandle.current().pid()}"
     for (seedMult <- Seq(4, 8, 16)) {

@@ -50,8 +50,12 @@ object DsirHashProbe {
       .localCheckpoint()
 
     /** t26's per-doc weight dataflow (no top-30 cut — the probe
-      * correlates ALL docs), with the term key either exact or hashed. */
-    def weights(hashed: Boolean): DataFrame = {
+      * correlates ALL docs), with the term key either exact or hashed.
+      * `eagerCp = false` builds the frame WITHOUT materializing the
+      * feature-table checkpoint — the plan-shape comparison needs only
+      * planning, and an eager checkpoint there would re-run the full
+      * aggregate a third/fourth time just to read node names. */
+    def weights(hashed: Boolean, eagerCp: Boolean = true): DataFrame = {
       val tgt = docs.groupBy("lang").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("lang")).limit(1)
         .select(col("lang").as("tlang"))
@@ -67,7 +71,7 @@ object DsirHashProbe {
         .agg(
           count(lit(1)).as("c_all"),
           sum(when(col("lang") === col("tlang"), 1L).otherwise(0L)).as("c_t"))
-        .localCheckpoint()
+        .localCheckpoint(eagerCp)
       val tot = tc.agg(
         sum("c_all").cast("double").as("tot_all"),
         sum("c_t").cast("double").as("tot_t"),
@@ -116,7 +120,9 @@ object DsirHashProbe {
     println(f"hashed: wall=$th%6.2f s  rows=$nh")
     println(f"weight correlation (Pearson, all docs) = $corrV%8.5f")
     println(f"top-100 overlap = $overlap/100")
-    val (pe, ph) = (planShape(weights(false)), planShape(weights(true)))
+    val (pe, ph) = (
+      planShape(weights(false, eagerCp = false)),
+      planShape(weights(true, eagerCp = false)))
     println(s"plan shapes equal = ${pe == ph}")
     if (pe != ph) {
       println("exact plan:  " + pe.mkString(" > "))

@@ -44,14 +44,9 @@ object Q54GrowthProbe {
       .select(col("doc_id"), col("text")).localCheckpoint()
     val nDocs = docs.count()
 
-    /** Replicas [from, until): doc_id shifted a block per replica, text
-      * suffixed with a replica-unique token (stays in the probe's key
-      * space as a NEAR-dup of its original — realistic probe load). */
-    def replicas(from: Int, until: Int) = docs.crossJoin(
-        spark.range(from, until).select(col("id").as("rep")))
-      .select(
-        (col("doc_id") + col("rep") * nDocs).as("doc_id"),
-        concat(col("text"), lit(" z"), col("rep")).as("text"))
+    // the ONE doc-replica staging definition (see Replicas.scala)
+    def replicas(from: Int, until: Int) =
+      Replicas.docReplicas(docs, nDocs)(from, until)
 
     val root = s"/tmp/q54probe_${ProcessHandle.current().pid()}"
     for (seedMult <- Seq(4, 8, 16); layout <- Seq("bucketed", "plain")) {

@@ -105,7 +105,8 @@ object Sf1Stage {
             t => concat(lit(s"r$r"), t)), " "))
       .withColumn("n_chars", length(col("text"))))
     // embeddings: half-mix with the stride-rotated partner of the SAME
-    // copy's base index (deterministic, no RNG — the probe discipline)
+    // copy's base index (deterministic, no RNG — the probe discipline;
+    // AnnStreamProbe carries the label-free twin — see Replicas.scala)
     val emb = rd("embeddings")
     val partner = emb.select(
       col("vec_id").as("pid"), col("embedding").as("pe"))

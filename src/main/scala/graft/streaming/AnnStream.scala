@@ -36,8 +36,11 @@ import graft.functions.VectorFns
   * the strict order excludes self-matches). Ranking is over the
   * ROUNDED cosine (v24's discipline: cross-engine ulp noise cannot
   * reorder the cut), ties broken by partner id. Appends are
-  * idempotent-by-algebra (the final read distincts; rank rows are pure
-  * functions of the pair set).
+  * idempotent-by-algebra: the candidate PAIR SET is distinct'd before
+  * ranking (crash-window or replay duplicates in the index would
+  * otherwise give one pair two ranks and evict a genuine neighbor),
+  * so rank rows are pure functions of the pair set, and the final
+  * read's distinct collapses re-written result files.
   */
 private[graft] object AnnStream {
 
@@ -63,7 +66,9 @@ private[graft] object AnnStream {
       targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16): Unit = {
     val ix = index(s, root, targetRowsPerBucket, minBuckets)
     if (ix.exists) return
-    ix.append(keyed(history, bits))
+    // checkpoint BEFORE the append: the coalesced single-writer funnel
+    // must not serialize the cast+SRP pass over the whole history
+    ix.append(keyed(history, bits).localCheckpoint())
     ix.compact()
   }
 
@@ -88,8 +93,16 @@ private[graft] object AnnStream {
       .filter(col("pid") % 5 =!= 4 || col("pid") < col("qid"))
       .select(col("qid"), col("pid"),
         oround(VectorFns.cosine(col("qe"), col("pe")), 4).as("cos_sim"))
-      // a (qid, pid) pair cohabits exactly one bucket (the key is a pure
-      // function of the vector), so no same-pair duplicates enter the rank
+      // DUPLICATE-IMMUNITY IS REQUIRED HERE, not optional: a (qid, pid)
+      // pair cohabits exactly one bucket, but the index itself can hold
+      // duplicate ROWS inside the BucketedIndex crash window (both
+      // generations visible between the new base's _SUCCESS and the
+      // superseded delete) or after a foreachBatch replay re-probes rows
+      // the failed attempt already appended. row_number over that
+      // MULTISET would give the same pair two ranks and push a genuine
+      // neighbor past k — so the pair set is distinct'd BEFORE ranking,
+      // which is exact (duplicate rows carry identical cos_sim).
+      .distinct()
       .withColumn("rank",
         row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("pid"))))

@@ -225,9 +225,13 @@ private[graft] final class BucketedIndex(
   /** Append a batch's rows into the current DELTA generation (plain
     * sequential files — ONE file per append; the bucket fan-out is
     * paid only at fold time, see the class doc). `coalesce`, not
-    * `repartition`: every caller appends an already-checkpointed
-    * frame, so the single writer task reads cached blocks directly —
-    * no shuffle exchange just to funnel into one file. (The funnel
+    * `repartition` — a CONTRACT on callers, not an observation: the
+    * appended frame must already be materialized (localCheckpoint),
+    * so the single writer task reads cached blocks directly with no
+    * shuffle exchange; an UNcheckpointed frame would have its whole
+    * upstream computation serialized into that one task (the
+    * round-13 review caught exactly this in the history seeders,
+    * fixed by checkpointing at the seed call sites). (The funnel
     * itself is intentional — one delta file per micro-batch; a
     * high-throughput stream would raise the coalesce width and let
     * the size-ratio fold absorb the extra files.) Empty appends are

@@ -62,7 +62,11 @@ private[graft] object IncDedup {
       targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16): Unit = {
     val ix = index(s, root, targetRowsPerBucket, minBuckets)
     if (ix.exists) return
-    ix.append(historyBands.select("doc_id", "sh", "bk"))
+    // checkpoint BEFORE the append: append funnels into one writer task
+    // (coalesce), which without the barrier would serialize the whole
+    // history banding computation into that single task — the seed is
+    // the largest write the index ever takes
+    ix.append(historyBands.select("doc_id", "sh", "bk").localCheckpoint())
     ix.compact()
   }
 

@@ -70,13 +70,6 @@ private[graft] object NearDup {
       targetRowsPerBucket: Long, minBuckets: Int): BucketedIndex =
     new BucketedIndex(s, root, "h", exactSchema, targetRowsPerBucket, minBuckets)
 
-  /** One micro-batch: exact-class collapse, LSH over first-seen class
-    * representatives against the pruned accumulated index, verdict
-    * append + index append, size-triggered compaction. Writes are
-    * append-only and the readers duplicate-immune (min-aggregates /
-    * final distinct), so a replayed batch is harmless — the q46
-    * idempotence contract met by algebra. Returns whether either
-    * index compacted this batch (probe bookkeeping). */
   /** The stream's band-bucket overload guard. DELIBERATELY distinct
     * from d02's [[graft.queries.DedupQueries.PairBlockCap]] (64): that
     * cap is part of d02's ORACLE TEXT (a HAVING bound both engines
@@ -92,6 +85,13 @@ private[graft] object NearDup {
     * be dropped WITH a census row — surfaced, never silent. */
   val StreamBandCap = 256
 
+  /** One micro-batch: exact-class collapse, LSH over first-seen class
+    * representatives against the pruned accumulated index, verdict
+    * append + index append, size-triggered compaction. Writes are
+    * append-only and the readers duplicate-immune (min-aggregates /
+    * final distinct), so a replayed batch is harmless — the q46
+    * idempotence contract met by algebra. Returns whether either
+    * index compacted this batch (probe bookkeeping). */
   def processBatch(
       batch: DataFrame, batchId: Long,
       resDir: String, bandRoot: String, exactRoot: String,

@@ -30,7 +30,8 @@ for q, t0, t1, a, flag in rows:
         fam[q.split("_")[0][0]].append(a)
 
 print(f"{'query':34s} {'sf0.1_s':>8s} {'sf1_s':>8s} {'alpha':>6s}")
-for q, t0, t1, a, flag in sorted(rows, key=lambda r: -(r[3] or -9)):
+for q, t0, t1, a, flag in sorted(
+        rows, key=lambda r: -(r[3] if r[3] is not None else -9)):
     print(f"{q:34s} {t0:8.2f} {t1:8.2f} "
           f"{a if a is not None else float('nan'):6.2f} {flag}")
 
