@@ -28,8 +28,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// SF-aware default heap: local[32] hosts every executor's shuffle/agg
+// state in the one driver JVM, and the sf10 decade-step estate OOM'd
+// the flat 8g default (round 13, d13) — a harness ceiling, not an
+// operator defect. Scale the DEFAULT with the estate being benched so
+// decade steps don't false-fail; an explicit SPARK_DRIVER_MEM always
+// wins. (Floors measured round 13: sf≤0.1 fine at 8g, sf1 at 24g,
+// sf10 needs 64g.)
+val sfDefaultMem = sys.env.get("SPARK_GRAFT_SF_DIR") match {
+  case Some(d) if d.replaceAll("/+$", "").endsWith("sf100") => "96g"
+  case Some(d) if d.replaceAll("/+$", "").endsWith("sf10")  => "64g"
+  case Some(d) if d.replaceAll("/+$", "").endsWith("sf1")   => "24g"
+  case _                                                    => "8g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", sfDefaultMem)}",
 )

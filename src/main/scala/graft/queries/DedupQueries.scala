@@ -1881,16 +1881,26 @@ object DedupQueries {
     * paths `distinct` BEFORE counting: a corpus vector near three
     * panel members is one contamination, not three. */
   private def d17(s: SparkSession, d: String): DataFrame =
-    semanticDecontam(s, d, 97L)
+    semanticDecontam(s, d, 97L, panelBudget = 256)
 
   /** [[d17]]'s dataflow with the panel-membership modulus exposed —
     * D17PanelProbe drives the SAME plan at ~11× panel size (mod 9) to
     * measure the growth axis: the probed screen should scale with
     * |panel| × bucket-hit-rate, the exact audit with |corpus|·|panel|
     * (which is why the audit samples at scale). */
+  /** `panelBudget > 0` caps the benchmark panel at a FIXED query
+    * count — the `panelBudget` hash-rank-lowest members of the
+    * `% panelMod` slice (v24's `(id·40503+7) mod 104729` rank; ties by
+    * vec_id). Benchmarks are bounded by nature, but the synthetic
+    * `% 97` slice grows with the corpus, and the slice feeds BOTH the
+    * probe-key broadcast AND the exact-audit crossJoin — so an
+    * uncapped panel makes the audit (corpus/auditMod)×(corpus/97):
+    * α≈2/decade, the v24 shape. With the cap both paths are one
+    * corpus-linear pass against a fixed broadcast. 0 keeps the raw
+    * slice — D17PanelProbe's growth-axis measurement. */
   private[graft] def semanticDecontam(
       s: SparkSession, d: String, panelMod: Long,
-      auditMod: Long = 3L): DataFrame = {
+      auditMod: Long = 3L, panelBudget: Int = 0): DataFrame = {
     val bits = adaptiveSrpBits(graft.sources.VectorIndex.corpusCount(s, d))
     val b = graft.Tables.rebalance(s, embeddings(s, d))
       .select(col("vec_id"), col("label"),
@@ -1898,7 +1908,12 @@ object DedupQueries {
       .select(col("vec_id"), col("label"), col("e"),
         VectorFns.norm(col("e")).as("nrm"),
         VectorFns.srpBucket(col("e"), bits).as("bucket"))
-    val panel = b.filter(col("vec_id") % panelMod === 0)
+    val slice = b.filter(col("vec_id") % panelMod === 0)
+    val panel = (if (panelBudget > 0)
+        slice.withColumn("hk",
+            (col("vec_id") * lit(40503L) + lit(7L)) % lit(104729L))
+          .orderBy(col("hk"), col("vec_id")).limit(panelBudget)
+      else slice)
       .select(col("e").as("qe"), col("nrm").as("qn"), col("bucket").as("qb"))
     val corp = b.filter(col("vec_id") % panelMod =!= 0)
     val cosc = VectorFns.dot(col("e"), col("qe")) / (col("nrm") * col("qn"))
@@ -1964,7 +1979,8 @@ object DedupQueries {
       |b AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
       |  substr(array_to_string(list_transform(list_slice(e, 1, 16),
       |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), ''), 1, (SELECT bits FROM ab)) bucket FROM n),
-      |q AS (SELECT e qe, nrm qn, bucket qb FROM b WHERE vec_id % 97 = 0),
+      |q AS (SELECT e qe, nrm qn, bucket qb FROM b WHERE vec_id % 97 = 0
+      |      ORDER BY (vec_id*40503+7)%104729, vec_id LIMIT 256),
       |qp AS (SELECT qe, qn,
       |    CASE WHEN j = 0 THEN qb
       |         ELSE substr(qb, 1, j-1) ||

@@ -1473,15 +1473,28 @@ object VectorQueries {
 
   /** V24 — retrieval-quality metrics: Precision@10, MRR@10 and NDCG@10
     * of exact cosine retrieval, per label, over a deterministic query
-    * panel (`vec_id % 100 = 0`; relevance = candidate shares the
-    * query's label, the standard labeled-corpus proxy). This is the
-    * EVAL harness of the similarity family: v09/v11/v12 audit an ANN
-    * index against exact retrieval (recall), v24 scores what exact
-    * retrieval is worth in the first place — the number a curation
-    * pipeline reads before trusting embedding-space dedup (d05/d16) or
-    * ANN-mined training pairs.
+    * panel (relevance = candidate shares the query's label, the
+    * standard labeled-corpus proxy). This is the EVAL harness of the
+    * similarity family: v09/v11/v12 audit an ANN index against exact
+    * retrieval (recall), v24 scores what exact retrieval is worth in
+    * the first place — the number a curation pipeline reads before
+    * trusting embedding-space dedup (d05/d16) or ANN-mined training
+    * pairs.
     *
-    * Shape: the query panel (1% of the corpus) broadcasts; candidates
+    * PANEL IS A FIXED BUDGET, NOT A CORPUS FRACTION (the round-13 sf10
+    * lesson: the previous `vec_id % 100` panel grew with the corpus,
+    * so panel × corpus-scan went α≈2/decade — 57.9 s at sf10). Metric
+    * precision depends on the NUMBER of queries, not on what fraction
+    * of the corpus they are, so the panel is the [[panelBudget]]
+    * lowest vec_ids under a deterministic hash rank
+    * (`(vec_id·40503+7) mod 104729`, ties by vec_id — affine mod a
+    * prime, identical integer arithmetic in both engines, spread
+    * across the id space unlike a plain `LIMIT`). Selecting it is a
+    * corpus-linear TakeOrderedAndProject of (hash, id) pairs; after
+    * that the whole query is ONE corpus pass against a fixed-size
+    * broadcast — α=1 by construction at any scale.
+    *
+    * Shape: the fixed query panel broadcasts; candidates
     * score in one corpus pass (the v10 batch-ANN discipline — never a
     * corpus×corpus join); the per-query top-10 goes through a
     * rank-filtered window, which Spark 4 plans as WindowGroupLimit —
@@ -1497,10 +1510,19 @@ object VectorQueries {
     * relevant candidates in the WHOLE corpus (`nlab - 1`, excluding
     * the query itself); a query whose label has no other member scores
     * NDCG 0 (and necessarily P@10 = MRR = 0). */
+  /** Fixed query-panel budget shared by [[v24]] and [[ov24]]. `final`
+    * + literal = a compile-time constant, immune to the object-init
+    * ordering that forces [[ov24]] (via `defs`) before later plain
+    * vals initialize (the d15/ndcgDisc lesson — a plain val here
+    * interpolated as `LIMIT 0` into the oracle). */
+  private final val panelBudget = 200
+
   private def v24(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus(s, d).withColumn("nrm", norm(col("e")))
-    val q = c.filter(col("vec_id") % 100 === 0)
+    val q = c
+      .withColumn("hk", (col("vec_id") * lit(40503L) + lit(7L)) % lit(104729L))
+      .orderBy(col("hk"), col("vec_id")).limit(panelBudget)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("e").as("qe"), col("nrm").as("qn"))
     val labelN = c.groupBy(col("label").as("qlabel"))
@@ -1544,7 +1566,8 @@ object VectorQueries {
   private lazy val ov24 =
     s"""WITH n AS (SELECT vec_id, label, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
       |m AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm FROM n),
-      |q AS (SELECT vec_id qid, label qlabel, e qe, nrm qn FROM m WHERE vec_id % 100 = 0),
+      |q AS (SELECT vec_id qid, label qlabel, e qe, nrm qn FROM m
+      |      ORDER BY (vec_id*40503+7)%104729, vec_id LIMIT $panelBudget),
       |lc AS (SELECT label qlabel, count(*) nlab FROM m GROUP BY 1),
       |s AS (SELECT qid, qlabel, m.vec_id,
       |    CASE WHEN m.label = qlabel THEN 1 ELSE 0 END rel,
