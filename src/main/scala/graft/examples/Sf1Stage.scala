@@ -108,6 +108,15 @@ object Sf1Stage {
     // copy's base index (deterministic, no RNG — the probe discipline;
     // AnnStreamProbe carries the label-free twin — see Replicas.scala)
     val emb = rd("embeddings")
+    // The partner arithmetic below assumes vec_ids are EXACTLY the
+    // contiguous range 0..nVecs-1; on an estate with gaps or a nonzero
+    // base the inner join would silently drop vectors and stage fewer
+    // than copies × nVecs embeddings, skewing every exponent measured
+    // on the staged estate. Assert rather than derive-by-rank: the
+    // driver-generated estates ARE contiguous, and a failed staging
+    // run must be loud, not subtly smaller.
+    require(vecStride == nVecs,
+      s"embeddings vec_id not contiguous from 0: max+1=$vecStride, count=$nVecs")
     val partner = emb.select(
       col("vec_id").as("pid"), col("embedding").as("pe"))
     (0 until copies).map { r =>

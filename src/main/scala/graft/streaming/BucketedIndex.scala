@@ -363,9 +363,20 @@ private[graft] object BucketedIndex {
   /** Persist `dir`'s data-file manifest (relative path, bytes, mtime —
     * tab-separated, one line per file) as `dir/_MANIFEST`. Called once
     * per fold, on the generation the fold just wrote; the recursive
-    * listing here is the LAST one the generation ever needs. */
+    * listing here is the LAST one the generation ever needs.
+    *
+    * CRASH-SAFE: the manifest is a pure cache, so a torn write must
+    * never become a correctness dependency. The bytes go to
+    * `_MANIFEST.tmp` first and rename into place (rename is atomic on
+    * every FS this runs on; on one where it isn't, the footer check
+    * below still catches the tear), and the last line is a
+    * `#<TAB>count` footer that [[readManifest]] validates — a manifest
+    * truncated at ANY byte either loses the footer or disagrees with
+    * it, and the reader falls back to listing instead of silently
+    * omitting data files. */
   private[graft] def writeManifest(fs: FileSystem, dir: Path): Unit = {
     val sb = new StringBuilder
+    var n = 0
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
       val f = it.next()
@@ -374,36 +385,55 @@ private[graft] object BucketedIndex {
           fs.makeQualified(dir).toString).stripPrefix("/")
         sb.append(rel).append('\t').append(f.getLen)
           .append('\t').append(f.getModificationTime).append('\n')
+        n += 1
       }
     }
-    val out = fs.create(new Path(dir, ManifestName), true)
+    sb.append('#').append('\t').append(n).append('\n')
+    val tmp = new Path(dir, ManifestName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val dst = new Path(dir, ManifestName)
+    // A failed rename leaves no (or the old) manifest — both fall back
+    // to listing; never a torn file at the final path.
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
   }
 
   /** The generation's data files as [[FileStatus]]es reconstructed from
     * its `_MANIFEST` — ONE small-file read, no directory listing. None
     * when the generation has no manifest (pre-manifest fold, or a crash
-    * between parquet commit and manifest write). */
+    * between parquet commit and manifest write), when the footer is
+    * missing or disagrees with the entry count (torn write), or when
+    * any line fails to parse — EVERY anomaly degrades to the listing
+    * path rather than trusting a possibly-incomplete file list (a
+    * silently short manifest would drop rows, violating the index's
+    * "duplicates, never missing rows" crash contract). */
   private[graft] def readManifest(
       fs: FileSystem, dir: Path): Option[Array[FileStatus]] = {
     val mp = new Path(dir, ManifestName)
-    if (!fs.exists(mp)) return None
-    val in = fs.open(mp)
-    val text =
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-    val qualified = fs.makeQualified(dir)
-    Some(text.split('\n').iterator.filter(_.nonEmpty).map { line =>
-      val Array(rel, len, mtime) = line.split('\t')
-      new FileStatus(len.toLong, false, 1, 128L << 20, mtime.toLong,
-        new Path(qualified, rel))
-    }.toArray)
+    try {
+      if (!fs.exists(mp)) return None
+      val in = fs.open(mp)
+      val text =
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      val lines = text.split('\n').filter(_.nonEmpty)
+      if (lines.isEmpty || !lines.last.startsWith("#\t")) return None
+      val entries = lines.dropRight(1)
+      if (entries.length != lines.last.split('\t')(1).toInt) return None
+      val qualified = fs.makeQualified(dir)
+      Some(entries.map { line =>
+        val Array(rel, len, mtime) = line.split('\t')
+        new FileStatus(len.toLong, false, 1, 128L << 20, mtime.toLong,
+          new Path(qualified, rel))
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** A [[FileStatusCache]] pre-seeded with one root path's manifest

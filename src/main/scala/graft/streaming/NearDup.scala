@@ -173,7 +173,12 @@ private[graft] object NearDup {
       case None => rhs0
       case Some(cap) =>
         val ck = rhs0.localCheckpoint()
-        val sizes = ck.groupBy("bk").agg(count(lit(1)).as("bn"))
+        // countDistinct, not count(*): during the compaction crash
+        // window BOTH index generations are visible until the next
+        // fold, so a raw row count double-counts every member and
+        // could push a genuine family past the cap — the census must
+        // be duplicate-immune like the pair algebra it guards.
+        val sizes = ck.groupBy("bk").agg(countDistinct("doc_id").as("bn"))
           .localCheckpoint()
         val hot = sizes.filter(col("bn") > cap)
           .agg(count(lit(1)).as("hot_keys"), max("bn").as("max_bucket"),

@@ -151,4 +151,45 @@ class BucketedIndexCrashSpec extends AnyFunSuite {
     assert(probeAll(ix, keys) == warm,
       "a generation without a manifest must fall back to the listing read")
   }
+
+  test("torn manifest: truncation at any byte degrades to listing, never a short file list") {
+    val (ix, root) = freshIndex()
+    ix.append(rowsDf(128, "a"))
+    ix.compact()
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = fs.listStatus(new Path(root)).map(_.getPath)
+      .find(_.getName.endsWith("_b")).get
+    val mp = new Path(gen, "_MANIFEST")
+    val full = {
+      val in = fs.open(mp)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toByteArray
+      } finally in.close()
+    }
+    assert(BucketedIndex.readManifest(fs, gen).isDefined)
+    val keys = rowsDf(128, "k").select(col("k")).limit(9)
+    val want = probeAll(ix, keys)
+    // crash-window truncations: mid-line (would MatchError the parse),
+    // at a line boundary (the silent-omission case the footer catches),
+    // and footer-only/empty
+    val text = new String(full, java.nio.charset.StandardCharsets.UTF_8)
+    val lineBoundary = text.indexOf('\n') + 1
+    for (cut <- Seq(full.length - 3, lineBoundary, full.length / 2, 1, 0)) {
+      val out = fs.create(mp, true)
+      try out.write(full, 0, cut) finally out.close()
+      assert(BucketedIndex.readManifest(fs, gen).isEmpty,
+        s"a manifest truncated at byte $cut must be rejected, not trusted")
+      BucketedIndex.clearCachesForTesting()
+      assert(probeAll(ix, keys) == want,
+        s"probe after a byte-$cut torn manifest must match via listing fallback")
+    }
+    // restored intact → accepted again
+    val out = fs.create(mp, true)
+    try out.write(full) finally out.close()
+    assert(BucketedIndex.readManifest(fs, gen).isDefined)
+  }
 }
