@@ -33,7 +33,15 @@ object Engine {
       .builder()
       .master(master)
       .appName("graft-engine")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples shuffle WIDTH from
+      // local thread count — the knob a cluster sizes by data volume
+      // but local[32] otherwise holds constant across decade steps
+      // (the round-13 suspicion for p06/d13/g04's super-linear
+      // wall-clock: fixed 32-way shuffles spilling at ×100 data). AQE
+      // coalesces unused width away, so oversizing is cheap.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          shufflePartitions.toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

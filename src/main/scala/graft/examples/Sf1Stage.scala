@@ -42,6 +42,20 @@ import org.apache.spark.sql.functions._
   * wants. Dims region/nation stay as-is (25 rows; every copy shares
   * them, and nationkey domains are unchanged on both sides).
   *
+  *  - MEASURE COLUMNS GET A PER-COPY RELATIVE JITTER (`× (1 + r·1e-9)`
+  *    on `events.value` and `lineitem.l_extendedprice`) — the
+  *    round-13 midpoint-ulp closure: exact ×10 value duplication put
+  *    thousands of group means/sums EXACTLY on 2-decimal rounding
+  *    midpoints, where Spark's and DuckDB's double-sum final-ulp
+  *    difference flips `round(·, 2)` (six queries, BASELINE.md sf1
+  *    cross-check). The jitter moves every such mean ~1e-9 relative
+  *    off the knife edge — 4+ orders above cross-engine ulp noise,
+  *    6+ below any semantic threshold (filters, clamps, validity) —
+  *    so both engines, reading the SAME staged parquet, round the
+  *    same way again. Staging-grade by design: the engine itself
+  *    needs no change, because the artifact only exists in
+  *    replica-staged estates.
+  *
   * Usage: runMain graft.examples.Sf1Stage [srcDir] [destDir] [copies]
   */
 object Sf1Stage {
@@ -93,10 +107,13 @@ object Sf1Stage {
     fan("lineitem", 16)((df, r) => df
       .withColumn("l_orderkey", col("l_orderkey") + lit(r * liStride))
       .withColumn("l_partkey", col("l_partkey") + lit(r * partStride))
-      .withColumn("l_suppkey", col("l_suppkey") + lit(r * suppStride)))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(r * suppStride))
+      .withColumn("l_extendedprice",
+        col("l_extendedprice") * (lit(1.0) + lit(r) * lit(1e-9))))
     fan("events", 8)((df, r) => df
       .withColumn("event_id", col("event_id") + lit(r * eventStride))
-      .withColumn("user_id", col("user_id") + lit(r * userStride)))
+      .withColumn("user_id", col("user_id") + lit(r * userStride))
+      .withColumn("value", col("value") * (lit(1.0) + lit(r) * lit(1e-9))))
     fan("documents", 8)((df, r) => df
       .withColumn("doc_id", col("doc_id") + lit(r * docStride))
       .withColumn("text",

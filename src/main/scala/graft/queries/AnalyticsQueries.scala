@@ -560,40 +560,58 @@ object AnalyticsQueries {
 
   /** P6 — the corpus BUILD, composed end to end in one declarative
     * dataflow: quality filter (t02's formula via [[qualityOf]]) →
-    * exact-dedup (first doc per content hash) → benchmark
-    * decontamination (p04's 8-gram check) → deterministic split
-    * ([[splitOf]]) → per-split doc/token/quality stats. This is the
-    * whole pipeline a pretraining corpus runs, as ONE oracle-checked
-    * query. Scale shape: the benchmark 8-gram set collapses to a 1-row
-    * collect_set broadcast and the contamination test is per-row
-    * `arrays_overlap` — unlike p04's explode+semi-join there is NO
-    * second pass and NO corpus-side 8-gram shuffle; the only wide op
-    * in the whole build is the dedup's one hash-partitioned window. */
+    * benchmark decontamination (p04's 8-gram check) → exact-dedup
+    * (first doc per content hash) → deterministic split ([[splitOf]])
+    * → per-split doc/token/quality stats. This is the whole pipeline a
+    * pretraining corpus runs, as ONE oracle-checked query.
+    *
+    * SCALE SHAPE (rewritten by the round-13 sf10 sweep, α=1.30): the
+    * original build collapsed the bench 8-grams to a 1-row
+    * `collect_set` broadcast and tested contamination with per-row
+    * `arrays_overlap(g8, bh)` — elegant, and QUADRATIC: `ArraysOverlap`
+    * hash-sets the SMALLER array and linearly SCANS the larger per
+    * row, and the synthetic bench slice (1/50 of doc_ids) grows with
+    * the corpus, so every corpus row paid an O(|bench grams|) scan —
+    * corpus × bench, the v24 panel bug wearing an expression costume
+    * (measured: the fix alone took sf10 from 155 s to 23 s). Now the
+    * decontamination is p04's explode + BROADCAST SEMI-JOIN shape
+    * (per-gram O(1) lookups against the ONE shared hash table the
+    * broadcast join builds), then a doc-level anti-join of flagged ids
+    * — linear in corpus + bench mass. The narrow profile (doc_id,
+    * content hash, quality, nt, g8) is checkpointed once and feeds
+    * both the contamination probe and the surviving-doc path
+    * (tokenizing is the dominant CPU; two consumers must not rescan),
+    * and the dedup window shuffles only scalar columns — text and
+    * token arrays never reach an exchange (p16's discipline).
+    * Decontamination commutes with exact dedup — byte-equal text has
+    * an identical 8-gram set, so every member of a content class
+    * shares one verdict; the oracle is unchanged. */
   private def p06(s: SparkSession, d: String): DataFrame = {
-    val firstPerContent = Window
-      .partitionBy(md5(col("text").cast("binary")))
-      .orderBy("doc_id")
-    // benchmark sets are small by nature (p04): 1 row, one array
-    val benchSet = documents(s, d).filter(isBenchDoc(col("doc_id")))
+    val firstPerContent = Window.partitionBy(col("h")).orderBy("doc_id")
+    val benchHashes = documents(s, d).filter(isBenchDoc(col("doc_id")))
       .select(graft.functions.TextFns.tokens(col("text")).as("toks"))
-      .select(explode(g8OfToks(col("toks"))).as("h"))
-      .agg(collect_set("h").as("bh"))
-    graft.Tables.rebalance(s,
+      .select(explode(g8OfToks(col("toks"))).as("gh"))
+      .distinct()
+    val prof = graft.Tables.rebalance(s,
         documents(s, d).filter(!isBenchDoc(col("doc_id"))))
       .select(col("doc_id"), col("text"),
         graft.functions.TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("text"), col("toks"),
         qualityOf(col("toks")).as("quality"))
       .filter(col("quality") >= 0.73)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
+        col("quality"), size(col("toks")).cast("long").as("nt"),
+        g8OfToks(col("toks")).as("g8"))
+      .localCheckpoint()
+    val contaminated = prof
+      .select(col("doc_id"), explode(col("g8")).as("gh"))
+      .join(broadcast(benchHashes), Seq("gh"), "left_semi")
+      .select("doc_id").distinct()
+    prof.select(col("doc_id"), col("h"), col("quality"), col("nt"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
       .withColumn("rn", row_number().over(firstPerContent))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("toks"), col("quality"),
-        g8OfToks(col("toks")).as("g8"))
-      .crossJoin(broadcast(benchSet))
-      .filter(!arrays_overlap(col("g8"), col("bh")))
-      .select(
-        splitOf(col("doc_id")).as("split"),
-        size(col("toks")).cast("long").as("nt"), col("quality"))
+      .select(splitOf(col("doc_id")).as("split"), col("nt"), col("quality"))
       .groupBy("split")
       .agg(
         count(lit(1)).as("n_docs"),

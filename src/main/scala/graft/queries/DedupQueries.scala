@@ -1278,25 +1278,47 @@ object DedupQueries {
     * whole inside a long one scores low symmetric similarity but
     * containment |A∩B|/min(|A|,|B|) ≈ 1. Blocking here is the inverted
     * index itself: trigram shingles with document frequency ≤ 20 (the
-    * p04 rare-k-gram discipline); the self-join on the shingle key is
-    * the posting-list pair emission, and the df cap bounds fan-out at
+    * p04 rare-k-gram discipline); the df cap bounds fan-out at
     * df·(df−1)/2 pairs per shingle — pair volume stays linear in the
-    * posting-list mass no matter how the corpus grows. The shingle
-    * table is checkpointed once (the d02 compute-once rule): df filter,
-    * per-doc sizes and both join sides read the same materialization. */
+    * posting-list mass no matter how the corpus grows.
+    *
+    * PLAN SHAPE (rewritten by the round-14 stage probe,
+    * D13StageProbe): the original checkpoint → df-aggregate →
+    * join-back → checkpoint → SELF-JOIN chain paid FOUR full
+    * exchanges-plus-sorts of the ~100M-row shingle table (a
+    * localCheckpoint erases partitioning, so the self-join re-shuffled
+    * and re-sorted both sides — 37 of the 50 sf10 seconds). Now the
+    * shingle stream crosses ONE exchange (`repartition(sh)`); the df
+    * census is a window over the co-located key (no second exchange),
+    * and pair emission builds actual POSTING LISTS — `collect_list`
+    * per multi-doc rare shingle, bounded ≤ 20 by the df filter that
+    * precedes it (never an uncapped collect — the hot-key rule), then
+    * a combinations lambda explodes the C(df,2) sorted pairs. Only the
+    * df∈[2,20] subset (a sliver: the staged estates make most shingles
+    * unique) reaches the postings aggregate; everything downstream of
+    * the one exchange is bounded-fanout narrow work. Same pair set,
+    * same ni, same oracle. */
   private def d13(s: SparkSession, d: String): DataFrame = {
     val sh = tokenized(s, d)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(TextFns.shinglesOf(col("toks"), 3)).as("sh"))
-      .localCheckpoint()
-    val rs = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 20).select("sh"),
-      "sh").localCheckpoint()
-    val na = rs.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    rs.select(col("sh"), col("doc_id").as("da"))
-      .join(rs.select(col("sh"), col("doc_id").as("db")), "sh")
-      .filter(col("da") < col("db"))
+    val rare = sh.repartition(col("sh"))
+      .withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("df") <= 20)
+      .localCheckpoint() // two consumers: per-doc sizes AND postings
+    val na = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // per-doc shingle sets are distinct (shinglesOf array_distincts),
+    // so the sorted posting list has no repeats and the combinations
+    // lambda emits each (da < db) pair exactly once
+    val ds = col("ds")
+    val comb = flatten(transform(ds, (a, i) =>
+      transform(slice(ds, i + lit(2), size(ds)),
+        b => struct(a.as("da"), b.as("db")))))
+    rare.filter(col("df") >= 2)
+      .groupBy("sh").agg(sort_array(collect_list("doc_id")).as("ds"))
+      .select(explode(comb).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("ni"))
       .join(na.select(col("doc_id").as("da"), col("n").as("nda")), "da")
       .join(na.select(col("doc_id").as("db"), col("n").as("ndb")), "db")

@@ -159,32 +159,68 @@ object GraphQueries {
       |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin
 
   /** G4 — co-purchase link prediction: customer pairs ranked by Jaccard
-    * similarity of their purchased-part baskets. The wedge join on the
-    * shared part is the standard distributed common-neighbor count; its
-    * one scale hazard is hub items — a part in b baskets emits b² wedge
-    * pairs — so ubiquitous parts (> 40 distinct buyers) are pruned
-    * first, the item-cooccurrence analogue of stopword removal. After
-    * pruning, wedge volume is Σ min(b,40)² — linear in |edges| with a
-    * constant cap, and every join is an equi-join: no cross product,
-    * no driver state. Degrees join back on customer key (same hash
-    * partitioning the pair aggregation already produced). */
+    * similarity of their purchased-part baskets. The shared-part wedge
+    * is the standard distributed common-neighbor count; its one scale
+    * hazard is hub items — a part in b baskets emits C(b,2) pairs — so
+    * ubiquitous parts (> 40 distinct buyers) are pruned first, the
+    * item-cooccurrence analogue of stopword removal. After pruning,
+    * pair volume is Σ C(min(b,40),2) — linear in |edges| with a
+    * constant cap.
+    *
+    * PLAN SHAPE (rewritten by the round-14 sf10 sweep — the pre-cap
+    * stages carried the α): the original distinct → per-part count →
+    * join-back → SELF-JOIN chain pushed the edge table through four
+    * exchanges. Now the edge stream crosses ONE exchange
+    * (`repartition(pk)`): the (ck,pk) distinct needs no exchange of
+    * its own (pk-hash co-locates equal pairs — HashPartitioning on a
+    * subset of the grouping keys satisfies the clustering), the buyer
+    * cap is a window census over the co-located key, and pair emission
+    * is d13's bounded posting-list shape — `collect_list` per part,
+    * ≤ 40 by the filter preceding it, then a combinations lambda
+    * emits each sorted (ca < cb) pair exactly once.
+    *
+    * THE PAIR STREAM CROSSES EXACTLY ONE EXCHANGE — its own 2-key
+    * aggregation, the operator's irreducible cost (G04StageProbe: pair
+    * mass is exactly linear, 84M → 840M across the decade, and the
+    * bare aggregation ~103 s at sf10 against a 249 s full query). Two
+    * rejected alternatives, both measured: shuffle-joining the
+    * aggregated pairs to the degree table added two more full
+    * exchanges of the biggest table in the query (~80 s), and carrying
+    * (deg) inside the posting-list structs doubled the explode AND
+    * widened the aggregation keys 16B → 32B (explode 24 → 105 s, agg
+    * 159 → 214 s — worse on both ends). Degrees instead join as a
+    * BROADCAST: deg is a per-customer aggregate — the customer DIM,
+    * 10²–10³× smaller than the pair stream, the textbook broadcast
+    * side; on an estate where customers outgrow the broadcast budget
+    * the hint comes off and the same algebra degrades to a shuffle
+    * join, documented rather than silent. Width and heap were probed
+    * too: 256 shuffle partitions ≈ 32 (115 vs 103–159 s, run noise) —
+    * the aggregation is mass-bound, not width-bound; the residual
+    * spill is the local-harness memory ceiling a real cluster scales
+    * away with executor count. Same pair set, same n_common, same
+    * oracle. */
   private def g04(s: SparkSession, d: String): DataFrame = {
-    val e = lineitem(s, d)
+    val kept = lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .join(orders(s, d).select(col("o_orderkey").as("ok"), col("o_custkey").as("ck")), "ok")
-      .select("ck", "pk").distinct()
-    val kept = e.join(
-      e.groupBy("pk").agg(count(lit(1)).as("np")).filter(col("np") <= 40).select("pk"),
-      "pk")
+      .select("ck", "pk")
+      .repartition(col("pk"))
+      .distinct()
+      .withColumn("np", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pk")))
+      .filter(col("np") <= 40)
     val deg = kept.groupBy("ck").agg(count(lit(1)).as("deg"))
-    val pairs = kept.select(col("pk"), col("ck").as("ca"))
-      .join(kept.select(col("pk"), col("ck").as("cb")), "pk")
-      .filter(col("ca") < col("cb"))
+    val ds = col("ds")
+    val comb = flatten(transform(ds, (a, i) =>
+      transform(slice(ds, i + lit(2), size(ds)),
+        b => struct(a.as("ca"), b.as("cb")))))
+    kept.groupBy("pk").agg(sort_array(collect_list("ck")).as("ds"))
+      .select(explode(comb).as("p"))
+      .select(col("p.ca").as("ca"), col("p.cb").as("cb"))
       .groupBy("ca", "cb")
       .agg(count(lit(1)).as("n_common"))
-    pairs
-      .join(deg.select(col("ck").as("ca"), col("deg").as("da")), "ca")
-      .join(deg.select(col("ck").as("cb"), col("deg").as("db")), "cb")
+      .join(broadcast(deg.select(col("ck").as("ca"), col("deg").as("da"))), "ca")
+      .join(broadcast(deg.select(col("ck").as("cb"), col("deg").as("db"))), "cb")
       .select(
         col("ca"), col("cb"), col("n_common"),
         oround(col("n_common") / (col("da") + col("db") - col("n_common")), 4)

@@ -19,14 +19,30 @@ import graft.functions.VectorFns
   *
   * Candidate generation is the v02 SRP discipline: the ONE
   * [[VectorFns.srpBucket]] definition keys both the index rows and the
-  * probes, at a width FIXED when the history index was built
-  * ([[VectorFns.adaptiveSrpBits]] over the history count — the
-  * indexing job sizes the width; a stream keeps it until a re-band
-  * fold, which is [[BucketedIndex.compact]]-shaped work this query
-  * deliberately leaves at the documented seam). The per-batch probe
-  * reads the index PRUNED to the batch's own bucket keys
-  * (BucketedIndex `bp` pruning, plan-asserted machinery shared with
-  * q54/q58); exact cosine runs only on bucket-mates.
+  * probes. The per-batch probe reads the index PRUNED to the batch's
+  * own bucket keys (BucketedIndex `bp` pruning, plan-asserted
+  * machinery shared with q54/q58); exact cosine runs only on
+  * bucket-mates.
+  *
+  * BAND WIDTH — seed-pinned or fold-adaptive (`reband`): the width is
+  * sized by [[VectorFns.adaptiveSrpBits]] so bucket occupancy (and
+  * therefore per-probe candidate mass) stays ~constant; a stream that
+  * grows past its seed count at a FROZEN width gets linearly fatter
+  * buckets — per-batch cost grows with stream age, the exact hazard
+  * BucketedIndex's own `bp` re-widening exists to prevent. With
+  * `reband = true` the size-ratio fold recomputes `bk` at the width
+  * the CURRENT row count calls for (the fold rewrites every row
+  * anyway — [[BucketedIndex.compact]]'s `rewrite` hook), and each
+  * batch derives the live width FROM THE NEWEST BASE itself
+  * (`length(bk)` of one row, cached per immutable generation dir — no
+  * sidecar that a crash could tear; in the crash window where two
+  * bases coexist, the newest is a superset of the old, so keying the
+  * batch at the newest width loses nothing). The DECLARED q60 pins
+  * the seed width (`reband = false`): its DuckDB oracle must re-derive
+  * one bucket function for the whole run, and a mid-stream width flip
+  * is not expressible as a single SQL bucket CTE — the capability is
+  * exercised by AnnRebandSpec and the ReBandProbe growth axis
+  * instead.
   *
   * Partner rule — identical algebra to q58's, making the result
   * deterministic under any id-ordered batching and therefore
@@ -72,16 +88,36 @@ private[graft] object AnnStream {
     ix.compact()
   }
 
+  /** Width cache keyed by (immutable) base generation dir — derived
+    * once per fold product, however many batches probe it. */
+  private val widthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+
+  /** The index's LIVE band width: `length(bk)` of any row of the
+    * newest base (all rows of a generation share one width — the fold
+    * rewrites them together). Falls back to `seedBits` before the
+    * first fold. */
+  private[graft] def currentBits(ix: BucketedIndex, seedBits: Int): Int =
+    ix.newestBase match {
+      case Some((dir, df)) =>
+        widthCache.computeIfAbsent(dir,
+          _ => df.select(length(col("bk"))).head().getInt(0))
+      case None => seedBits
+    }
+
   /** One micro-batch: bucket → pruned probe → exact cosine on
     * bucket-mates → per-query top-k → append results + own rows →
-    * size-triggered fold. Returns whether the index compacted. */
+    * size-triggered fold (re-banding `bk` at the fold when `reband`).
+    * Returns whether the index compacted. */
   def processBatch(
       batch: DataFrame, batchId: Long,
       resDir: String, root: String, bits: Int, k: Int = 10,
-      targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16): Boolean = {
+      targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16,
+      reband: Boolean = false): Boolean = {
     val bs = batch.sparkSession
     val ix = index(bs, root, targetRowsPerBucket, minBuckets)
-    val rows = keyed(batch, bits).localCheckpoint()
+    val liveBits = if (reband) currentBits(ix, bits) else bits
+    val rows = keyed(batch, liveBits).localCheckpoint()
     val rhs = ix.probe(rows.select(col("bk"))) match {
       case Some(hist) => rows.unionByName(hist.select("vec_id", "e", "bk"))
       case None       => rows
@@ -111,6 +147,14 @@ private[graft] object AnnStream {
         col("cos_sim"), col("rank").cast("long").as("nb_rank"))
     ranked.write.mode("append").parquet(resDir)
     ix.append(rows)
-    ix.maybeCompact()
+    if (reband)
+      ix.maybeCompact((union, n) => {
+        // re-band at the width the CURRENT count calls for — the ONE
+        // adaptiveSrpBits rule over the folded row count, recomputed
+        // from `e` exactly as keyed() computes it on arrival
+        val nb = VectorFns.adaptiveSrpBits(n, targetRowsPerBucket)
+        union.withColumn("bk", VectorFns.srpBucket(col("e"), nb))
+      })
+    else ix.maybeCompact()
   }
 }

@@ -250,17 +250,29 @@ private[graft] final class BucketedIndex(
     * 1/[[BucketedIndex.FoldFraction]] of the base's bytes (pure
     * filesystem metadata — no Spark job). With no base yet, any
     * non-empty delta folds (that first fold is what creates the
-    * base). Returns whether a compaction ran. */
-  def maybeCompact(): Boolean = {
+    * base). Returns whether a compaction ran. `rewrite` is forwarded
+    * to [[compact]] (fold-time row rewrites — see there). */
+  def maybeCompact(
+      rewrite: (DataFrame, Long) => DataFrame = (df, _) => df): Boolean = {
     val gs = gens()
     if (gs.isEmpty) return false
     val deltaBytes = gs.filter(_.kind == "a").map(_.bytes(fs)).sum
     val baseBytes = gs.filter(_.kind == "b").map(_.bytes(fs)).sum
     if (deltaBytes == 0L ||
         deltaBytes * BucketedIndex.FoldFraction < baseBytes) return false
-    compact()
+    compact(rewrite)
     true
   }
+
+  /** The newest `_SUCCESS`-complete BASE generation, as (dir, rows) —
+    * the hook consumers use to derive fold-owned PROPERTIES OF THE
+    * DATA (e.g. AnnStream's SRP band width = `length(bk)` of any row)
+    * instead of trusting a sidecar that a crash could tear: the base
+    * IS the authority, and it is immutable from `_SUCCESS` to
+    * deletion, so whatever is derived from it may be cached per dir. */
+  def newestBase: Option[(String, DataFrame)] =
+    gens().filter(_.kind == "b").lastOption
+      .map(g => (g.dir.toString, baseRelation(g)))
 
   /** Fold every generation (and every per-batch append file) into ONE
     * new base generation re-bucketed at the width the CURRENT row
@@ -269,8 +281,19 @@ private[graft] final class BucketedIndex(
     * the adaptive re-widening that keeps bucket occupancy (and
     * therefore per-batch probe cost) constant as the stream ages. Runs
     * inline in `foreachBatch` under [[maybeCompact]]'s trigger here;
-    * at deployment the same fold runs as an out-of-band job. */
-  def compact(): Unit = {
+    * at deployment the same fold runs as an out-of-band job.
+    *
+    * `rewrite(union, rows)` lets the OWNER of the key column rewrite
+    * every row at fold time — the fold rewrites everything anyway, so
+    * a consumer whose key is itself width-adaptive (AnnStream's SRP
+    * band `bk`) can re-band here at the width the CURRENT row count
+    * calls for, exactly as `bp` is already re-derived at the new P.
+    * The rewrite MUST be a pure per-row projection that preserves the
+    * schema; it runs after the duplicate-collapsing distinct and
+    * before the bp assignment, so `bp = hash(rewritten key)` stays
+    * consistent by construction. */
+  def compact(
+      rewrite: (DataFrame, Long) => DataFrame = (df, _) => df): Unit = {
     val gs = gens()
     if (gs.isEmpty) return
     // reap half-written compaction targets from a crashed predecessor
@@ -294,7 +317,7 @@ private[graft] final class BucketedIndex(
       minBuckets, math.ceil(rows.toDouble / targetRowsPerBucket).toInt)
     val nextGen = gs.map(_.n).max + 1
     val dest = new Path(rootPath, s"gen_${nextGen}_p${newP}_b")
-    union
+    rewrite(union, rows)
       .withColumn("bp", bpOf(col(key), newP))
       .repartition(col("bp")) // one writer task per bucket → one file
       .write.partitionBy("bp").parquet(dest.toString)

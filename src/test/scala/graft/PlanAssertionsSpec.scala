@@ -472,19 +472,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"AQE must split the zipf head partition at default factor 5, got:\n$plan")
   }
 
-  test("p06: contamination check is per-row — no corpus-side join or extra scan") {
+  test("p06: contamination is a broadcast semi-join; the corpus tokenizes once; no array scan") {
     val df = SparkEntry.queries("p06_corpus_build")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // round-14 shape: the quality-filtered profile is checkpointed, so
+    // the FINAL plan reads only the bench slice from parquet — the
+    // corpus pass (tokenize + quality + g8) ran exactly once, at the
+    // checkpoint, and both contamination probe and survivor path read
+    // the materialization
     val parquetScans = "Scan parquet".r.findAllIn(plan).length
-    assert(parquetScans == 2,
-      s"p06 must scan documents exactly twice (bench slice + corpus), got $parquetScans in:\n$plan")
-    // the 8-gram test rides the corpus pass as arrays_overlap against the
-    // 1-row broadcast set — never a corpus-side equi-join on exploded grams
+    assert(parquetScans <= 1,
+      s"p06's final plan may scan parquet only for the bench slice, got $parquetScans in:\n$plan")
+    // the 8-gram test is p04's shape: exploded grams probed against the
+    // ONE broadcast hash table (per-gram O(1)) — NEVER arrays_overlap
+    // against a corpus-growing 1-row set (the round-13 sf10 α=1.30:
+    // that expression linearly scans the bigger array per row)
+    assert(!plan.contains("arrays_overlap"),
+      s"p06 contamination must be the broadcast semi-join, not a per-row array scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"the gram probe must be a broadcast left-semi join, got:\n$plan")
+    // corpus-side shuffle joins stay banned: the doc-level anti-join is
+    // broadcast too (flagged ids ≤ bench-doc fanout), so the only wide
+    // ops are the dedup window and the final rollup
     Seq("SortMergeJoin", "ShuffledHashJoin").foreach(j =>
       assert(!plan.contains(j), s"p06 contamination must not shuffle-join the corpus, found $j"))
-    assert(plan.contains("arrays_overlap"),
-      s"the contamination predicate must be the per-row set test, got:\n$plan")
   }
 
   test("d08: banded Hamming candidates come from an equi-join, never all-pairs") {
