@@ -73,16 +73,36 @@ object Pipeline {
     *   `now_utc()` stamped at aggregation, `utils.rs:82`).
     * - Sensors with no readings in a window simply have no group — empty
     *   groups are omitted, not nulled (`utils.rs:44-47`). */
+  /** EXACT-INTEGER MEAN over d-decimal grid inputs: the decode stage
+    * rounds every value to a fixed decimal grid, so `x·10^d` is an
+    * integer recovered exactly by one half-up round; summing those
+    * LONGS is exact and ORDER-INDEPENDENT (vs a double `avg`, whose
+    * last-ulp depends on accumulation order — at ×10-staged group
+    * sizes that ulp flipped the final 2dp rounding on exact midpoints
+    * between Spark and DuckDB, the round-13 "midpoint-ulp" class; grid
+    * means are rationals that land EXACTLY on .xx5, so no jitter or
+    * compensated float sum can close it). Both engines now divide the
+    * SAME exact integer pair in the same order, get the bit-identical
+    * double, and round it the same way — and as a side effect the
+    * pipeline's aggregates are bit-reproducible under ANY partitioning
+    * or parallelism, which a floating avg never is. */
+  private def gridAvg(c: String, d: Int): Column = {
+    val p = math.pow(10, d)
+    oround(
+      (sum(round(col(c) * p, 0).cast("long")).cast("double") /
+        count(lit(1))) / p, d)
+  }
+
   def aggregate(decoded: DataFrame): DataFrame =
     decoded
       .groupBy(window(col("ts"), "30 minutes").as("w"), col("mac"))
       .agg(
-        oround(avg("temperature"), 2).as("temperature"),
-        oround(avg("humidity"), 2).as("humidity"),
-        oround(avg("pressure"), 2).as("pressure"),
-        oround(avg("acceleration_x"), 3).as("acceleration_x"),
-        oround(avg("acceleration_y"), 3).as("acceleration_y"),
-        oround(avg("acceleration_z"), 3).as("acceleration_z"),
+        gridAvg("temperature", 2).as("temperature"),
+        gridAvg("humidity", 2).as("humidity"),
+        gridAvg("pressure", 2).as("pressure"),
+        gridAvg("acceleration_x", 3).as("acceleration_x"),
+        gridAvg("acceleration_y", 3).as("acceleration_y"),
+        gridAvg("acceleration_z", 3).as("acceleration_z"),
         // (ts, movement_counter) ordering: the counter tiebreak makes the
         // delta deterministic when two readings share a timestamp (the
         // reference's arrival order is undefined there too — SURVEY §7

@@ -1,0 +1,101 @@
+package graft.examples
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+import graft.functions.VectorFns
+import graft.streaming.AnnStream
+
+/** The q60 re-banding growth axis (round-13 seed 2's "Done" clause):
+  * stream ~16× past the seed corpus under BOTH width policies and
+  * measure what the stale width costs and what re-banding pays.
+  *
+  *  - PINNED (the declared q60): the seed width never moves, so bucket
+  *    occupancy — and with it per-batch candidate mass and wall clock —
+  *    grows linearly with stream age.
+  *  - REBAND: every size-ratio fold recomputes `bk` at
+  *    `adaptiveSrpBits(current rows)`; occupancy stays ~constant, so
+  *    per-batch cost should flatten while recall against the exact
+  *    top-10 (sampled query panel, fixed budget — v24's discipline)
+  *    holds.
+  *
+  * Seed = sf0.01 embeddings (~2k vecs, target 64 → 5 seed bits); 8
+  * batches of 2 id-shifted copies each → ~16× growth, width rule
+  * ending at 9 bits. Recall is scored on the LAST batch's queries
+  * against brute-force cosine over the full accumulated corpus under
+  * the same partner rule, on a 200-query hash-ranked panel.
+  *
+  * Run: `sbt "runMain graft.examples.ReBandProbe"`.
+  */
+object ReBandProbe {
+  private val Base = "/root/testdata/sf0.01"
+  private val Target = 64L
+
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session()
+    spark.sparkContext.setLogLevel("ERROR")
+    val vecs = spark.read.parquet(s"$Base/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val n = vecs.count()
+    val stride = 1000000L
+    def shifted(r: Int): DataFrame = vecs.select(
+      (col("vec_id") + lit(r * stride)).as("vec_id"), col("embedding"))
+    val seedBits = VectorFns.adaptiveSrpBits(n, Target)
+    val batches = (0 until 8).map(i =>
+      (shifted(2 * i + 1) unionByName shifted(2 * i + 2)).localCheckpoint())
+
+    def run(reband: Boolean): (Seq[Double], DataFrame) = {
+      val root = java.nio.file.Files.createTempDirectory(
+        s"graft_rebandprobe_$reband").toString
+      val (res, idx) = (s"$root/res", s"$root/idx")
+      AnnStream.seedHistory(spark, vecs, idx, seedBits,
+        targetRowsPerBucket = Target, minBuckets = 4)
+      val secs = batches.zipWithIndex.map { case (b, i) =>
+        val t0 = System.nanoTime()
+        AnnStream.processBatch(b, i.toLong, res, idx, seedBits,
+          targetRowsPerBucket = Target, minBuckets = 4, reband = reband)
+        (System.nanoTime() - t0) / 1e9
+      }
+      (secs, spark.read.parquet(res).distinct())
+    }
+
+    // exact reference for the LAST batch on a fixed 200-query panel
+    val all = (vecs +: (1 to 16).map(shifted)).reduce(_ unionByName _)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .localCheckpoint()
+    val lastIds = batches.last.select("vec_id")
+      .withColumn("hk", (col("vec_id") * lit(40503L) + lit(7L)) % lit(104729L))
+      .orderBy(col("hk"), col("vec_id")).limit(200).select("vec_id")
+      .localCheckpoint()
+    val q = all.join(lastIds, "vec_id")
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val exact = all.select(col("vec_id").as("pid"), col("e").as("pe"))
+      .crossJoin(broadcast(q))
+      .filter(col("pid") % 5 =!= 4 || col("pid") < col("qid"))
+      .select(col("qid"), col("pid"),
+        graft.functions.Num.oround(
+          VectorFns.cosine(col("qe"), col("pe")), 4).as("cs"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cs").desc, col("pid"))))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("pid")).localCheckpoint()
+
+    def recall(res: DataFrame): Double = {
+      val hits = res.join(lastIds, "vec_id")
+        .select(col("vec_id").as("qid"), col("neighbor").as("pid"))
+        .join(exact, Seq("qid", "pid"), "left_semi").count()
+      hits.toDouble / (lastIds.count() * 10.0)
+    }
+
+    for (rb <- Seq(false, true)) {
+      val (secs, res) = run(rb)
+      val label = if (rb) "reband" else "pinned"
+      println(f"$label  per-batch s: ${secs.map(x => f"$x%.2f").mkString(" ")}")
+      println(f"$label  last-batch recall@10 vs exact: ${recall(res)}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -110,6 +110,13 @@ object Sf1Stage {
       .withColumn("l_suppkey", col("l_suppkey") + lit(r * suppStride))
       .withColumn("l_extendedprice",
         col("l_extendedprice") * (lit(1.0) + lit(r) * lit(1e-9))))
+    // events.value is 2dp-GRID data, so duplicated-group means are
+    // grid rationals that land EXACTLY on rounding midpoints; the
+    // multiplicative jitter knocks each copy OFF the grid (an additive
+    // grid-multiple jitter was tried and preserves the grid — q05
+    // flipped again). The format5 pipeline is immune either way: its
+    // aggregate is exact-integer (Pipeline.gridAvg), so identical
+    // duplicated raws produce bit-identical means in both engines.
     fan("events", 8)((df, r) => df
       .withColumn("event_id", col("event_id") + lit(r * eventStride))
       .withColumn("user_id", col("user_id") + lit(r * userStride))

@@ -1847,8 +1847,9 @@ object Core {
       |  WHERE mac IN ('AA:BB:CC:DD:EE:01','AA:BB:CC:DD:EE:02','AA:BB:CC:DD:EE:03')),
       |w AS (SELECT *, epoch_us(ts) // 1800000000 AS wb FROM dec),
       |agg AS (SELECT mac, wb,
-      |    ROUND(avg(t), 2) AS temperature, ROUND(avg(h), 2) AS humidity,
-      |    ROUND(avg(p), 2) AS pressure, count(*)::INT AS samples
+      |    ROUND((SUM(CAST(round(t*100, 0) AS BIGINT))::DOUBLE / count(*)) / 100, 2) AS temperature,
+      |    ROUND((SUM(CAST(round(h*100, 0) AS BIGINT))::DOUBLE / count(*)) / 100, 2) AS humidity,
+      |    ROUND((SUM(CAST(round(p*100, 0) AS BIGINT))::DOUBLE / count(*)) / 100, 2) AS pressure, count(*)::INT AS samples
       |  FROM w GROUP BY mac, wb)
       |SELECT mac, temperature, humidity, pressure,
       |  to_timestamp((wb + 1) * 1800)::TIMESTAMP AS time,
@@ -1886,9 +1887,12 @@ object Core {
       |  FROM w WINDOW win AS (PARTITION BY mac, wb ORDER BY ts, mraw
       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
       |agg AS (SELECT mac, wb,
-      |    ROUND(avg(t), 2) AS temperature, ROUND(avg(h), 2) AS humidity,
-      |    ROUND(avg(p), 2) AS pressure, ROUND(avg(ax), 3) AS acceleration_x,
-      |    ROUND(avg(ay), 3) AS acceleration_y, ROUND(avg(az), 3) AS acceleration_z,
+      |    ROUND((SUM(CAST(round(t*100, 0) AS BIGINT))::DOUBLE / count(*)) / 100, 2) AS temperature,
+      |    ROUND((SUM(CAST(round(h*100, 0) AS BIGINT))::DOUBLE / count(*)) / 100, 2) AS humidity,
+      |    ROUND((SUM(CAST(round(p*100, 0) AS BIGINT))::DOUBLE / count(*)) / 100, 2) AS pressure,
+      |    ROUND((SUM(CAST(round(ax*1000, 0) AS BIGINT))::DOUBLE / count(*)) / 1000, 3) AS acceleration_x,
+      |    ROUND((SUM(CAST(round(ay*1000, 0) AS BIGINT))::DOUBLE / count(*)) / 1000, 3) AS acceleration_y,
+      |    ROUND((SUM(CAST(round(az*1000, 0) AS BIGINT))::DOUBLE / count(*)) / 1000, 3) AS acceleration_z,
       |    count(*)::INT AS samples
       |  FROM w GROUP BY mac, wb)
       |SELECT to_timestamp((agg.wb + 1) * 1800)::TIMESTAMP AS time, agg.mac,
