@@ -12,24 +12,27 @@ import graft.streaming.AnnStream
   * measure what the stale width costs and what re-banding pays.
   *
   *  - PINNED (the declared q60): the seed width never moves, so bucket
-  *    occupancy — and with it per-batch candidate mass and wall clock —
-  *    grows linearly with stream age.
+  *    occupancy — and with it per-query candidate mass — grows
+  *    linearly with stream age.
   *  - REBAND: every size-ratio fold recomputes `bk` at
   *    `adaptiveSrpBits(current rows)`; occupancy stays ~constant, so
-  *    per-batch cost should flatten while recall against the exact
-  *    top-10 (sampled query panel, fixed budget — v24's discipline)
-  *    holds.
+  *    query-side cost flattens while recall against the exact top-10
+  *    (sampled query panel, fixed budget — v24's discipline) holds.
   *
-  * Seed = sf0.01 embeddings (~2k vecs, target 64 → 5 seed bits); 8
+  * Seed = sf0.1 embeddings (20k vecs, target 64 → 9 seed bits); 8
   * batches of 2 id-shifted copies each → ~16× growth, width rule
-  * ending at 9 bits. Recall is scored on the LAST batch's queries
-  * against brute-force cosine over the full accumulated corpus under
-  * the same partner rule, on a 200-query hash-ranked panel.
+  * ending at 13 bits. Three readings per policy: per-batch ingest wall
+  * (query + append + fold maintenance together), then a QUERY-ONLY
+  * replay of the last batch against the final index (probe + rank, no
+  * append/fold — the cost a search-heavy deployment cares about) with
+  * its candidate-pair mass, and recall on a 200-query hash-ranked
+  * panel against brute-force cosine over the full accumulated corpus
+  * under the same partner rule.
   *
   * Run: `sbt "runMain graft.examples.ReBandProbe"`.
   */
 object ReBandProbe {
-  private val Base = "/root/testdata/sf0.01"
+  private val Base = "/root/testdata/sf0.1"
   private val Target = 64L
 
   def main(args: Array[String]): Unit = {
@@ -45,7 +48,7 @@ object ReBandProbe {
     val batches = (0 until 8).map(i =>
       (shifted(2 * i + 1) unionByName shifted(2 * i + 2)).localCheckpoint())
 
-    def run(reband: Boolean): (Seq[Double], DataFrame) = {
+    def run(reband: Boolean): (Seq[Double], DataFrame, String) = {
       val root = java.nio.file.Files.createTempDirectory(
         s"graft_rebandprobe_$reband").toString
       val (res, idx) = (s"$root/res", s"$root/idx")
@@ -57,7 +60,27 @@ object ReBandProbe {
           targetRowsPerBucket = Target, minBuckets = 4, reband = reband)
         (System.nanoTime() - t0) / 1e9
       }
-      (secs, spark.read.parquet(res).distinct())
+      (secs, spark.read.parquet(res).distinct(), idx)
+    }
+
+    /** Query-only replay of the last batch against the final index:
+      * probe + candidate join + top-k, NO append/fold — isolates the
+      * cost the stale width actually inflates. Returns (sec, pairs). */
+    def queryOnly(idx: String, reband: Boolean): (Double, Long) = {
+      val ix = AnnStream.index(spark, idx, Target, 4)
+      val bits = if (reband) AnnStream.currentBits(ix, seedBits) else seedBits
+      val rows = AnnStream.keyed(batches.last, bits).localCheckpoint()
+      val rhs = rows.unionByName(
+        ix.probe(rows.select(col("bk"))).get.select("vec_id", "e", "bk"))
+      val cand = rows
+        .select(col("bk"), col("vec_id").as("qid"), col("e").as("qe"))
+        .join(rhs.select(
+          col("bk"), col("vec_id").as("pid"), col("e").as("pe")), "bk")
+        .filter(col("pid") % 5 =!= 4 || col("pid") < col("qid"))
+      val t0 = System.nanoTime()
+      val pairs = cand.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, pairs)
     }
 
     // exact reference for the LAST batch on a fixed 200-query panel
@@ -91,9 +114,11 @@ object ReBandProbe {
     }
 
     for (rb <- Seq(false, true)) {
-      val (secs, res) = run(rb)
+      val (secs, res, idx) = run(rb)
       val label = if (rb) "reband" else "pinned"
-      println(f"$label  per-batch s: ${secs.map(x => f"$x%.2f").mkString(" ")}")
+      println(f"$label  per-batch ingest s: ${secs.map(x => f"$x%.2f").mkString(" ")}")
+      val (qs, pairs) = queryOnly(idx, rb)
+      println(f"$label  query-only last batch: $qs%.2f s, candidate pairs=$pairs")
       println(f"$label  last-batch recall@10 vs exact: ${recall(res)}%.3f")
     }
     spark.stop()
