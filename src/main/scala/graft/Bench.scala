@@ -64,12 +64,16 @@ object Bench {
       // Both raw timings to stderr: the cold/warm gap is the codegen +
       // artifact-staging cost, worth watching per query when profiling.
       System.err.println(f"[bench] $name run1=$first%.2f run2=$second%.2f")
-      // Untimed GC between queries: localCheckpoint blocks are released
+      // Untimed inter-query hygiene: localCheckpoint blocks are released
       // by the ContextCleaner only after the owning RDD is GC'd on the
-      // driver, so a 200-query run otherwise accumulates dead checkpoint
-      // storage that bleeds into later queries' memory headroom — the
-      // inter-query hygiene a per-job cluster gets for free from JVM
-      // teardown.
+      // driver AND the async cleaner thread gets to it — a 234-query run
+      // otherwise accumulates dead checkpoint storage that bleeds into
+      // later queries' memory headroom (measured round 14: g04 268 s
+      // in-sweep vs 186 s fresh-JVM, d13 50 vs 25 — the heavy
+      // aggregations were spilling against stale storage memory). The
+      // explicit BLOCKING unpersist makes the release deterministic —
+      // the isolation a per-job cluster gets for free from JVM teardown.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       val best = (first, second) match {
         case (a, b) if a >= 0 && b >= 0 => math.min(a, b)
