@@ -474,10 +474,31 @@ object DedupQueries {
     files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
       .sorted.mkString(",")
   }
+  /** A cached label frame is servable only while its localCheckpoint
+    * blocks still exist. Verify/Bench run a blocking
+    * `getPersistentRDDs…unpersist(true)` between queries (their
+    * storage-release hygiene), which deletes the checkpoint out from
+    * under this cache — and a locally-checkpointed RDD CANNOT recompute
+    * (its lineage was truncated), so the round-14 d14/p14 cache hits
+    * died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND and silently dropped
+    * out of the driver's correctness check. The liveness probe is
+    * plan-level metadata, no job: a localCheckpoint'd Dataset analyzes
+    * to a [[org.apache.spark.sql.execution.LogicalRDD]] whose wrapped
+    * RDD id must still be registered persistent. A dead entry just
+    * recomputes — the cache is a compute-once optimization, never a
+    * correctness dependency. */
+  private def checkpointAlive(s: SparkSession, df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        s.sparkContext.getPersistentRDDs.contains(l.rdd.id)
+      case _ => true
+    }
+
   /** The ONE cache discipline both labelings share (any future change
     * to eviction or checkpoint policy lands in both or neither):
     * content-stamp keyed, stale-stamp evicting, checkpoint-materialized
-    * labels from the given edge feed. */
+    * labels from the given edge feed, dead-checkpoint self-healing
+    * ([[checkpointAlive]]). */
   private def cachedLabels(
       cache: scala.collection.mutable.LinkedHashMap[
         (SparkSession, String, String), DataFrame],
@@ -490,7 +511,7 @@ object DedupQueries {
       val key = (s, d, stamp)
       // remove-then-insert keeps the LinkedHashMap in access order, so
       // the eviction below is least-recently-USED, not just oldest
-      val labels = cache.remove(key).getOrElse(
+      val labels = cache.remove(key).filter(checkpointAlive(s, _)).getOrElse(
         graft.ops.ConnectedComponents.run(edges).localCheckpoint())
       cache.put(key, labels)
       while (cache.size > LabelCacheBound) cache.remove(cache.head._1)
@@ -1902,8 +1923,15 @@ object DedupQueries {
     * the v23 tuning-curve reading applied to decontamination. Both
     * paths `distinct` BEFORE counting: a corpus vector near three
     * panel members is one contamination, not three. */
+  /** d17's fixed benchmark-panel budget — ONE constant interpolated into
+    * BOTH the Scala call site and od17's LIMIT (round-14 advisory: the
+    * two literals had drifted apart once already in spirit — ov24's
+    * `$panelBudget` discipline applied here). `final val` literal so
+    * object-init order can never interpolate a zero (the v24 trap). */
+  private final val D17PanelBudget = 256
+
   private def d17(s: SparkSession, d: String): DataFrame =
-    semanticDecontam(s, d, 97L, panelBudget = 256)
+    semanticDecontam(s, d, 97L, panelBudget = D17PanelBudget)
 
   /** [[d17]]'s dataflow with the panel-membership modulus exposed —
     * D17PanelProbe drives the SAME plan at ~11× panel size (mod 9) to
@@ -2002,7 +2030,7 @@ object DedupQueries {
       |  substr(array_to_string(list_transform(list_slice(e, 1, 16),
       |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), ''), 1, (SELECT bits FROM ab)) bucket FROM n),
       |q AS (SELECT e qe, nrm qn, bucket qb FROM b WHERE vec_id % 97 = 0
-      |      ORDER BY (vec_id*40503+7)%104729, vec_id LIMIT 256),
+      |      ORDER BY (vec_id*40503+7)%104729, vec_id LIMIT $D17PanelBudget),
       |qp AS (SELECT qe, qn,
       |    CASE WHEN j = 0 THEN qb
       |         ELSE substr(qb, 1, j-1) ||

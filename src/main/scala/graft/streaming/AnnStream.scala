@@ -89,9 +89,14 @@ private[graft] object AnnStream {
   }
 
   /** Width cache keyed by (immutable) base generation dir — derived
-    * once per fold product, however many batches probe it. */
+    * once per fold product, however many batches probe it. Registered
+    * with [[BucketedIndex]] so folds purge deleted generations' entries
+    * and test cache-clears reach it (a wiped-and-reseeded index root
+    * re-uses generation dir names; a stale width would key every batch
+    * wrong and silently empty the candidate sets — round-14 advisory). */
   private val widthCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+  BucketedIndex.registerDirKeyedCache(widthCache)
 
   /** The index's LIVE band width: `length(bk)` of any row of the
     * newest base (all rows of a generation share one width — the fold

@@ -272,7 +272,15 @@ private[graft] final class BucketedIndex(
     * deletion, so whatever is derived from it may be cached per dir. */
   def newestBase: Option[(String, DataFrame)] =
     gens().filter(_.kind == "b").lastOption
-      .map(g => (g.dir.toString, baseRelation(g)))
+      .map { g =>
+        // the cache key carries the dir's mtime: an index root wiped and
+        // re-seeded at the same path RE-USES generation dir names, so a
+        // bare-path key could serve a previous incarnation's cached
+        // derivation (round-14 advisory — AnnStream's width cache); the
+        // mtime disambiguates incarnations for one extra metadata call
+        (s"${g.dir}@${fs.getFileStatus(g.dir).getModificationTime}",
+          baseRelation(g))
+      }
 
   /** Fold every generation (and every per-batch append file) into ONE
     * new base generation re-bucketed at the width the CURRENT row
@@ -289,9 +297,18 @@ private[graft] final class BucketedIndex(
     * band `bk`) can re-band here at the width the CURRENT row count
     * calls for, exactly as `bp` is already re-derived at the new P.
     * The rewrite MUST be a pure per-row projection that preserves the
-    * schema; it runs after the duplicate-collapsing distinct and
-    * before the bp assignment, so `bp = hash(rewritten key)` stays
-    * consistent by construction. */
+    * schema; it runs BEFORE the duplicate-collapsing distinct (so
+    * crash-window twins from two coexisting bases — whose re-banded
+    * keys differ in WIDTH and would defeat a key-inclusive distinct —
+    * are first normalized to one width, then collapsed for good;
+    * round-14 advisory) and before the bp assignment, so
+    * `bp = hash(rewritten key)` stays consistent by construction.
+    * Consequence: the row count the rewrite receives is the
+    * PRE-collapse upper bound (exact outside replay/crash windows,
+    * inflated by at most the duplicated mass inside them) — fine for
+    * its one consumer, the log-scaled adaptive band width — while the
+    * bucket count `newP` is sized from the EXACT post-collapse
+    * count. */
   def compact(
       rewrite: (DataFrame, Long) => DataFrame = (df, _) => df): Unit = {
     val gs = gens()
@@ -302,22 +319,25 @@ private[graft] final class BucketedIndex(
         GenName.findFirstIn(st.getPath.getName).isDefined &&
         !fs.exists(new Path(st.getPath, "_SUCCESS")))
       .foreach(st => fs.delete(st.getPath, true))
-    val union = gs
+    val union0 = gs
       .map { g =>
         if (g.kind == "b")
           s.read.schema(diskSchema).parquet(g.dir.toString).drop("bp")
         else s.read.schema(rowSchema).parquet(g.dir.toString)
       }
       .reduce(_ unionByName _)
+      .localCheckpoint() // two consumers: the pre-count and the rewrite
+    val preRows = union0.count() // pre-collapse upper bound (doc above)
+    if (preRows == 0) return
+    val union = rewrite(union0, preRows)
       .distinct() // collapses crash-window duplicates for good
-      .localCheckpoint() // two consumers: the count and the write
+      .localCheckpoint() // two consumers: the exact count and the write
     val rows = union.count()
-    if (rows == 0) return
     val newP = math.max(
       minBuckets, math.ceil(rows.toDouble / targetRowsPerBucket).toInt)
     val nextGen = gs.map(_.n).max + 1
     val dest = new Path(rootPath, s"gen_${nextGen}_p${newP}_b")
-    rewrite(union, rows)
+    union
       .withColumn("bp", bpOf(col(key), newP))
       .repartition(col("bp")) // one writer task per bucket → one file
       .write.partitionBy("bp").parquet(dest.toString)
@@ -341,6 +361,10 @@ private[graft] final class BucketedIndex(
       fs.delete(g.dir, true)
       BucketedIndex.baseBytesCache.remove(g.dir.toString)
       BucketedIndex.relCache.keySet.removeIf(_.endsWith(s":${g.dir}"))
+      // prefix match: dir-keyed consumer caches key by `dir` or
+      // `dir@mtime` (see [[newestBase]])
+      BucketedIndex.dirKeyedCaches.forEach(
+        _.keySet.removeIf(_.startsWith(g.dir.toString)))
     }
   }
 
@@ -373,12 +397,27 @@ private[graft] object BucketedIndex {
   private[graft] def lastProbePlanFor(key: String): Option[String] =
     Option(probePlans.get(key))
 
+  /** Consumer caches keyed by IMMUTABLE generation dir (e.g.
+    * [[AnnStream]]'s per-base band-width cache). Registering here buys
+    * the consumer the same lifecycle the index's own dir-keyed caches
+    * get: [[compact]] purges entries for the generations it deletes
+    * (without this, a wiped-and-reseeded index root whose generation
+    * names recur would serve a STALE cached value — round-14
+    * advisory), and [[clearCachesForTesting]] clears them. */
+  private val dirKeyedCaches =
+    new java.util.concurrent.CopyOnWriteArrayList[
+      java.util.concurrent.ConcurrentHashMap[String, _]]()
+  private[graft] def registerDirKeyedCache(
+      m: java.util.concurrent.ConcurrentHashMap[String, _]): Unit =
+    dirKeyedCaches.add(m)
+
   /** Drop the immutable-base caches — lets a spec simulate a FRESH
     * session's cold start against an existing on-disk index without
     * tearing down the shared test SparkSession. */
   private[graft] def clearCachesForTesting(): Unit = {
     relCache.clear()
     baseBytesCache.clear()
+    dirKeyedCaches.forEach(_.clear())
   }
 
   private val ManifestName = "_MANIFEST"
