@@ -25,11 +25,17 @@ import graft.Engine
   * ListenerBus is async, so counters snapshot around each phase after
   * a drain sleep).
   *
-  * Run: `sbt "runMain graft.examples.G04StageProbe /tmp/sf1"`.
+  * Run: `sbt "runMain graft.examples.G04StageProbe /tmp/sf1 [phase…]"`
+  * — extra args restrict to the named phases. ORDER BIAS IS REAL at
+  * sf10: a phase that runs after another phase's 150 GB spill pays
+  * the churned heap (the round-14 in-sweep-vs-fresh-JVM lesson, ~40%
+  * on g04) — comparative numbers must come from one-phase-per-JVM
+  * runs.
   */
 object G04StageProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/tmp/sf1")
+    val onlyPhases = args.drop(1).toSet
     val spark = Engine.session()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -77,6 +83,7 @@ object G04StageProbe {
       df.write.format("noop").mode("overwrite").save()
     println(f"${"phase"}%-16s ${"wall_s"}%8s ${"spillMB"}%9s ${"diskMB"}%8s ${"peakMB"}%8s")
     def time(label: String)(body: => Unit): Unit = {
+      if (onlyPhases.nonEmpty && !onlyPhases.contains(label)) return
       Thread.sleep(1000) // drain the previous phase's late stage events
       val m0 = memSpill; val d0 = diskSpill; peakExec = 0L
       val t0 = System.nanoTime()
