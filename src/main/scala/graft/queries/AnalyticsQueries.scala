@@ -526,10 +526,10 @@ object AnalyticsQueries {
     * stand-in slice, the n-gram width, and the per-doc distinct 8-gram
     * stream (empty for docs too short to have one — the when() guard
     * also keeps `sequence` from seeing a negative bound). */
-  private def isBenchDoc(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def isBenchDoc(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(docId, lit(50)) === 0
 
-  private def g8OfToks(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def g8OfToks(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(size(toks) >= 8,
       array_distinct(graft.functions.TextFns.kgramHashes(toks, 8)))
       .otherwise(array().cast("array<string>"))
@@ -1643,7 +1643,7 @@ object AnalyticsQueries {
       |  ROUND(sum(CASE WHEN h < r THEN 1 ELSE 0 END)::DOUBLE * 100 / count(*), 2) AS achieved_pct
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
-  private val op04 =
+  private[graft] val op04 =
     """WITH t AS (SELECT doc_id, lang, string_split(text,' ') toks FROM documents),
       |sh AS (SELECT doc_id, lang,
       |    list_distinct(list_transform(generate_series(1, len(toks)-7),

@@ -1301,6 +1301,57 @@ object Core {
       |SELECT qid AS vec_id, pid AS neighbor, cs AS cos_sim, rn AS nb_rank
       |FROM r WHERE rn <= 10 ORDER BY vec_id, nb_rank""".stripMargin
 
+  /** Q61 — STREAMING DECONTAMINATION: batch p04's benchmark-overlap
+    * check made continuous, the FOURTH foreachBatch consumer on
+    * [[graft.streaming.BucketedIndex]] (q54 near-dup, q58 dedup, q60
+    * ANN, now the curation family). The benchmark docs' distinct
+    * 8-gram hashes are seeded ONCE into a persisted index (benchmarks
+    * are fixed before the corpus arrives — the index is STATIC, so
+    * per-batch cost is flat in stream age by construction); the train
+    * side then arrives as three id-ordered micro-batches, each gramm-
+    * ed, probed against the index PRUNED to its own bucket keys, and
+    * its contaminated (doc_id, lang) verdicts appended. Semantics and
+    * the append-idempotence argument live at
+    * [[graft.streaming.Decontam]]. q61 streams p04's ENTIRE train
+    * side, so the batch query's oracle text is this query's oracle
+    * verbatim — the q36/q43 one-oracle discipline. */
+  private def q61(s0: SparkSession, d: String): DataFrame = {
+    val r = new Replay(s0, "graft_decontam", "q61", d)((s, st) => {
+      val train = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        .filter(!AnalyticsQueries.isBenchDoc(col("doc_id")))
+      val mx = train.agg(max("doc_id")).head().getLong(0)
+      val (c1, c2) = (mx / 3, 2 * mx / 3)
+      st.stage(train.filter(col("doc_id") < c1), "batch0", 1000000000000L)
+      st.stage(train.filter(col("doc_id") >= c1 && col("doc_id") < c2),
+        "batch1", 1000000060000L)
+      st.stage(train.filter(col("doc_id") >= c2), "batch2", 1000000120000L)
+    })
+    val s = r.session
+    val resDir = r.outDir
+    val idxRoot = r.outDir + "_index"
+    graft.streaming.Decontam.seedBench(
+      s,
+      documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        .filter(AnalyticsQueries.isBenchDoc(col("doc_id"))),
+      idxRoot)
+    val stream = s.readStream.schema("doc_id LONG, lang STRING, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.streaming.Decontam.processBatch(
+          batch, batchId, resDir = resDir, root = idxRoot)
+        ()
+      }
+      .option("checkpointLocation", r.ckpDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(resDir).distinct()
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_contaminated"))
+      .orderBy("lang")
+  }
+
   /** Q46 — the streaming pipeline through the RELATIONAL sink, under
     * the oracle: q33's dataflow with `foreachBatch` loading each
     * micro-batch into embedded Derby via
@@ -1955,6 +2006,7 @@ object Core {
     QueryDef("q57_stream_hopping", q57, Some(AnalyticsQueries.oa15)),
     QueryDef("q58_stream_incdedup", q58, Some(DedupQueries.oIncDedupStream)),
     QueryDef("q60_stream_ann", q60, Some(oq60)),
+    QueryDef("q61_stream_decontam", q61, Some(AnalyticsQueries.op04)),
     // q33's oracle a third time: the JDBC-sink path must persist exactly
     // what the parquet sink persists
     QueryDef("q46_stream_jdbc", q46, Some(oq33)),

@@ -4,9 +4,10 @@ import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** q58 (streaming incremental dedup) and q60 (streaming ANN) carry the
-  * same two contracts q54 already has pinned — executed here instead
-  * of argued in their scaladocs:
+/** q58 (streaming incremental dedup), q60 (streaming ANN) and q61
+  * (streaming decontamination) carry the same two contracts q54
+  * already has pinned — executed here instead of argued in their
+  * scaladocs:
   *
   *  1. RESUME: a second construction over the same checkpoint returns
   *     identical rows and appends NOT ONE new file to the external
@@ -39,16 +40,17 @@ class StreamIndexConsumersSpec extends AnyFunSuite {
     finally l.close()
   }
 
-  for ((name, runKey) <- Seq(
-      "q58_stream_incdedup" -> "q58",
-      "q60_stream_ann" -> "q60")) {
+  for ((name, runKey, probeKey) <- Seq(
+      ("q58_stream_incdedup", "q58", "bk"),
+      ("q60_stream_ann", "q60", "bk"),
+      ("q61_stream_decontam", "q61", "h"))) {
     test(s"$name: resume returns identical rows with zero index appends; probes prune") {
       val q = SparkEntry.queries(name)
       val r1 = q(spark, sf).collect().toSeq
       assert(r1.nonEmpty, s"$name must produce rows at $sf")
 
-      val plan = graft.streaming.BucketedIndex.lastProbePlanFor("bk")
-        .getOrElse(fail(s"$name never probed its bk index"))
+      val plan = graft.streaming.BucketedIndex.lastProbePlanFor(probeKey)
+        .getOrElse(fail(s"$name never probed its $probeKey index"))
       assert(plan.contains("PartitionFilters: [bp#"),
         s"the $name index probe must prune on bp, got:\n$plan")
       assert(plan.contains("INSET") || plan.contains(" IN "),
