@@ -1301,6 +1301,106 @@ object Core {
       |SELECT qid AS vec_id, pid AS neighbor, cs AS cos_sim, rn AS nb_rank
       |FROM r WHERE rn <= 10 ORDER BY vec_id, nb_rank""".stripMargin
 
+  /** Q60b — STREAMING ANN UNDER THE PRODUCTION RE-BAND POLICY: q60's
+    * dataflow with `reband = true`, so each size fold recomputes the
+    * SRP band width at the width the CURRENT row count calls for (the
+    * capability AnnRebandSpec pins and ReBandProbe measures at 21×
+    * candidate-mass reduction — round-14 verdict task 8 asked for it
+    * under the CROSS-ENGINE oracle, which the declared q60 cannot do:
+    * a mid-stream width flip is not one SQL bucket CTE).
+    *
+    * The determinism knob that makes the oracle expressible:
+    * `forceCompact` folds after EVERY batch (production uses the
+    * amortized byte-ratio trigger, whose timing parquet file sizes —
+    * not SQL — decide), so batch k's live width is a pure function of
+    * ROW COUNTS: w_k = adaptiveSrpBits(|history| + |deltas before k|,
+    * target 7 — chosen so the test estates' counts STRADDLE a width
+    * boundary mid-stream (sf0.001/0.01: 400→466 crosses 7·2⁶ = 448;
+    * sf0.1: 1600→1866 crosses 7·2⁸ = 1792), because the whole point
+    * of the variant is an ORACLE-CHECKED width FLIP — at the
+    * ReBandProbe target of 64 the ~8%-per-batch growth never crosses
+    * a power-of-two and the flip would go unexercised). The oracle is
+    * PHASE-SPLIT: one width
+    * per batch epoch derived with the same integer-shift SQL, each
+    * query joined to its phase's width, candidates bucket-matched on
+    * `substr(sig, 1, w_phase)` — the union of per-epoch CTEs the
+    * verdict sketched. Partner rule, rounded-rank discipline, and the
+    * result read are q60's verbatim; shares q60's staged source (same
+    * prefix), own index/checkpoint (runKey q60b). */
+  private def q60b(s0: SparkSession, d: String): DataFrame = {
+    val r = new Replay(s0, "graft_annstream", "q60b", d)((s, st) => {
+      val delta = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 5 === 4)
+      val mx = delta.agg(max("vec_id")).head().getLong(0)
+      val (c1, c2) = (mx / 3, 2 * mx / 3)
+      st.stage(delta.filter(col("vec_id") < c1), "batch0", 1000000000000L)
+      st.stage(delta.filter(col("vec_id") >= c1 && col("vec_id") < c2),
+        "batch1", 1000000060000L)
+      st.stage(delta.filter(col("vec_id") >= c2), "batch2", 1000000120000L)
+    })
+    val s = r.session
+    val hist = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 5 =!= 4)
+    val bits = graft.functions.VectorFns.adaptiveSrpBits(hist.count(), 7L)
+    val resDir = r.outDir
+    val idxRoot = r.outDir + "_index"
+    graft.streaming.AnnStream.seedHistory(
+      s, hist, idxRoot, bits, targetRowsPerBucket = 7L)
+    val stream = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.streaming.AnnStream.processBatch(
+          batch, batchId, resDir = resDir, root = idxRoot, bits = bits,
+          targetRowsPerBucket = 7L, reband = true, forceCompact = true)
+        ()
+      }
+      .option("checkpointLocation", r.ckpDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(resDir).distinct()
+      .orderBy("vec_id", "nb_rank")
+  }
+
+  /** q60b's phase-split oracle: one SRP width PER BATCH EPOCH, each
+    * derived from the row count the fold before that epoch saw, with
+    * q60's candidate algebra otherwise verbatim (earlier-batch deltas
+    * satisfy `pid < qid` automatically — batches are id-ordered
+    * thirds — so the partner clause needs no batch arithmetic; only
+    * the bucket WIDTH is per-phase). */
+  private val oq60b =
+    """WITH mx AS (SELECT max(vec_id) AS m FROM embeddings WHERE vec_id % 5 = 4),
+      |bat AS (SELECT vec_id,
+      |    CASE WHEN vec_id < (SELECT m // 3 FROM mx) THEN 0
+      |         WHEN vec_id < (SELECT 2 * m // 3 FROM mx) THEN 1 ELSE 2 END AS ph
+      |  FROM embeddings WHERE vec_id % 5 = 4),
+      |cnt AS (SELECT
+      |    (SELECT count(*) FROM embeddings WHERE vec_id % 5 <> 4) AS h,
+      |    (SELECT count(*) FROM bat WHERE ph = 0) AS d0,
+      |    (SELECT count(*) FROM bat WHERE ph = 1) AS d1),
+      |w AS (SELECT ph, coalesce(min(k), 16) AS bits
+      |  FROM (SELECT 0 AS ph, h AS n FROM cnt
+      |        UNION ALL SELECT 1, h + d0 FROM cnt
+      |        UNION ALL SELECT 2, h + d0 + d1 FROM cnt) t(ph, n),
+      |       generate_series(4, 16) g(k)
+      |  WHERE n <= 7 * (1::BIGINT << k)
+      |  GROUP BY ph),
+      |n AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) e FROM embeddings),
+      |b AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x->x*x))) nrm,
+      |  array_to_string(list_transform(list_slice(e, 1, 16),
+      |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') sig FROM n),
+      |cand AS (SELECT q.vec_id qid, p.vec_id pid,
+      |    list_sum(list_transform(list_zip(q.e, p.e), x -> x[1]*x[2]))/(q.nrm*p.nrm) cos
+      |  FROM bat JOIN w ON w.ph = bat.ph
+      |  JOIN b q ON q.vec_id = bat.vec_id
+      |  JOIN b p ON substr(q.sig, 1, w.bits) = substr(p.sig, 1, w.bits)
+      |  WHERE (p.vec_id % 5 <> 4 OR p.vec_id < q.vec_id)),
+      |r AS (SELECT qid, pid, ROUND(cos, 4) cs,
+      |    row_number() OVER (PARTITION BY qid ORDER BY ROUND(cos, 4) DESC, pid) rn FROM cand)
+      |SELECT qid AS vec_id, pid AS neighbor, cs AS cos_sim, rn AS nb_rank
+      |FROM r WHERE rn <= 10 ORDER BY vec_id, nb_rank""".stripMargin
+
   /** Q61 — STREAMING DECONTAMINATION: batch p04's benchmark-overlap
     * check made continuous, the FOURTH foreachBatch consumer on
     * [[graft.streaming.BucketedIndex]] (q54 near-dup, q58 dedup, q60
@@ -2006,6 +2106,7 @@ object Core {
     QueryDef("q57_stream_hopping", q57, Some(AnalyticsQueries.oa15)),
     QueryDef("q58_stream_incdedup", q58, Some(DedupQueries.oIncDedupStream)),
     QueryDef("q60_stream_ann", q60, Some(oq60)),
+    QueryDef("q60b_stream_ann_reband", q60b, Some(oq60b)),
     QueryDef("q61_stream_decontam", q61, Some(AnalyticsQueries.op04)),
     // q33's oracle a third time: the JDBC-sink path must persist exactly
     // what the parquet sink persists

@@ -113,12 +113,20 @@ private[graft] object AnnStream {
   /** One micro-batch: bucket → pruned probe → exact cosine on
     * bucket-mates → per-query top-k → append results + own rows →
     * size-triggered fold (re-banding `bk` at the fold when `reband`).
-    * Returns whether the index compacted. */
+    * Returns whether the index compacted.
+    *
+    * `forceCompact` folds after EVERY batch instead of on the
+    * size-ratio trigger — the q60b oracle-determinism knob: byte-ratio
+    * fold timing depends on parquet file sizes (not SQL-derivable),
+    * but a fold-every-batch schedule makes each batch's live width a
+    * pure function of ROW COUNTS, which the DuckDB oracle re-derives
+    * phase by phase with the same integer-shift rule. Production runs
+    * keep the amortized size-ratio trigger. */
   def processBatch(
       batch: DataFrame, batchId: Long,
       resDir: String, root: String, bits: Int, k: Int = 10,
       targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16,
-      reband: Boolean = false): Boolean = {
+      reband: Boolean = false, forceCompact: Boolean = false): Boolean = {
     val bs = batch.sparkSession
     val ix = index(bs, root, targetRowsPerBucket, minBuckets)
     val liveBits = if (reband) currentBits(ix, bits) else bits
@@ -152,14 +160,15 @@ private[graft] object AnnStream {
         col("cos_sim"), col("rank").cast("long").as("nb_rank"))
     ranked.write.mode("append").parquet(resDir)
     ix.append(rows)
-    if (reband)
-      ix.maybeCompact((union, n) => {
-        // re-band at the width the CURRENT count calls for — the ONE
-        // adaptiveSrpBits rule over the folded row count, recomputed
-        // from `e` exactly as keyed() computes it on arrival
+    if (reband) {
+      // re-band at the width the CURRENT count calls for — the ONE
+      // adaptiveSrpBits rule over the folded row count, recomputed
+      // from `e` exactly as keyed() computes it on arrival
+      val rw = (union: DataFrame, n: Long) => {
         val nb = VectorFns.adaptiveSrpBits(n, targetRowsPerBucket)
         union.withColumn("bk", VectorFns.srpBucket(col("e"), nb))
-      })
-    else ix.maybeCompact()
+      }
+      if (forceCompact) { ix.compact(rw); true } else ix.maybeCompact(rw)
+    } else ix.maybeCompact()
   }
 }

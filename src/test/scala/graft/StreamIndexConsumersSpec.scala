@@ -43,6 +43,7 @@ class StreamIndexConsumersSpec extends AnyFunSuite {
   for ((name, runKey, probeKey) <- Seq(
       ("q58_stream_incdedup", "q58", "bk"),
       ("q60_stream_ann", "q60", "bk"),
+      ("q60b_stream_ann_reband", "q60b", "bk"),
       ("q61_stream_decontam", "q61", "h"))) {
     test(s"$name: resume returns identical rows with zero index appends; probes prune") {
       val q = SparkEntry.queries(name)
