@@ -773,28 +773,38 @@ object DedupQueries {
 
   /** D8 — SimHash near-dup at Hamming distance ≤ 3 via banded
     * multi-index blocking (Manku et al., WWW '07 — the canonical
-    * web-scale simhash scheme): the signature splits into 4 bands, and
-    * two signatures within Hamming 3 differ in at most 3 bands, so they
-    * agree EXACTLY on at least one band (pigeonhole) — candidates are an
-    * equi-join on (band index, band value), never all-pairs, and the
-    * Hamming verify runs only inside band buckets. d03 groups identical
-    * signatures; this finds the neighborhood around them (hd 1–3).
+    * web-scale simhash scheme): split the signature into blocks such
+    * that any pair within Hamming 3 must agree EXACTLY on some block
+    * combination (pigeonhole) — candidates are an equi-join on the
+    * combination key, never all-pairs, and the Hamming verify runs only
+    * inside buckets. d03 groups identical signatures; this finds the
+    * neighborhood around them (hd 1–3).
     *
-    * SIGNATURE WIDTH IS THE SCALE BOUND (round-8 `weak` fix): at 16
-    * bits a 4-bit band has 16 possible values, so the expected bucket is
-    * |corpus|/16 REGARDLESS of skew and the band join is ~|corpus|²/64
-    * by construction. This uses the full 60-bit width of `hash60`
-    * (4 bands × 15 bits = 32768 keys per band index): an exact 15-bit
-    * band agreement between random docs is ~3·10⁻⁵, so bucket
-    * membership is genuine near-dup signal and the candidate count is
-    * linear in the corpus ([[graft.examples.HotBlockProbe]] measures the
-    * axis). Exact-dup template mass still defeats any banding — every
-    * copy carries the identical signature — so the same [[PairBlockCap]]
-    * df-cap as d02/d04/d11 rides the (j, band) bucket as belt-and-braces
-    * ([[D08BandCapSpec]] pins it; a capped-out bucket is d01/d03's
-    * exact-dup signal, and its hd-0 pairs were never d08 output anyway).
-    * Dropped mass is surfaced via `d08_band_census`; the DuckDB oracle
-    * applies the identical HAVING bound. */
+    * KEYSPACE IS THE SCALE BOUND, re-widened TWICE by measurement:
+    * round 8 moved 16→60 signature bits (4 bands × 15 bits); round 15's
+    * [[graft.examples.D08BandCensusProbe]] caught THAT design
+    * saturating at the second decade — at sf10 (500 k docs) 127,474 of
+    * the 131,072 possible (band, value) keys were occupied, p99 bucket
+    * 123 vs the 64-cap, 73% of candidate pair mass dropped, and the
+    * sf100 mean bucket (≈153) would exceed the cap everywhere. Now the
+    * 60-bit signature splits into 5 blocks × 12 bits and the key is a
+    * PAIR of blocks (Manku's block-combination table): hd ≤ 3 flips at
+    * most 3 blocks, so ≥ 2 of 5 blocks agree, so the pair collides in
+    * at least one of the C(5,2) = 10 tables. 10 × 2²⁴ keys ≈ 168 M —
+    * a 24-bit agreement between random docs is ~6·10⁻⁸, so buckets
+    * stay sparse through sf100 and beyond (post-rewiden census, same
+    * probe: sf10 p99 bucket = 9 — FLAT across sf0.1/sf1/sf10 — and
+    * total candidate mass 9.9 M vs the old design's 60.7 M, with the
+    * dropped fraction down from 73% to 23%). Cost: 10 band rows per
+    * doc instead of 4 — two longs each, linear, and the self-join they
+    * feed shrinks 6× by the same sparsity. Exact-dup template mass
+    * still defeats any banding — every copy carries the identical
+    * signature — so the same [[PairBlockCap]] df-cap as d02/d04/d11
+    * rides the packed `bk` bucket as belt-and-braces ([[D08BandCapSpec]]
+    * pins it; a capped-out bucket is d01/d03's exact-dup signal, and
+    * its hd-0 pairs were never d08 output anyway). Dropped mass is
+    * surfaced via `d08_band_census`; the DuckDB oracle applies the
+    * identical blocking and HAVING bound. */
   private def d08(s: SparkSession, d: String): DataFrame =
     d08Pairs(s, d)
       .orderBy("hamming", "da", "db")
@@ -812,16 +822,30 @@ object DedupQueries {
     // recompute the tokenize→hash60→simhash fold (lambda exprIds defeat
     // ReuseExchange — the d04/d07 lesson); the checkpointed table is two
     // longs per doc
+    //
+    // bk packs (table, block_i, block_j) into ONE long — (i·5+j) << 24 |
+    // block_i << 12 | block_j (i·5+j is injective for i<j≤4) — so the
+    // cap join and the band self-join both key on a single 8-byte
+    // column (the g04 packed-key lesson: one long halves shuffle hash
+    // work vs a multi-column key).
+    val combos = array((for { i <- 0 to 4; j <- i + 1 to 4 } yield
+      struct(
+        lit((i * 5 + j).toLong << 24).as("t"),
+        lit(12 * i).as("si"), lit(12 * j).as("sj"))): _*)
     val k = simhashed60(s, d).localCheckpoint()
-      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("j"))
-      .select(col("doc_id"), col("simhash"), col("j"),
-        call_function("shiftright", col("simhash"), col("j") * 15)
-          .bitwiseAND(lit(32767L)).as("band"))
+      .select(col("doc_id"), col("simhash"), explode(combos).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.t")
+          .bitwiseOR(call_function("shiftright", col("simhash"), col("c.si"))
+            .bitwiseAND(lit(4095L)) * lit(4096L))
+          .bitwiseOR(call_function("shiftright", col("simhash"), col("c.sj"))
+            .bitwiseAND(lit(4095L)))
+          .as("bk"))
     // capBlocks' using-join reorders columns (join keys first) — pin the
     // order by NAME before the positional rename in d08Pairs, or da/sa
-    // silently bind to band index/value (caught by the sf0.01 oracle)
-    capBlocks(k, Seq("j", "band"), "d08_band_census", cap)
-      .select("doc_id", "simhash", "j", "band")
+    // silently bind to the band key (caught by the sf0.01 oracle)
+    capBlocks(k, Seq("bk"), "d08_band_census", cap)
+      .select("doc_id", "simhash", "bk")
   }
 
   /** d08's capped pair stage ([[capBlocks]] discipline); `cap = None` is
@@ -834,10 +858,9 @@ object DedupQueries {
     // the census agg + cap equi-join execute once per side (seen as
     // three joins in the round-9 plan audit)
     val capped = d08Banded(s, d, cap).localCheckpoint()
-    val a = capped.toDF("da", "sa", "ja", "ba")
-    val b = capped.toDF("db", "sb", "jb", "bb")
-    a.join(b,
-        col("ja") === col("jb") && col("ba") === col("bb") && col("da") < col("db"))
+    val a = capped.toDF("da", "sa", "ka")
+    val b = capped.toDF("db", "sb", "kb")
+    a.join(b, col("ka") === col("kb") && col("da") < col("db"))
       .select(col("da"), col("db"), col("sa"), col("sb"))
       .distinct() // a pair sharing several bands must count once
       .select(col("da"), col("db"),
@@ -858,12 +881,13 @@ object DedupQueries {
       |sh AS (SELECT doc_id, list_sum(list_transform(generate_series(0,59), j ->
       |   CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
       |   THEN (1::BIGINT << j) ELSE 0 END))::BIGINT simhash FROM t),
-      |k AS (SELECT doc_id, simhash, j, (simhash >> (15*j)) & 32767 AS band
-      |      FROM sh, (SELECT unnest(generate_series(0,3)) j)),
-      |kc AS (SELECT j, band FROM k GROUP BY j, band HAVING count(*) BETWEEN 2 AND 64),
-      |kf AS (SELECT k.* FROM k JOIN kc USING (j, band)),
+      |k AS (SELECT doc_id, simhash,
+      |        (((i*5+j)::BIGINT << 24) | (((simhash >> (12*i)) & 4095) << 12) | ((simhash >> (12*j)) & 4095)) AS bk
+      |      FROM sh, (SELECT i, j FROM (SELECT unnest(generate_series(0,4)) i), (SELECT unnest(generate_series(0,4)) j) WHERE i < j)),
+      |kc AS (SELECT bk FROM k GROUP BY bk HAVING count(*) BETWEEN 2 AND 64),
+      |kf AS (SELECT k.* FROM k JOIN kc USING (bk)),
       |pairs AS (SELECT DISTINCT a.doc_id da, b.doc_id db, a.simhash sa, b.simhash sb
-      |  FROM kf a JOIN kf b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id),
+      |  FROM kf a JOIN kf b ON a.bk = b.bk AND a.doc_id < b.doc_id),
       |ham AS (SELECT da, db, bit_count(xor(sa, sb)) hd FROM pairs)
       |SELECT da, db, hd::BIGINT AS hamming FROM ham WHERE hd <= 3 AND hd > 0
       |ORDER BY hd, da, db LIMIT 50""".stripMargin

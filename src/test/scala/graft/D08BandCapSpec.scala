@@ -5,16 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.queries.DedupQueries
 
 /** Pins d08's (j, band) bucket bound (the round-8 `weak` fix): exact-dup
-  * template mass carries ONE 60-bit simhash, so all 4 of its band
-  * buckets go hot — the cap must keep that mass out of the band
+  * template mass carries ONE 60-bit simhash, so all 10 of its
+  * block-pair buckets go hot — the cap must keep that mass out of the band
   * self-join (its hd-0 pairs were never d08 output anyway), the dropped
   * mass must surface through `d08_band_census`, and genuine Hamming-1..3
   * neighbors must keep flowing through unharmed.
   *
   * Fixture determinism: doc 2 = doc 1's 20 tokens + "gold" shifts the
   * 60-bit simhash by EXACTLY Hamming 1 (md5 is fixed; verified against
-  * the same arithmetic in python), leaving 3 of 4 15-bit bands shared —
-  * the pair is found through three buckets and verified at hd 1. */
+  * the same arithmetic in python), leaving 4 of 5 12-bit blocks
+  * shared — the pair is found through C(4,2) = 6 of the 10 block-pair
+  * buckets and verified at hd 1. */
 class D08BandCapSpec extends AnyFunSuite {
   import SparkTestSession.spark
   import spark.implicits._
@@ -54,12 +55,12 @@ class D08BandCapSpec extends AnyFunSuite {
     val stage1 = DedupQueries.d08Banded(spark, stage(hot))
     stage1.collect()
     val census = stage1.queryExecution.observedMetrics("d08_band_census")
-    // every hot doc sits in all 4 of its band buckets, each oversized;
-    // docs 1/2 share no 15-bit band value with the template signature
-    assert(census.getAs[Long]("docs_in_dropped_blocks") == 4L * hot,
+    // every hot doc sits in all 10 of its block-pair buckets, each
+    // oversized; docs 1/2 share no 24-bit block pair with the template
+    assert(census.getAs[Long]("docs_in_dropped_blocks") == 10L * hot,
       s"census must count each hot doc once per band, got $census")
     assert(census.getAs[Long]("max_block_size") == hot.toLong, s"got $census")
-    assert(census.getAs[Double]("dropped_pair_mass") == 4.0 * hot * (hot - 1) / 2.0,
+    assert(census.getAs[Double]("dropped_pair_mass") == 10.0 * hot * (hot - 1) / 2.0,
       s"got $census")
   }
 }
