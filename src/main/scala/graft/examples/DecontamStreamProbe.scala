@@ -63,7 +63,7 @@ object DecontamStreamProbe {
       val seeded = benchGrams.crossJoin(
           spark.range(seedMult).select(col("id").as("rep")))
         .select(when(col("rep") === 0, col("h"))
-          .otherwise(md5(concat(col("h"), col("rep")))).as("h"))
+          .otherwise(xxhash64(col("h"), col("rep"))).as("h"))
       val ix = Decontam.index(spark, idxRoot, target, 16)
       if (!ix.exists) {
         ix.append(seeded.localCheckpoint())

@@ -58,9 +58,21 @@ object P04StageProbe {
       toks => transform(sequence(lit(1), size(toks) - 7),
         i => xxhash64(slice(toks, i, lit(8))))
 
+    // xx64_guard: the SAME xx64_slice token but wrapped in g8OfToks'
+    // when(size>=8) CASE guard instead of this probe's pre-filter —
+    // isolates the guard's fusion cost from the token choice (the
+    // declared p04 measured 4× the probe's p04Of after the token swap;
+    // p16's comment records a 10× Generate-fusion cliff for the guard).
+    val xxGuard: Column => Column =
+      toks => when(size(toks) >= 8,
+        transform(sequence(lit(1), size(toks) - 7),
+          i => xxhash64(slice(toks, i, lit(8)))))
+        .otherwise(array().cast("array<bigint>"))
+
     val variants = Seq(
-      "md5_string(ship)" -> md5Tok, "raw_concat" -> rawTok,
-      "xx64_string" -> xxStr, "xx64_slice" -> xxSlice)
+      "md5_string" -> md5Tok, "raw_concat" -> rawTok,
+      "xx64_string" -> xxStr, "xx64_slice" -> xxSlice,
+      "xx64_guard" -> xxGuard)
 
     println(f"${"variant"}%-18s ${"g8_build"}%9s ${"full_p04"}%9s")
     for ((name, tok) <- variants) {

@@ -519,8 +519,7 @@ object AnalyticsQueries {
     * the overlap check every serious training corpus runs against its
     * eval benchmarks before training. Benchmark sets are small by nature,
     * so the hash side BROADCASTS: the corpus is scanned once, narrow,
-    * and never shuffled — the 100 TB shape. 8-gram md5s are the same
-    * [[graft.functions.TextFns.kgramHashes]] stream winnowing uses. */
+    * and never shuffled — the 100 TB shape. */
   /** The decontamination constants — ONE definition for p04 and p06 (the
     * same no-drift rule as [[qualityOf]]/[[splitOf]]): the benchmark
     * stand-in slice, the n-gram width, and the per-doc distinct 8-gram
@@ -529,10 +528,28 @@ object AnalyticsQueries {
   private[graft] def isBenchDoc(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(docId, lit(50)) === 0
 
+  /** The gram TOKEN is `xxhash64` over the token-array slice, not the
+    * md5-hex string [[graft.functions.TextFns.kgramHashes]] emits: the
+    * hash never reaches output (both engines count overlapping DOCS and
+    * the DuckDB oracle grams independently), so any injective-enough
+    * token with the same equality relation is admissible — and
+    * P04StageProbe measured the md5-string build at 16× the xxhash64
+    * one at sf1 (36.8 vs 2.2 s: one codegen'd 64-bit hash per gram
+    * with no concat, and LONG tokens through array_distinct / explode /
+    * the broadcast semi-join set instead of 32-hex-char strings).
+    * Equality relation is identical — token arrays are equal iff their
+    * space-joins are (tokens are split on spaces so contain none) —
+    * modulo 64-bit collisions, which only matter when they pair a
+    * train gram with a bench gram: P ≈ n_train·n_bench/2⁶⁴ ≈ 1e-3 at
+    * sf100's ~1e9 grams, ~1e-8 at the sf0.01 oracle gate. The md5
+    * spelling stays in d19/p16/t20, whose oracles argmin over the
+    * hex ORDERING; p04/p06/q61 never order by the gram. */
   private[graft] def g8OfToks(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(size(toks) >= 8,
-      array_distinct(graft.functions.TextFns.kgramHashes(toks, 8)))
-      .otherwise(array().cast("array<string>"))
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - 7),
+        i => xxhash64(slice(toks, i, lit(8))))))
+      .otherwise(array().cast("array<bigint>"))
 
   private def p04(s: SparkSession, d: String): DataFrame = {
     def g8Of(docs: DataFrame): DataFrame = docs

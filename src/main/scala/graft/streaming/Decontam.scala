@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.StructType
   * rows and the final read's distinct collapses them. */
 private[graft] object Decontam {
 
-  private val rowSchema = StructType.fromDDL("h STRING")
+  private val rowSchema = StructType.fromDDL("h BIGINT")
 
   def index(
       s: org.apache.spark.sql.SparkSession, root: String,
