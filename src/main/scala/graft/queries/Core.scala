@@ -1344,15 +1344,21 @@ object Core {
     val bits = graft.functions.VectorFns.adaptiveSrpBits(hist.count(), 7L)
     val resDir = r.outDir
     val idxRoot = r.outDir + "_index"
+    // targetRowsPerBucket = 7 is the BAND width knob (oracle-pinned:
+    // the estates straddle a width boundary mid-stream); the file
+    // LAYOUT follows the 4096 every other consumer uses — see
+    // AnnStream.seedHistory's layout note.
     graft.streaming.AnnStream.seedHistory(
-      s, hist, idxRoot, bits, targetRowsPerBucket = 7L)
+      s, hist, idxRoot, bits, targetRowsPerBucket = 7L,
+      layoutRowsPerBucket = 4096L)
     val stream = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.streaming.AnnStream.processBatch(
           batch, batchId, resDir = resDir, root = idxRoot, bits = bits,
-          targetRowsPerBucket = 7L, reband = true, forceCompact = true)
+          targetRowsPerBucket = 7L, reband = true, forceCompact = true,
+          layoutRowsPerBucket = 4096L)
         ()
       }
       .option("checkpointLocation", r.ckpDir)

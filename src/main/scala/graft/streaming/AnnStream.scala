@@ -76,11 +76,24 @@ private[graft] object AnnStream {
       .select(col("vec_id"), col("e"),
         VectorFns.srpBucket(col("e"), bits).as("bk"))
 
-  /** Seed the history corpus once — idempotent (q58's contract). */
+  /** Seed the history corpus once — idempotent (q58's contract).
+    *
+    * `layoutRowsPerBucket` (0 = follow `targetRowsPerBucket`) sizes the
+    * index FILE layout independently of the SRP BAND occupancy target:
+    * the band target is an oracle-pinned semantic knob (q60b sets 7 so
+    * the estates straddle a width boundary mid-stream), but the file
+    * bucket count `P = rows/target` it implied was pure layout the SQL
+    * never sees — and at sf10 a target of 7 made every fold write
+    * ~rows/7 partition dirs (an 86k-small-file pathology measured in
+    * the r15 sf10 sweep). Decoupled, q60b keeps its band semantics and
+    * folds into rows/4096 files like every other consumer. */
   def seedHistory(
       s: SparkSession, history: DataFrame, root: String, bits: Int,
-      targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16): Unit = {
-    val ix = index(s, root, targetRowsPerBucket, minBuckets)
+      targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16,
+      layoutRowsPerBucket: Long = 0L): Unit = {
+    val layout =
+      if (layoutRowsPerBucket > 0) layoutRowsPerBucket else targetRowsPerBucket
+    val ix = index(s, root, layout, minBuckets)
     if (ix.exists) return
     // checkpoint BEFORE the append: the coalesced single-writer funnel
     // must not serialize the cast+SRP pass over the whole history
@@ -126,9 +139,12 @@ private[graft] object AnnStream {
       batch: DataFrame, batchId: Long,
       resDir: String, root: String, bits: Int, k: Int = 10,
       targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16,
-      reband: Boolean = false, forceCompact: Boolean = false): Boolean = {
+      reband: Boolean = false, forceCompact: Boolean = false,
+      layoutRowsPerBucket: Long = 0L): Boolean = {
     val bs = batch.sparkSession
-    val ix = index(bs, root, targetRowsPerBucket, minBuckets)
+    val layout =
+      if (layoutRowsPerBucket > 0) layoutRowsPerBucket else targetRowsPerBucket
+    val ix = index(bs, root, layout, minBuckets)
     val liveBits = if (reband) currentBits(ix, bits) else bits
     val rows = keyed(batch, liveBits).localCheckpoint()
     val rhs = ix.probe(rows.select(col("bk"))) match {
