@@ -18,7 +18,9 @@ import graft.streaming.Decontam
   * seed, rows_read growing far sub-linearly across the ×16 seed axis.
   *
   * The seed axis SALTS the replicated benchmark grams
-  * (`md5(h || rep)`) — text replicas share almost every gram, so
+  * (`xxhash64(h, rep)` over the BIGINT gram tokens — kept in step
+  * with p04's xxhash64 gram spelling) — text replicas share almost
+  * every gram, so
   * without the salt a ×16 "growth" grows the distinct-gram index ~30%
   * and proves nothing. The batch size is a parameter because the
   * pruning receipt needs |batch grams| ≪ bucket count (a 50-doc batch
