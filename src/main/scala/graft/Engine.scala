@@ -64,4 +64,64 @@ object Engine {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Estate-per-shuffle-partition target for [[tuneForEstate]].
+    * 96 MiB of COMPRESSED estate parquet per partition keeps the
+    * worst measured expansion (d02's carry shape: 905 MB of documents
+    * parquet → ~52 GB of band-exploded shingle payload, a ~57×
+    * blow-up) near ~200 MB of in-flight sort data per partition —
+    * single-pass external sort territory. Chosen from the round-16
+    * d02 sf100 A/B: width 32 → 501.7 s, width 256 → 240.7 s (same
+    * answer, same spill total, half the wall — the multi-pass
+    * sort-merge + GC term, not data volume). */
+  private val EstateBytesPerPartition: Long = 96L << 20
+
+  /** SF-AWARE SHUFFLE WIDTH (round-15 verdict task 4: "the knob a
+    * cluster sizes by data volume but local[32] holds constant across
+    * decade steps"). The core-count default is right through the
+    * second decade (sf10 = 2.3 GiB estate → the 96 MiB/partition rule
+    * lands back on 32); at sf100 a 32-way shuffle carries ×1000 the
+    * sf0.1 rows per partition and d02's external sort went multi-pass
+    * (α 1.44/decade). Width = max(cores, estate/96 MiB), AQE coalesces
+    * unused width away (advisoryPartitionSizeInBytes folds the
+    * post-shuffle reads back toward 64 MB), so the only cost of the
+    * larger initial number is scheduler overhead AQE already absorbs.
+    *
+    * An explicit `SPARK_GRAFT_SHUFFLE_PARTITIONS` always wins (the
+    * probe A/B knob). On a real cluster the deployment sets this conf
+    * from its own estate stats — this helper is the local-mode
+    * spelling of that sizing rule, reading the estate directory's
+    * parquet bytes (a driver-side listing, no job). Returns the width
+    * it set. Called by the Bench/Verify mains once the estate dir is
+    * known; `spark.sql.shuffle.partitions` is runtime-settable, so
+    * every plan built afterwards picks it up. */
+  def tuneForEstate(spark: SparkSession, dir: String): Int = {
+    val width = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
+      case Some(w) => w.toInt
+      case None => widthFor(estateBytes(dir))
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+    width
+  }
+
+  /** The sizing rule [[tuneForEstate]] applies: ceil(bytes / 96 MiB),
+    * floored at the core count (the healthy-through-sf10 default),
+    * capped at 4096 (scheduler-overhead guard for a one-box session —
+    * a real cluster raises it with its executor count). */
+  private[graft] def widthFor(bytes: Long): Int = {
+    val byData = ((bytes + EstateBytesPerPartition - 1) /
+      EstateBytesPerPartition).toInt
+    math.max(defaultParallelism.toInt, math.min(byData, 4096))
+  }
+
+  /** Total bytes of `dir`'s parquet estate (recursive file-size sum —
+    * local driver-side listing; 0 if the dir is absent). */
+  private def estateBytes(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return 0L
+    val s = java.nio.file.Files.walk(root)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
 }

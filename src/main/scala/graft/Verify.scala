@@ -14,6 +14,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SF-aware shuffle width (Engine.tuneForEstate doc): inert at the
+    // driver's sf0.01 (estate < cores×96 MiB keeps the core-count
+    // default), load-bearing for local decade-step verification runs.
+    Engine.tuneForEstate(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // Extra args (local iteration only; the driver passes exactly two)
     // restrict the dump to the named queries.

@@ -158,6 +158,16 @@ object DedupQueries {
     }
   }
 
+  /** d02's NARROW band stream — (doc_id, band, bh) with no carried
+    * payload — for census probes that need the full bucket-size
+    * DISTRIBUTION (the capBlocks observe reports only max + dropped
+    * mass). Shares [[sigWithSh]]/[[bandKeyCols]] so a probe census can
+    * never drift from the query's banding
+    * ([[graft.examples.D02StageProbe]]). */
+  private[graft] def d02BandsNarrow(s: SparkSession, d: String): DataFrame =
+    sigWithSh(s, d).select(
+      col("doc_id"), posexplode(array(bandKeyCols: _*)).as(Seq("band", "bh")))
+
   /** The JOIN-BACK spelling of [[lshVerifiedPairs]]'s tail over an
     * already-checkpointed (doc_id, sh, mh0..7) signature table — d07's
     * shape driven off the ONE shared sig materialization: the 4× band
