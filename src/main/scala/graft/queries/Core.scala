@@ -1131,8 +1131,8 @@ object Core {
     * write-new-then-delete-old crash window safe). Because arrival
     * order is doc_id order, ONE oracle serves the streaming and batch
     * forms — the q36/q43 discipline applied to dedup. */
-  private def q54(s0: SparkSession, d: String): DataFrame = {
-    val r = new Replay(s0, "graft_neardup", "q54", d)((s, st) => {
+  private def q54Stage(d: String): (SparkSession, Replay.Stager) => Unit =
+    (s, st) => {
       val docs = documents(s, d).select(col("doc_id"), col("text"))
       // proportional id-ordered thirds (any id-ordered batching yields
       // the identical result — see the oracle note — so the cut choice
@@ -1144,7 +1144,10 @@ object Core {
       st.stage(docs.filter(col("doc_id") >= c1 && col("doc_id") < c2),
         "batch1", 1000000060000L)
       st.stage(docs.filter(col("doc_id") >= c2), "batch2", 1000000120000L)
-    })
+    }
+
+  private def q54(s0: SparkSession, d: String): DataFrame = {
+    val r = new Replay(s0, "graft_neardup", "q54", d)(q54Stage(d))
     val s = r.session
     val resDir = r.outDir
     val stream = s.readStream.schema("doc_id LONG, text STRING")
@@ -1161,6 +1164,47 @@ object Core {
           resDir = resDir,
           bandRoot = r.outDir + "_index",
           exactRoot = r.outDir + "_exact")
+        ()
+      }
+      .option("checkpointLocation", r.ckpDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(resDir).distinct().orderBy("doc_id")
+  }
+
+  /** Q54b — q54 UNDER THE PRODUCTION FOLD POLICY: the identical
+    * two-tier dataflow with `forceCompact = true` (q60b's determinism
+    * knob — production uses the byte-ratio trigger, whose firing
+    * parquet file sizes decide, not SQL), so both accumulated indexes
+    * FOLD after every batch and each epoch's bucket width
+    * `P = max(minBuckets, ceil(rows / target))` is a pure function of
+    * row counts. Unlike AnnStream's SRP width, P is pure LAYOUT for an
+    * LSH band key — no row's `bk` changes — so the oracle is q54's
+    * VERBATIM (no phase split needed); what the variant buys is the
+    * LSM fold + adaptive re-widening path executing MID-STREAM under
+    * the cross-engine oracle instead of only under specs/probes.
+    * target = 64 with minBuckets = 4, chosen so ceil(rows/64) moves
+    * across every fold at all three SFs (at the 4096 production target
+    * the test estates never leave the minBuckets floor and the
+    * re-widening would go unexercised — the q60b straddle-a-boundary
+    * discipline). Shares q54's staged source (same prefix), own
+    * index/checkpoint (runKey q54b). */
+  private def q54b(s0: SparkSession, d: String): DataFrame = {
+    val r = new Replay(s0, "graft_neardup", "q54b", d)(q54Stage(d))
+    val s = r.session
+    val resDir = r.outDir
+    val stream = s.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.streaming.NearDup.processBatch(
+          batch, batchId,
+          resDir = resDir,
+          bandRoot = r.outDir + "_index",
+          exactRoot = r.outDir + "_exact",
+          targetRowsPerBucket = 64L, minBuckets = 4,
+          forceCompact = true)
         ()
       }
       .option("checkpointLocation", r.ckpDir)
@@ -1197,8 +1241,8 @@ object Core {
     * construction over the same checkpoint re-ingests nothing (index
     * seeding is existence-gated, AvailableNow finds every file
     * committed) and returns identical rows. */
-  private def q58(s0: SparkSession, d: String): DataFrame = {
-    val r = new Replay(s0, "graft_incdedup", "q58", d)((s, st) => {
+  private def q58Stage(d: String): (SparkSession, Replay.Stager) => Unit =
+    (s, st) => {
       val delta = documents(s, d).select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 5 === 4)
       val mx = delta.agg(max("doc_id")).head().getLong(0)
@@ -1207,7 +1251,18 @@ object Core {
       st.stage(delta.filter(col("doc_id") >= c1 && col("doc_id") < c2),
         "batch1", 1000000060000L)
       st.stage(delta.filter(col("doc_id") >= c2), "batch2", 1000000120000L)
-    })
+    }
+
+  /** q58's dataflow, parameterized over runKey + the fold policy so the
+    * declared q58 (production size-ratio trigger) and q58b (forced
+    * per-batch folds at a P-moving target — see [[q54b]]'s rationale;
+    * the oracle is unchanged because the LSH band key is fixed and P is
+    * layout-only) share one definition. */
+  private def q58Run(
+      s0: SparkSession, d: String, runKey: String,
+      targetRowsPerBucket: Long, minBuckets: Int,
+      forceCompact: Boolean): DataFrame = {
+    val r = new Replay(s0, "graft_incdedup", runKey, d)(q58Stage(d))
     val s = r.session
     val resDir = r.outDir
     val idxRoot = r.outDir + "_index"
@@ -1216,13 +1271,14 @@ object Core {
       DedupQueries.keyedBandsOf(
         documents(s, d).select(col("doc_id"), col("text"))
           .filter(col("doc_id") % 5 =!= 4)),
-      idxRoot)
+      idxRoot, targetRowsPerBucket, minBuckets)
     val stream = s.readStream.schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", "1").parquet(r.srcDir)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.streaming.IncDedup.processBatch(
-          batch, batchId, resDir = resDir, root = idxRoot)
+          batch, batchId, resDir = resDir, root = idxRoot,
+          targetRowsPerBucket, minBuckets, forceCompact = forceCompact)
         ()
       }
       .option("checkpointLocation", r.ckpDir)
@@ -1231,6 +1287,12 @@ object Core {
     query.awaitTermination()
     s.read.parquet(resDir).distinct().orderBy("new_id", "dup_of")
   }
+
+  private def q58(s0: SparkSession, d: String): DataFrame =
+    q58Run(s0, d, "q58", 4096L, 16, forceCompact = false)
+
+  private def q58b(s0: SparkSession, d: String): DataFrame =
+    q58Run(s0, d, "q58b", 64L, 4, forceCompact = true)
 
   /** Q60 — STREAMING ANN: continuous embedding ingest with
     * search-on-arrival, the THIRD foreachBatch state consumer on
@@ -2109,8 +2171,14 @@ object Core {
     QueryDef("q44_stream_restart", q44, Some(oq33)),
     QueryDef("q45_stream_dedup", q45, Some(oq45)),
     QueryDef("q54_stream_neardup", q54, Some(oq54)),
+    // q54's oracle verbatim: the forced per-batch fold (production LSM
+    // policy, P re-derived every epoch) must be result-invisible
+    QueryDef("q54b_stream_neardup_fold", q54b, Some(oq54)),
     QueryDef("q57_stream_hopping", q57, Some(AnalyticsQueries.oa15)),
     QueryDef("q58_stream_incdedup", q58, Some(DedupQueries.oIncDedupStream)),
+    // q58's oracle verbatim, same argument as q54b
+    QueryDef("q58b_stream_incdedup_fold", q58b,
+      Some(DedupQueries.oIncDedupStream)),
     QueryDef("q60_stream_ann", q60, Some(oq60)),
     QueryDef("q60b_stream_ann_reband", q60b, Some(oq60b)),
     QueryDef("q61_stream_decontam", q61, Some(AnalyticsQueries.op04)),

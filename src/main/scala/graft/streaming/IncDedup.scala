@@ -76,7 +76,8 @@ private[graft] object IncDedup {
   def processBatch(
       batch: DataFrame, batchId: Long,
       resDir: String, root: String,
-      targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16): Boolean = {
+      targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16,
+      forceCompact: Boolean = false): Boolean = {
     val bs = batch.sparkSession
     val ix = index(bs, root, targetRowsPerBucket, minBuckets)
     // checkpointed: the touched-bucket collect, the join build side and
@@ -106,6 +107,9 @@ private[graft] object IncDedup {
       .select(col("new_id"), col("dup_of"), oround(col("jac"), 3).as("jaccard"))
     verified.write.mode("append").parquet(resDir)
     ix.append(bands)
-    ix.maybeCompact()
+    // q58b's determinism knob (see NearDup.processBatch): fold every
+    // batch so the adaptive bucket width P runs the production policy
+    // under the unchanged oracle (P is layout-only for LSH band keys).
+    if (forceCompact) { ix.compact(); true } else ix.maybeCompact()
   }
 }

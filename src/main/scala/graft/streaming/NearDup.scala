@@ -38,12 +38,14 @@ private[graft] object NearDup {
     def probe(keys: DataFrame): Option[DataFrame]
     def append(df: DataFrame): Unit
     def maybeCompact(): Boolean
+    def compact(): Unit
   }
 
   private final class Bucketed(ix: BucketedIndex) extends Store {
     def probe(keys: DataFrame): Option[DataFrame] = ix.probe(keys)
     def append(df: DataFrame): Unit = ix.append(df)
     def maybeCompact(): Boolean = ix.maybeCompact()
+    def compact(): Unit = ix.compact()
   }
 
   /** Round-11 layout: plain appends, full-history read per batch, no
@@ -58,6 +60,7 @@ private[graft] object NearDup {
     def append(df: DataFrame): Unit =
       df.write.mode("append").parquet(root)
     def maybeCompact(): Boolean = false
+    def compact(): Unit = () // plain layout has no generations to fold
   }
 
   def bandIndex(
@@ -97,7 +100,8 @@ private[graft] object NearDup {
       resDir: String, bandRoot: String, exactRoot: String,
       targetRowsPerBucket: Long = 4096L, minBuckets: Int = 16,
       bucketed: Boolean = true,
-      bandCap: Option[Int] = Some(StreamBandCap))
+      bandCap: Option[Int] = Some(StreamBandCap),
+      forceCompact: Boolean = false)
       : Boolean = {
     val bs = batch.sparkSession
     val exIdxStore: Store =
@@ -223,8 +227,17 @@ private[graft] object NearDup {
       .write.mode("append").parquet(resDir)
     bandStore.append(bands)
     exIdxStore.append(repRes.select("h", "rep_id", "rep_dup", "rep_jac"))
-    val c1 = bandStore.maybeCompact()
-    val c2 = exIdxStore.maybeCompact()
-    c1 || c2
+    // forceCompact = the q60b determinism knob applied here (q54b):
+    // fold after EVERY batch so each epoch's bucket width P is a pure
+    // function of row counts — the production LSM policy exercised
+    // mid-stream under the oracle (P is pure layout for this consumer,
+    // so unlike AnnStream's SRP width the oracle text is unchanged).
+    if (forceCompact) {
+      bandStore.compact(); exIdxStore.compact(); true
+    } else {
+      val c1 = bandStore.maybeCompact()
+      val c2 = exIdxStore.maybeCompact()
+      c1 || c2
+    }
   }
 }

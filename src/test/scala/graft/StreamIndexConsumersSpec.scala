@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** q58 (streaming incremental dedup), q60 (streaming ANN) and q61
@@ -42,6 +44,8 @@ class StreamIndexConsumersSpec extends AnyFunSuite {
 
   for ((name, runKey, probeKey) <- Seq(
       ("q58_stream_incdedup", "q58", "bk"),
+      ("q58b_stream_incdedup_fold", "q58b", "bk"),
+      ("q54b_stream_neardup_fold", "q54b", "bk"),
       ("q60_stream_ann", "q60", "bk"),
       ("q60b_stream_ann_reband", "q60b", "bk"),
       ("q61_stream_decontam", "q61", "h"))) {
@@ -63,6 +67,39 @@ class StreamIndexConsumersSpec extends AnyFunSuite {
       assert(r2 == r1, s"a resumed $name run must return identical rows")
       assert(indexFiles(runKey) == filesAfterFirst,
         s"a resumed $name run must not re-append to its index")
+    }
+  }
+
+  /** The b-variants exist to run the ADAPTIVE RE-WIDENING mid-stream
+    * (q54b/q58b scaladocs): with forced per-batch folds at target 64 /
+    * minBuckets 4, the final base generation's bucket width P must have
+    * LEFT the minBuckets floor — a P pinned at 4 would mean the policy
+    * never re-derived the width and the variant proves nothing. */
+  for ((name, runKey, minBuckets) <- Seq(
+      ("q54b_stream_neardup_fold", "q54b", 4),
+      ("q58b_stream_incdedup_fold", "q58b", 4))) {
+    test(s"$name: the fold re-derived the bucket width off the floor") {
+      SparkEntry.queries(name)(spark, sf).collect()
+      val pidHex = java.lang.Long.toHexString(ProcessHandle.current().pid())
+      val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+      val root = {
+        val l = Files.list(tmp)
+        try l.filter(p =>
+            p.getFileName.toString.startsWith(s"graft_run_${pidHex}_${runKey}_"))
+          .findFirst()
+          .orElseThrow(() => new AssertionError(s"$runKey run root not found"))
+        finally l.close()
+      }
+      val GenP = """gen_\d+_p(\d+)_b""".r
+      val l = Files.list(root.resolve("out_index"))
+      val ps =
+        try l.iterator().asScala
+          .flatMap(p => GenP.findFirstMatchIn(p.getFileName.toString))
+          .map(_.group(1).toInt).toList
+        finally l.close()
+      assert(ps.nonEmpty, s"$name left no base generation")
+      assert(ps.max > minBuckets,
+        s"$name's final base width ${ps.max} never left the $minBuckets floor")
     }
   }
 }
