@@ -21,6 +21,15 @@ object Bench {
     // load average at start and end makes a contended dump self-identifying
     // (load >> cpus at either edge ⇒ treat the timings as upper bounds).
     val loadStart = loadAvg()
+    // Quiet-start assertion (round-16 verdict task 6: the round lost
+    // both records to host state it measured but didn't act on). A
+    // contended start gets a loud stderr WARNING up front and a
+    // `"record_grade":false` stamp in the dump — the provenance rule
+    // as code, not prose.
+    if (loadStart >= 1.0)
+      System.err.println(
+        f"[bench] WARNING: load_start=$loadStart%.2f >= 1 — this run is " +
+          "NOT record grade; timings are upper bounds (host contention)")
     val spark = Engine.session()
     // SF-aware shuffle width (round-15 verdict task 4; Engine doc):
     // estate-sized initial width, AQE coalesces — the d02 sf100 fix,
@@ -41,6 +50,7 @@ object Bench {
     val memSpill = new java.util.concurrent.atomic.AtomicLong
     val diskSpill = new java.util.concurrent.atomic.AtomicLong
     val peakExec = new java.util.concurrent.atomic.AtomicLong
+    val stageEvents = new java.util.concurrent.atomic.AtomicLong
     if (wantSpill)
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
@@ -53,8 +63,26 @@ object Bench {
               diskSpill.addAndGet(m.diskBytesSpilled)
               peakExec.getAndAccumulate(m.peakExecutionMemory, math.max)
             }
+            stageEvents.incrementAndGet()
           }
         })
+    // ListenerBus drain: the bus is async with no completion guarantee,
+    // so a fixed sleep can let a heavy query's late stage-completed
+    // events bleed into the NEXT query's spill entry (round-16
+    // advisory). Poll the event counter until it's been stable for
+    // 400 ms (3 s cap — attribution stays best-effort by nature, but a
+    // quiescent bus is a far stronger signal than one fixed nap).
+    def drainListenerBus(): Unit = {
+      val deadline = System.nanoTime() + 3000L * 1000000
+      var last = stageEvents.get
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+          System.nanoTime() - stableSince < 400L * 1000000) {
+        Thread.sleep(50)
+        val now = stageEvents.get
+        if (now != last) { last = now; stableSince = System.nanoTime() }
+      }
+    }
     // Optional args: run only the named queries (profiling aid).
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
@@ -81,7 +109,7 @@ object Bench {
       scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       if (wantSpill) { // drain the previous query's late stage events
-        Thread.sleep(300)
+        drainListenerBus()
         memSpill.set(0L); diskSpill.set(0L); peakExec.set(0L)
       }
       def once(): Double =
@@ -131,7 +159,7 @@ object Bench {
       if (wantSpill) {
         // totals across the query's runs (the cold run alone under
         // SPARK_GRAFT_BENCH_RUNS=1 — the number the α tables want)
-        Thread.sleep(300)
+        drainListenerBus()
         spills(name) = (memSpill.get, diskSpill.get, peakExec.get)
       }
       val best = (first, second) match {
@@ -151,11 +179,17 @@ object Bench {
     // first-time cluster job pays), run2 the resumed/warm one. The
     // round-7/8 cold replay cost for the streams family survived only in
     // stderr; now it rides the committed record.
+    val loadEnd = loadAvg()
+    // record_grade: both load edges quiet (< 1) — the same predicate
+    // that gates the latest_full.json record below, stamped INTO the
+    // dump so a contended run is self-identifying even when renamed
+    // or read in isolation (round-16 verdict task 6).
+    val recordGrade = loadStart < 1.0 && loadEnd < 1.0
     val host = {
       val procs = Runtime.getRuntime.availableProcessors
       s"""{"cpus":"${Engine.defaultParallelism}","avail_procs":$procs,""" +
-        s""""shuffle_width":$shuffleWidth,""" +
-        s""""load_start":$loadStart,"load_end":${loadAvg()}}"""
+        s""""shuffle_width":$shuffleWidth,"record_grade":$recordGrade,""" +
+        s""""load_start":$loadStart,"load_end":$loadEnd}"""
     }
     val spillJson =
       if (spills.isEmpty) ""
@@ -173,7 +207,6 @@ object Bench {
     // possible for 28 of 141 queries). Full-run dumps only, so a
     // selective profiling invocation never clobbers the record.
     if (args.isEmpty) {
-      val loadEnd = loadAvg()
       // Default dumps go to a LOAD-STAMPED filename; `latest_full.json`
       // (the record the judge reads as "latest = best-known") is only
       // written when both load edges show a quiet host (< 1). Rounds
@@ -188,7 +221,7 @@ object Bench {
         .format(System.currentTimeMillis() / 1000, loadStart, loadEnd)
       val targets = explicit match {
         case Some(f) => Seq(f)
-        case None if loadStart < 1.0 && loadEnd < 1.0 =>
+        case None if recordGrade =>
           Seq(stamped, "/root/repo/bench/latest_full.json")
         case None => Seq(stamped)
       }

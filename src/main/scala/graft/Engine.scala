@@ -98,29 +98,38 @@ object Engine {
   def tuneForEstate(spark: SparkSession, dir: String): Int = {
     val width = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
       case Some(w) => w.toInt
-      case None => widthFor(estateBytes(dir))
+      // Floor at the SESSION's actual parallelism, not the env default:
+      // Verify sizes its session from SPARK_GRAFT_CPUS with default 4
+      // while the env default here is 32 — reading the env again would
+      // silently widen a 4-core Verify session to 32 even at sf0.01
+      // (round-16 advisory).
+      case None =>
+        widthFor(estateBytes(dir), spark.sparkContext.defaultParallelism)
     }
     spark.conf.set("spark.sql.shuffle.partitions", width.toString)
     width
   }
 
   /** The sizing rule [[tuneForEstate]] applies: ceil(bytes / 96 MiB),
-    * floored at the core count (the healthy-through-sf10 default),
-    * capped at 4096 (scheduler-overhead guard for a one-box session —
-    * a real cluster raises it with its executor count). */
-  private[graft] def widthFor(bytes: Long): Int = {
+    * floored at `cores` (the session's parallelism — healthy through
+    * sf10), capped at 4096 (scheduler-overhead guard for a one-box
+    * session — a real cluster raises it with its executor count). */
+  private[graft] def widthFor(bytes: Long, cores: Int): Int = {
     val byData = ((bytes + EstateBytesPerPartition - 1) /
       EstateBytesPerPartition).toInt
-    math.max(defaultParallelism.toInt, math.min(byData, 4096))
+    math.max(cores, math.min(byData, 4096))
   }
 
-  /** Total bytes of `dir`'s parquet estate (recursive file-size sum —
-    * local driver-side listing; 0 if the dir is absent). */
+  /** Total bytes of `dir`'s PARQUET estate (recursive size sum over
+    * `*.parquet` files — local driver-side listing; 0 if the dir is
+    * absent). Non-parquet co-residents (logs, JSON dumps, .crc
+    * sidecars) are excluded so they can't inflate the width. */
   private def estateBytes(dir: String): Long = {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(root)) return 0L
     val s = java.nio.file.Files.walk(root)
     try s.filter(java.nio.file.Files.isRegularFile(_))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .mapToLong(java.nio.file.Files.size(_)).sum()
     finally s.close()
   }

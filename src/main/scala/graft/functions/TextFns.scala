@@ -47,6 +47,23 @@ object TextFns {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  /** Distinct n-gram shingles as `xxhash64` LONGS — same caller
+    * contract as [[shinglesOf]] (input must be pre-filtered to
+    * `size(toks) >= n`), but the shingle identity is an 8-byte hash of
+    * the token-array slice instead of a rebuilt string. The p04
+    * packed-key discipline (AnalyticsQueries gramTokens): everything
+    * downstream — exchanges, sorts, group keys — moves 8 bytes per
+    * shingle instead of a ~25-byte string, and the hash skips the
+    * concat_ws allocation entirely (P04StageProbe measured the
+    * md5-string build at 16× the xxhash64 one). Distinct n-grams map
+    * to distinct longs modulo xxhash64 collisions — vanishing at any
+    * checked SF, and the same exposure g04/p04 already accept. */
+  def hashedShinglesOf(toks: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => xxhash64(slice(toks, i, lit(n)))))
+
   /** Convenience wrapper for cold paths and tests — guards short input
     * (unlike [[shinglesOf]]); do NOT use inside further lambdas (see
     * the performance contract above). */

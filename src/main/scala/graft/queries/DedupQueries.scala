@@ -1338,40 +1338,63 @@ object DedupQueries {
     * posting-list mass no matter how the corpus grows.
     *
     * PLAN SHAPE (rewritten by the round-14 stage probe,
-    * D13StageProbe): the original checkpoint → df-aggregate →
-    * join-back → checkpoint → SELF-JOIN chain paid FOUR full
-    * exchanges-plus-sorts of the ~100M-row shingle table (a
-    * localCheckpoint erases partitioning, so the self-join re-shuffled
-    * and re-sorted both sides — 37 of the 50 sf10 seconds). Now the
-    * shingle stream crosses ONE exchange (`repartition(sh)`); the df
-    * census is a window over the co-located key (no second exchange),
-    * and pair emission builds actual POSTING LISTS — `collect_list`
-    * per multi-doc rare shingle, bounded ≤ 20 by the df filter that
-    * precedes it (never an uncapped collect — the hot-key rule), then
-    * a combinations lambda explodes the C(df,2) sorted pairs. Only the
-    * df∈[2,20] subset (a sliver: the staged estates make most shingles
-    * unique) reaches the postings aggregate; everything downstream of
-    * the one exchange is bounded-fanout narrow work. Same pair set,
-    * same ni, same oracle. */
+    * D13StageProbe; payload-shrunk again in round 17 after the sf100
+    * receipt — α band 1.03–1.29, and the width-32 twin was KILLED at
+    * >45 GB of spill, `bench/r16_sf100_groupBC.json`): the shingle
+    * stream crosses ONE exchange (`repartition`), the df census is a
+    * window over the co-located key (no second exchange), and pair
+    * emission builds actual POSTING LISTS — `collect_list` per
+    * multi-doc rare shingle, bounded ≤ 20 by the df filter (never an
+    * uncapped collect — the hot-key rule), then a combinations lambda
+    * explodes the C(df,2) sorted pairs.
+    *
+    * The round-17 shrink applies the g04/p04 packed-key discipline to
+    * everything that crosses the exchange or parks in the checkpoint:
+    *
+    *  - the shingle key is `xxhash64` over the token slice
+    *    ([[TextFns.hashedShinglesOf]]) — 16-byte (doc_id, hash) rows
+    *    cross the one exchange instead of ~45-byte string rows, and
+    *    the per-partition window sort runs over longs (at sf100 /
+    *    policy width ≈ 245 that is ~65 MB of sort data per partition —
+    *    in-memory territory; the string shape externally sorted and
+    *    was the round-16 kill);
+    *  - the localCheckpoint keeps only the df ≥ 2 SLIVER (duplicated
+    *    shingles — a few % of the stream; most shingles are unique),
+    *    not the near-full df ≤ 20 stream the old shape parked. The
+    *    per-doc rare-shingle size `n` is recovered WITHOUT the big
+    *    checkpoint as ntot − nhot: ntot = |distinct shingles| is a
+    *    narrow `size()` over the already-staged token arrays (no
+    *    explode, no shuffle), and nhot counts the doc's df > 20
+    *    incidences — read from the same sliver checkpoint.
+    *
+    * Same pair set, same ni, same n, same oracle (identity is hashed;
+    * distinct trigrams stay distinct modulo xxhash64 collisions —
+    * the exposure g04/p04 already accept). */
   private def d13(s: SparkSession, d: String): DataFrame = {
-    val sh = tokenized(s, d)
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(TextFns.shinglesOf(col("toks"), 3)).as("sh"))
-    val rare = sh.repartition(col("sh"))
+    val hsh = TextFns.hashedShinglesOf(col("toks"), 3)
+    val base = tokenized(s, d).filter(size(col("toks")) >= 3)
+    val sh = base.select(col("doc_id"), explode(hsh).as("shh"))
+    val nTotal = base.select(col("doc_id"), size(hsh).cast("long").as("ntot"))
+    val multi = sh.repartition(col("shh"))
       .withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df") <= 20)
-      .localCheckpoint() // two consumers: per-doc sizes AND postings
-    val na = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // per-doc shingle sets are distinct (shinglesOf array_distincts),
-    // so the sorted posting list has no repeats and the combinations
-    // lambda emits each (da < db) pair exactly once
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shh"))
+          .cast("int"))
+      .filter(col("df") >= 2)
+      .localCheckpoint() // the duplicated-shingle sliver; two consumers
+    val nHot = multi.filter(col("df") > 20)
+      .groupBy("doc_id").agg(count(lit(1)).as("nhot"))
+    val na = nTotal.join(nHot, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("ntot") - coalesce(col("nhot"), lit(0L))).as("n"))
+    // per-doc shingle sets are distinct (hashedShinglesOf
+    // array_distincts), so the sorted posting list has no repeats and
+    // the combinations lambda emits each (da < db) pair exactly once
     val ds = col("ds")
     val comb = flatten(transform(ds, (a, i) =>
       transform(slice(ds, i + lit(2), size(ds)),
         b => struct(a.as("da"), b.as("db")))))
-    rare.filter(col("df") >= 2)
-      .groupBy("sh").agg(sort_array(collect_list("doc_id")).as("ds"))
+    multi.filter(col("df") <= 20)
+      .groupBy("shh").agg(sort_array(collect_list("doc_id")).as("ds"))
       .select(explode(comb).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("ni"))
