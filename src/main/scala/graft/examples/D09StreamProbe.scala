@@ -19,11 +19,17 @@ import graft.streaming.IncDedup
   * across the seed axis while idx_rows quadruples.
   *
   * Usage: runMain graft.examples.D09StreamProbe [sfDir] [target]
+  *   [seedMult...]  — extra args override the ×4/×8/×16 seed axis
+  *   (round-16 verdict task 4 wants a receipt a decade beyond ×16;
+  *   e.g. `… /root/testdata/sf0.1 256 16 160` seeds an 8M-doc index —
+  *   past sf100's 5M docs — from the replica stager).
   */
 object D09StreamProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val target = args.lift(1).map(_.toLong).getOrElse(256L)
+    val seedAxis =
+      if (args.length > 2) args.drop(2).toSeq.map(_.toInt) else Seq(4, 8, 16)
     val nBatches = 12
     val perBatch = 50
     val spark = graft.Engine.session()
@@ -36,7 +42,7 @@ object D09StreamProbe {
       Replicas.docReplicas(docs, nDocs)(from, until)
 
     val root = s"/tmp/d09probe_${ProcessHandle.current().pid()}"
-    for (seedMult <- Seq(4, 8, 16)) {
+    for (seedMult <- seedAxis) {
       val base = s"$root/x$seedMult"
       val idxRoot = s"$base/index"
       IncDedup.seedHistory(

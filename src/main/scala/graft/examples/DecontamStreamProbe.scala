@@ -29,13 +29,17 @@ import graft.streaming.Decontam
   * buckets probed by per-batch key sets that touch a sliver).
   *
   * Usage: runMain graft.examples.DecontamStreamProbe
-  *   [sfDir] [target] [perBatch]
+  *   [sfDir] [target] [perBatch] [seedMult...]  — extra args override
+  *   the ×1/×4/×16 seed axis (round-16 verdict task 4: one receipt a
+  *   decade beyond ×16, e.g. `… 4096 50 16 160`).
   */
 object DecontamStreamProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val target = args.lift(1).map(_.toLong).getOrElse(4096L)
     val perBatch = args.lift(2).map(_.toInt).getOrElse(50)
+    val seedAxis =
+      if (args.length > 3) args.drop(3).toSeq.map(_.toInt) else Seq(1, 4, 16)
     val nBatches = 12
     val spark = graft.Engine.session()
     spark.sparkContext.setLogLevel("ERROR")
@@ -57,7 +61,7 @@ object DecontamStreamProbe {
     val benchGrams = Decontam.benchHashesOf(bench).localCheckpoint()
 
     val root = s"/tmp/q61probe_${ProcessHandle.current().pid()}"
-    for (seedMult <- Seq(1, 4, 16)) {
+    for (seedMult <- seedAxis) {
       val base = s"$root/x$seedMult"
       val idxRoot = s"$base/index"
       // rep 0 keeps the REAL grams (so batches still hit); reps ≥ 1 are

@@ -45,8 +45,9 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * Compaction cadence is SIZE-RATIO (LSM-style), not every-N-batches:
   * [[maybeCompact]] folds when the delta reaches 1/[[BucketedIndex
   * .FoldFraction]] of the base's bytes, re-bucketing at
-  * `P' = max(minBuckets, rows / targetRowsPerBucket)` — bucket
-  * OCCUPANCY (not bucket count) stays ~constant as the stream ages,
+  * `P' = min(MaxBuckets, max(minBuckets, rows / targetRowsPerBucket))`
+  * — bucket OCCUPANCY (not bucket count) stays ~constant as the
+  * stream ages until the MaxBuckets file-count ceiling (see its doc),
   * the delta stays a bounded fraction of the base, and amortized
   * write amplification is ~FoldFraction× per row per size doubling
   * (a fixed every-N cadence would rewrite the whole index every N
@@ -73,6 +74,19 @@ private[graft] final class BucketedIndex(
     rowSchema: StructType,
     targetRowsPerBucket: Long = 4096L,
     minBuckets: Int = 16) {
+
+  /** Bucket-count CEILING for [[compact]]'s adaptive re-widening.
+    * `ceil(rows / target)` is unbounded in corpus size, and every
+    * bucket is a physical partition DIRECTORY with one file — at
+    * sf10, q54b's deliberately-small test target (64) re-widened to
+    * P = 31,250 and each per-batch fold wrote 31k directories of
+    * ~4 KB files (round 17: two micro-batches in 45 minutes, all of
+    * it filesystem metadata). A real table format bounds files per
+    * snapshot the same way. Above the cap, OCCUPANCY grows with the
+    * corpus instead of bucket count — probe reads degrade gracefully
+    * (rows/4096 per touched bucket) while the metadata bill stays
+    * fixed. 4096 matches [[graft.Engine.widthFor]]'s one-box cap. */
+  private val MaxBuckets = 4096
 
   private val rootPath = new Path(root)
   private def fs: FileSystem =
@@ -333,8 +347,8 @@ private[graft] final class BucketedIndex(
       .distinct() // collapses crash-window duplicates for good
       .localCheckpoint() // two consumers: the exact count and the write
     val rows = union.count()
-    val newP = math.max(
-      minBuckets, math.ceil(rows.toDouble / targetRowsPerBucket).toInt)
+    val newP = math.min(MaxBuckets, math.max(
+      minBuckets, math.ceil(rows.toDouble / targetRowsPerBucket).toInt))
     val nextGen = gs.map(_.n).max + 1
     val dest = new Path(rootPath, s"gen_${nextGen}_p${newP}_b")
     union
