@@ -154,7 +154,10 @@ object Bench {
       // aggregations were spilling against stale storage memory). The
       // explicit BLOCKING unpersist makes the release deterministic —
       // the isolation a per-job cluster gets for free from JVM teardown.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // PINNED shared-artifact checkpoints survive the sweep (round-17
+      // verdict task 1: the sweep was forcing d14/p14 to rebuild d06's
+      // component labeling per query — see Engine.pinnedRDDs).
+      Engine.sweepPersistentRDDs(spark)
       System.gc()
       if (wantSpill) {
         // totals across the query's runs (the cold run alone under

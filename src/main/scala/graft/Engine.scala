@@ -28,6 +28,33 @@ import org.apache.spark.sql.SparkSession
 object Engine {
   def defaultParallelism: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** RDD ids EXEMPT from the harness inter-query storage sweep
+    * ([[sweepPersistentRDDs]]) — the registry the round-17 ledger
+    * promised as `Engine.pinnedRDDs`. The Bench/Verify hygiene sweep
+    * (blocking `unpersist(true)` of every persistent RDD between
+    * queries) exists to stop DEAD localCheckpoint blocks from one
+    * query bleeding into the next query's memory headroom; but it was
+    * also destroying the LIVE shared-artifact checkpoints
+    * ([[graft.ops.ArtifactCache]]: d06/d14/p14's component labels,
+    * d16's semantic labels, the graph family's edge table), forcing
+    * each consumer query to recompute the artifact from scratch
+    * (measured sf10: d14 2.0 → 21.7 s, p14 0.9 → 21.7 s; sf0.1
+    * 0.41 → 3.3 s each). Pinned ids survive the sweep; the
+    * ArtifactCache unpins on eviction so a retired artifact is
+    * releasable again. Deployment analogy: the sweep models per-job
+    * JVM teardown, the pins model the at-rest index artifacts a
+    * teardown does NOT delete. */
+  val pinnedRDDs: java.util.Set[Integer] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+
+  /** The ONE inter-query storage-hygiene sweep Bench and Verify run:
+    * blocking-unpersist every persistent RDD EXCEPT the pinned
+    * shared-artifact checkpoints (see [[pinnedRDDs]]). */
+  def sweepPersistentRDDs(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinnedRDDs.contains(Int.box(id))) rdd.unpersist(true)
+    }
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession
       .builder()

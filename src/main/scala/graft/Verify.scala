@@ -36,8 +36,9 @@ object Verify {
       }
       // Bench's inter-query hygiene (see there): deterministic release
       // of dead localCheckpoint storage so late heavy queries don't
-      // spill against 200 earlier queries' leftover blocks.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // spill against 200 earlier queries' leftover blocks. Pinned
+      // shared-artifact checkpoints survive (Engine.pinnedRDDs).
+      Engine.sweepPersistentRDDs(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

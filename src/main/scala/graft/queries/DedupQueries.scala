@@ -468,79 +468,27 @@ object DedupQueries {
     * localCheckpoint blocks via the ContextCleaner once unreferenced,
     * so the cache's storage footprint is bounded too; an evicted
     * dataset simply relabels on next touch. */
-  private val LabelCacheBound = 8
-  private val ccCache =
-    scala.collection.mutable.LinkedHashMap
-      .empty[(SparkSession, String, String), DataFrame]
-  /** The dataset content stamp: flat listing of the documents table's
-    * files as `name:length:mtime`. Driver-side metadata-only — one
-    * `listStatus`, no data read. */
-  private def datasetStamp(
-      s: SparkSession, d: String, table: String = "documents.parquet"): String = {
-    val p = new org.apache.hadoop.fs.Path(d, table)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    val files = if (st.isDirectory) fs.listStatus(p).toSeq else Seq(st)
-    files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-      .sorted.mkString(",")
-  }
-  /** A cached label frame is servable only while its localCheckpoint
-    * blocks still exist. Verify/Bench run a blocking
-    * `getPersistentRDDs…unpersist(true)` between queries (their
-    * storage-release hygiene), which deletes the checkpoint out from
-    * under this cache — and a locally-checkpointed RDD CANNOT recompute
-    * (its lineage was truncated), so the round-14 d14/p14 cache hits
-    * died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND and silently dropped
-    * out of the driver's correctness check. The liveness probe is
-    * plan-level metadata, no job: a localCheckpoint'd Dataset analyzes
-    * to a [[org.apache.spark.sql.execution.LogicalRDD]] whose wrapped
-    * RDD id must still be registered persistent. A dead entry just
-    * recomputes — the cache is a compute-once optimization, never a
-    * correctness dependency. */
-  private def checkpointAlive(s: SparkSession, df: DataFrame): Boolean =
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        s.sparkContext.getPersistentRDDs.contains(l.rdd.id)
-      case _ => true
-    }
-
-  /** The ONE cache discipline both labelings share (any future change
-    * to eviction or checkpoint policy lands in both or neither):
-    * content-stamp keyed, stale-stamp evicting, checkpoint-materialized
-    * labels from the given edge feed, dead-checkpoint self-healing
-    * ([[checkpointAlive]]). */
-  private def cachedLabels(
-      cache: scala.collection.mutable.LinkedHashMap[
-        (SparkSession, String, String), DataFrame],
-      s: SparkSession, d: String, table: String)(
-      edges: => DataFrame): DataFrame =
-    cache.synchronized {
-      val stamp = datasetStamp(s, d, table)
-      cache.keys.filter(k => k._1 == s && k._2 == d && k._3 != stamp)
-        .toSeq.foreach(cache.remove) // restaged dir: drop stale labels
-      val key = (s, d, stamp)
-      // remove-then-insert keeps the LinkedHashMap in access order, so
-      // the eviction below is least-recently-USED, not just oldest
-      val labels = cache.remove(key).filter(checkpointAlive(s, _)).getOrElse(
-        graft.ops.ConnectedComponents.run(edges).localCheckpoint())
-      cache.put(key, labels)
-      while (cache.size > LabelCacheBound) cache.remove(cache.head._1)
-      labels
-    }
+  /** The label caches now ride [[graft.ops.ArtifactCache]] — the one
+    * shared discipline (content-stamp keyed, LRU-bounded, checkpoint-
+    * liveness self-healing, and — new in round 18 — PINNED out of the
+    * Bench/Verify storage sweep via [[graft.Engine.pinnedRDDs]], so
+    * d14/p14 read the artifact instead of rebuilding the labeling per
+    * query). Two instances: the two labelings cover different tables
+    * and invalidate independently. */
+  private val ccCache = new graft.ops.ArtifactCache()
+  private val semCache = new graft.ops.ArtifactCache()
 
   private[graft] def componentLabels(s: SparkSession, d: String): DataFrame =
-    cachedLabels(ccCache, s, d, "documents.parquet")(lshComponentEdges(s, d))
+    ccCache.artifact(s, d, Seq("documents.parquet"))(
+      graft.ops.ConnectedComponents.run(lshComponentEdges(s, d)))
 
   /** d16's labeling under the SAME one-artifact discipline as
     * [[componentLabels]], over the EMBEDDING similarity graph — keyed on
-    * the embeddings table's content stamp (its own cache: the two
-    * labelings cover different tables and invalidate independently). */
-  private val semCache =
-    scala.collection.mutable.LinkedHashMap
-      .empty[(SparkSession, String, String), DataFrame]
+    * the embeddings table's content stamp. */
   private[graft] def semanticLabels(s: SparkSession, d: String): DataFrame =
-    cachedLabels(semCache, s, d, "embeddings.parquet")(
-      cosineEdges(s, d).select(col("va").as("src"), col("vb").as("dst")))
+    semCache.artifact(s, d, Seq("embeddings.parquet"))(
+      graft.ops.ConnectedComponents.run(
+        cosineEdges(s, d).select(col("va").as("src"), col("vb").as("dst"))))
 
   /** D3 — SimHash: 16-bit signature over the token multiset. Each bit j is
     * the sign of Σ±1 over token-hashes' bit j (hash60 = first 60 bits of
@@ -589,7 +537,23 @@ object DedupQueries {
       .limit(20)
 
   /** d04's capped pair stage ([[capBlocks]] discipline); `cap = None` is
-    * the probe-only uncapped twin — see [[d11Pairs]]. */
+    * the probe-only uncapped twin — see [[d11Pairs]].
+    *
+    * HASHED-SHINGLE PAYLOAD (round-17 verdict task 2 — the d13
+    * discipline applied here): the per-member shingle sets that ride
+    * the groupBy(fp) exchange and sit in the collect_list build are
+    * `xxhash64` LONGS ([[TextFns.hashedShinglesOf]]), not rebuilt
+    * `concat_ws` strings — 8 bytes per shingle instead of a ~25-byte
+    * UTF8String object, no per-gram string allocation, and the
+    * in-lambda `array_intersect` compares words instead of strings.
+    * d04's sf100 cold-single was GC-bound at zero spill (α band
+    * 1.01–1.28 with 2.4× run-to-run variance, ~30 GB peak-exec): the
+    * per-stage ARRAY payload was the heap pressure, exactly as in
+    * d13 before its hashed-shingle rewrite. Jaccard over hashed
+    * shingles equals Jaccard over string shingles modulo xxhash64
+    * collisions (the same vanishing exposure p04/g04/d13 already
+    * accept and [[TextFns.hashedShinglesOf]] quantifies); the od04
+    * oracle is unchanged. */
   private[graft] def d04Pairs(
       s: SparkSession, d: String,
       cap: Option[Int] = Some(PairBlockCap)): DataFrame =
@@ -599,7 +563,7 @@ object DedupQueries {
         .select(
           col("doc_id"),
           TextFns.fingerprintOf(col("toks"), col("text"), N).as("fp"),
-          TextFns.shinglesOf(col("toks"), N).as("sh"))
+          TextFns.hashedShinglesOf(col("toks"), N).as("sh"))
         // compute-once, mirroring d11Pairs: the census count and the
         // capped equi-join both read this projection, and without the
         // barrier the tokenize→fingerprint→shingle subtree runs twice

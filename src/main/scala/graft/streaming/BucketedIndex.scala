@@ -325,14 +325,85 @@ private[graft] final class BucketedIndex(
     * count. */
   def compact(
       rewrite: (DataFrame, Long) => DataFrame = (df, _) => df): Unit = {
+    reapHalfWritten()
+    foldGens(gens(), rewrite)
+  }
+
+  /** INCREMENTAL (size-tiered) fold — the fold-every-batch consumers'
+    * (q54b/q58b) replacement for whole-base [[compact]] (round-17
+    * verdict task 6). Whole-base rewrite every batch costs
+    * O(stream² / batch) bytes rewritten; here each batch pays only:
+    *
+    *  1. its DELTA folded into a NEW base generation sized to the
+    *     delta's own row count (the old base is not touched);
+    *  2. a FULL merge only when the accumulated newer bases trip the
+    *     same size ratio [[maybeCompact]] uses (newer × FoldFraction ≥
+    *     oldest) — the amortized geometric rewrite cadence the
+    *     production policy already pays;
+    *  3. a small-tier merge (all bases but the oldest) when more than
+    *     [[MaxBaseGens]] bases coexist — bounds per-probe overhead
+    *     (one touched-set collect per base) without touching the big
+    *     base.
+    *
+    * Sound ONLY for indexes whose fold is layout-pure (identity
+    * rewrite): [[probe]] already unions every base with per-base
+    * touched-bucket pruning, consumers are duplicate-immune, and each
+    * generation's width P remains a pure function of the row count it
+    * was folded from — so results (and the DuckDB oracles) are
+    * unchanged. A RE-BANDING consumer (AnnStream's q60b `rw`) must
+    * keep whole-base [[compact]]: its rewrite re-keys EVERY row at the
+    * current corpus width, which a partial fold cannot express — rows
+    * left in an unmerged base would keep stale-width band keys and
+    * fall out of the banded probe. That is precisely why compact's
+    * whole-base rewrite exists. */
+  def foldIncremental(): Unit = {
+    reapHalfWritten()
     val gs = gens()
     if (gs.isEmpty) return
-    // reap half-written compaction targets from a crashed predecessor
+    val (bases0, deltas) = gs.partition(_.kind == "b") // oldest first
+    // Ratio check BEFORE any partial fold: when deltas + newer bases
+    // already trip the geometric ratio against the oldest base (or no
+    // base exists yet), folding everything in ONE pass is strictly
+    // cheaper than a delta fold followed by the full merge it would
+    // immediately trigger — the unseeded fold-every-batch case (q54b's
+    // equal-sized batches with no history) degenerates to exactly the
+    // old whole-base compact, never worse.
+    val newerBytes =
+      deltas.map(_.bytes(fs)).sum +
+        (if (bases0.isEmpty) 0L else bases0.tail.map(_.bytes(fs)).sum)
+    if (bases0.isEmpty ||
+        newerBytes * BucketedIndex.FoldFraction >= bases0.head.bytes(fs)) {
+      foldGens(gs, (df, _) => df) // the geometric full merge
+      return
+    }
+    if (deltas.nonEmpty) foldGens(deltas, (df, _) => df)
+    val bases = gens().filter(_.kind == "b")
+    if (bases.size > MaxBaseGens)
+      foldGens(bases.tail, (df, _) => df) // tier merge, big base untouched
+  }
+
+  /** Coexisting-base ceiling for [[foldIncremental]]: each base costs a
+    * probe one touched-set collect + one pruned scan, so the tier is
+    * merged (cheap — the tier is small by the ratio gate) past this. */
+  private val MaxBaseGens = 8
+
+  /** Reap half-written compaction targets from a crashed predecessor. */
+  private def reapHalfWritten(): Unit =
     fs.listStatus(rootPath).toSeq
       .filter(st => st.isDirectory &&
         GenName.findFirstIn(st.getPath.getName).isDefined &&
         !fs.exists(new Path(st.getPath, "_SUCCESS")))
       .foreach(st => fs.delete(st.getPath, true))
+
+  /** The ONE fold pipeline [[compact]] and [[foldIncremental]] share:
+    * union the given generations, rewrite, collapse duplicates,
+    * re-bucket at the width THEIR row count calls for, write the new
+    * `_SUCCESS`+`_MANIFEST` base, then delete exactly the generations
+    * folded. Crash contract unchanged (duplicates, never missing
+    * rows). */
+  private def foldGens(
+      gs: Seq[Gen], rewrite: (DataFrame, Long) => DataFrame): Unit = {
+    if (gs.isEmpty) return
     val union0 = gs
       .map { g =>
         if (g.kind == "b")
@@ -349,7 +420,7 @@ private[graft] final class BucketedIndex(
     val rows = union.count()
     val newP = math.min(MaxBuckets, math.max(
       minBuckets, math.ceil(rows.toDouble / targetRowsPerBucket).toInt))
-    val nextGen = gs.map(_.n).max + 1
+    val nextGen = gens().map(_.n).max + 1
     val dest = new Path(rootPath, s"gen_${nextGen}_p${newP}_b")
     union
       .withColumn("bp", bpOf(col(key), newP))

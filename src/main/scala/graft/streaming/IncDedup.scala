@@ -110,6 +110,8 @@ private[graft] object IncDedup {
     // q58b's determinism knob (see NearDup.processBatch): fold every
     // batch so the adaptive bucket width P runs the production policy
     // under the unchanged oracle (P is layout-only for LSH band keys).
-    if (forceCompact) { ix.compact(); true } else ix.maybeCompact()
+    // Incremental fold — band keys are fold-invariant, so each batch
+    // folds only its own delta (BucketedIndex.foldIncremental).
+    if (forceCompact) { ix.foldIncremental(); true } else ix.maybeCompact()
   }
 }

@@ -39,6 +39,7 @@ private[graft] object NearDup {
     def append(df: DataFrame): Unit
     def maybeCompact(): Boolean
     def compact(): Unit
+    def foldIncremental(): Unit
   }
 
   private final class Bucketed(ix: BucketedIndex) extends Store {
@@ -46,6 +47,7 @@ private[graft] object NearDup {
     def append(df: DataFrame): Unit = ix.append(df)
     def maybeCompact(): Boolean = ix.maybeCompact()
     def compact(): Unit = ix.compact()
+    def foldIncremental(): Unit = ix.foldIncremental()
   }
 
   /** Round-11 layout: plain appends, full-history read per batch, no
@@ -61,6 +63,7 @@ private[graft] object NearDup {
       df.write.mode("append").parquet(root)
     def maybeCompact(): Boolean = false
     def compact(): Unit = () // plain layout has no generations to fold
+    def foldIncremental(): Unit = ()
   }
 
   def bandIndex(
@@ -232,8 +235,13 @@ private[graft] object NearDup {
     // function of row counts — the production LSM policy exercised
     // mid-stream under the oracle (P is pure layout for this consumer,
     // so unlike AnnStream's SRP width the oracle text is unchanged).
+    // INCREMENTAL fold (round-18): fold-every-batch × whole-base
+    // rewrite cost O(stream²/batch) bytes; the banded keys here are
+    // fold-invariant (identity rewrite), so each batch folds only its
+    // own delta and the big base merges on the geometric ratio —
+    // results unchanged (see BucketedIndex.foldIncremental).
     if (forceCompact) {
-      bandStore.compact(); exIdxStore.compact(); true
+      bandStore.foldIncremental(); exIdxStore.foldIncremental(); true
     } else {
       val c1 = bandStore.maybeCompact()
       val c2 = exIdxStore.maybeCompact()

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the round-18 harness-sweep exemption (round-17 verdict task 1):
+  * shared-artifact localCheckpoints registered in [[Engine.pinnedRDDs]]
+  * must SURVIVE the Bench/Verify inter-query storage sweep
+  * ([[Engine.sweepPersistentRDDs]]), while ordinary per-query
+  * checkpoints are still released by it. Without the exemption, d14/p14
+  * rebuilt d06's component labeling on every bench query (sf10 cold:
+  * 2.0 → 21.7 s / 0.9 → 21.7 s). */
+class PinnedArtifactSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rddIdOf(df: DataFrame): Int =
+    df.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd.id
+
+  test("sweep releases unpinned checkpoints and keeps pinned ones") {
+    import spark.implicits._
+    val plain = Seq(1, 2, 3).toDF("x").localCheckpoint()
+    val cache = new graft.ops.ArtifactCache()
+    val art = cache.artifact(spark, sf, Seq("documents.parquet"))(
+      Seq(4, 5, 6).toDF("y"))
+    val plainId = rddIdOf(plain)
+    val artId = rddIdOf(art)
+    assert(spark.sparkContext.getPersistentRDDs.contains(plainId))
+    assert(Engine.pinnedRDDs.contains(artId), "artifact must be pinned")
+    assert(!Engine.pinnedRDDs.contains(plainId))
+
+    Engine.sweepPersistentRDDs(spark)
+
+    assert(!spark.sparkContext.getPersistentRDDs.contains(plainId),
+      "unpinned checkpoint must be swept")
+    assert(spark.sparkContext.getPersistentRDDs.contains(artId),
+      "pinned artifact must survive the sweep")
+
+    // cache hit after the sweep: the SAME materialized frame is served
+    // (reference equality — no rebuild), and it still answers.
+    val again = cache.artifact(spark, sf, Seq("documents.parquet"))(
+      fail("artifact must not rebuild after a sweep it is pinned against"))
+    assert(again eq art)
+    assert(again.count() == 3)
+    Engine.pinnedRDDs.remove(Int.box(artId)) // leave global state clean
+  }
+
+  test("eviction unpins, making the retired artifact sweepable") {
+    import spark.implicits._
+    val cache = new graft.ops.ArtifactCache(bound = 1)
+    val a = cache.artifact(spark, sf, Seq("documents.parquet"))(
+      Seq(1).toDF("x"))
+    val aId = rddIdOf(a)
+    assert(Engine.pinnedRDDs.contains(aId))
+    // a second dataset key evicts the first (bound = 1)
+    val b = cache.artifact(spark, "/root/testdata/sf0.01",
+      Seq("documents.parquet"))(Seq(2).toDF("x"))
+    val bId = rddIdOf(b)
+    assert(!Engine.pinnedRDDs.contains(aId), "evicted artifact must unpin")
+    assert(Engine.pinnedRDDs.contains(bId))
+    Engine.sweepPersistentRDDs(spark)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(aId),
+      "retired artifact must be releasable by the sweep")
+    Engine.pinnedRDDs.remove(Int.box(bId))
+    Engine.sweepPersistentRDDs(spark)
+  }
+
+  test("d06/d14/p14 component labels survive the sweep and stay correct") {
+    val d06a = SparkEntry.queries("d06_dup_components")(spark, sf).collect()
+    Engine.sweepPersistentRDDs(spark)
+    // served from the pinned artifact (no rebuild), identical answer
+    val d06b = SparkEntry.queries("d06_dup_components")(spark, sf).collect()
+    assert(d06a.toSeq == d06b.toSeq)
+    val d14 = SparkEntry.queries("d14_cluster_retention")(spark, sf)
+    assert(d14.count() >= 0) // reads the same artifact post-sweep
+  }
+}
