@@ -43,17 +43,29 @@ object Engine {
     * ArtifactCache unpins on eviction so a retired artifact is
     * releasable again. Deployment analogy: the sweep models per-job
     * JVM teardown, the pins model the at-rest index artifacts a
-    * teardown does NOT delete. */
-  val pinnedRDDs: java.util.Set[Integer] =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+    * teardown does NOT delete.
+    *
+    * Entries are `applicationId:rddId` ([[pinKey]]), not bare ids
+    * (round-18 advisory): RDD ids restart from 0 in every new
+    * SparkContext, so a bare id pinned by a stopped session would
+    * silently exempt an UNRELATED RDD of a later session from the
+    * sweep. Scoping by applicationId makes a stale pin inert. */
+  val pinnedRDDs: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The pin-registry key for `rddId` in `spark`'s context. */
+  def pinKey(spark: SparkSession, rddId: Int): String =
+    s"${spark.sparkContext.applicationId}:$rddId"
 
   /** The ONE inter-query storage-hygiene sweep Bench and Verify run:
     * blocking-unpersist every persistent RDD EXCEPT the pinned
     * shared-artifact checkpoints (see [[pinnedRDDs]]). */
-  def sweepPersistentRDDs(spark: SparkSession): Unit =
+  def sweepPersistentRDDs(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!pinnedRDDs.contains(Int.box(id))) rdd.unpersist(true)
+      if (!pinnedRDDs.contains(s"$app:$id")) rdd.unpersist(true)
     }
+  }
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession
@@ -74,6 +86,24 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // JOIN-STRATEGY POLICY (round-18 verdict task 1; guide §3.1/§9):
+      // let the planner pick shuffled-hash over sort-merge when its size
+      // conditions hold — every SMJ pays an O(n log n) sort per side
+      // that SHJ skips, and the estate-sized shuffle width (widthFor:
+      // ≤96 MiB of input per partition) bounds the per-partition build
+      // map SHJ must hold. Static selection still requires the build
+      // side to fit canBuildLocalHashMap (< autoBroadcastJoinThreshold
+      // × shuffle width); the AQE threshold below additionally rewrites
+      // SMJ→SHJ at runtime when every post-shuffle build partition is
+      // under it — sized to the AQE advisory partition target (64 MB):
+      // a ≤64 MB on-wire partition builds a hash map of a few hundred
+      // MB, within one task's execution-memory share on any executor
+      // profile this engine targets (local[32]/8g at sf0.1 up to
+      // 96g at sf100; a cluster sizes SPARK_GRAFT_SHJ_THRESHOLD to its
+      // own per-task memory budget — 0 disables the rewrite).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.parquet.filterPushdown", "true")
       // NOTE: do NOT swap fs.file.impl to RawLocalFileSystem to skip the

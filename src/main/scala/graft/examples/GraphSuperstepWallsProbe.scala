@@ -40,8 +40,10 @@ object GraphSuperstepWallsProbe {
       .select(col("supp").as("src"), col("cust").as("dst"))
       .unionAll(pairs.select(col("cust").as("src"), col("supp").as("dst")))
 
-    def unpersistAll(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // routed through the ONE harness sweep so pinned shared artifacts
+    // survive here too (round-18 advisory; the probe's own per-step
+    // checkpoints are unpinned and still released)
+    def unpersistAll(): Unit = Engine.sweepPersistentRDDs(spark)
     def timed(label: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
       body

@@ -35,12 +35,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    on materialization and unregistered on eviction/stale-drop, so
   *    retirement makes the blocks sweepable again.
   *
-  * `synchronized` throughout: concurrent test suites sharing the
-  * session must not race two builds of one artifact.
+  * Concurrency (round-18 advisory): map mutation is `synchronized`,
+  * but the filesystem stamp listing and the distributed
+  * build+localCheckpoint job run OUTSIDE the lock — a per-key
+  * build latch keeps two threads from racing one artifact's build
+  * without serializing unrelated datasets behind it.
   */
 final class ArtifactCache(bound: Int = 8) {
   private val cache = scala.collection.mutable.LinkedHashMap
     .empty[(SparkSession, String, String), DataFrame]
+  private val building = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), java.util.concurrent.CountDownLatch]
 
   /** The dataset content stamp: flat listing of each source table's
     * files as `name:length:mtime`, tables joined by `;`. */
@@ -67,37 +72,64 @@ final class ArtifactCache(bound: Int = 8) {
   private def alive(s: SparkSession, df: DataFrame): Boolean =
     rddIdOf(df).forall(s.sparkContext.getPersistentRDDs.contains)
 
-  private def pin(df: DataFrame): Unit =
-    rddIdOf(df).foreach(id => graft.Engine.pinnedRDDs.add(id))
+  private def pin(s: SparkSession, df: DataFrame): Unit =
+    rddIdOf(df).foreach(id =>
+      graft.Engine.pinnedRDDs.add(graft.Engine.pinKey(s, id)))
 
-  private def unpin(df: DataFrame): Unit =
-    rddIdOf(df).foreach(id => graft.Engine.pinnedRDDs.remove(id))
+  private def unpin(s: SparkSession, df: DataFrame): Unit =
+    rddIdOf(df).foreach(id =>
+      graft.Engine.pinnedRDDs.remove(graft.Engine.pinKey(s, id)))
+  // NOTE on unpin-without-unpersist: an evicted/stale artifact is only
+  // UNPINNED here, not unpersisted — a consumer query planned against
+  // the checkpoint may still be executing, and a localCheckpoint cannot
+  // recompute. Unpinning is what releases it: the next harness sweep
+  // (or the ContextCleaner once the frame is unreachable) frees the
+  // blocks.
 
   /** Serve the artifact for `(s, d, tables-stamp)`, building (and
     * localCheckpoint-materializing, and pinning) it on first touch,
-    * stale stamp, or dead checkpoint. */
+    * stale stamp, or dead checkpoint. The stamp listing and the build
+    * run outside the map lock; a per-key latch de-duplicates
+    * concurrent builds of the SAME artifact. */
   def artifact(s: SparkSession, d: String, tables: Seq[String])(
-      build: => DataFrame): DataFrame =
-    cache.synchronized {
-      val stamp = stampOf(s, d, tables)
+      build: => DataFrame): DataFrame = {
+    val stamp = stampOf(s, d, tables) // fs metadata, outside the lock
+    val key = (s, d, stamp)
+    val hit = cache.synchronized {
       cache.keys.filter(k => k._1 == s && k._2 == d && k._3 != stamp)
-        .toSeq.foreach(k => cache.remove(k).foreach(unpin))
-      val key = (s, d, stamp)
+        .toSeq.foreach(k => cache.remove(k).foreach(unpin(s, _)))
       // remove-then-insert keeps the LinkedHashMap in access order, so
-      // the eviction below is least-recently-USED, not just oldest
-      val prev = cache.remove(key)
-      val df = prev.filter(alive(s, _)).getOrElse {
-        prev.foreach(unpin) // dead checkpoint: release the stale pin
-        val built = build.localCheckpoint()
-        pin(built)
-        built
+      // eviction is least-recently-USED, not just oldest
+      cache.remove(key) match {
+        case Some(df) if alive(s, df) => cache.put(key, df); Some(df)
+        case Some(df) => unpin(s, df); None // dead checkpoint
+        case None => None
       }
-      cache.put(key, df)
-      while (cache.size > bound) {
-        val (k, v) = cache.head
-        cache.remove(k)
-        unpin(v)
-      }
-      df
     }
+    hit.getOrElse {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      building.putIfAbsent(key, latch) match {
+        case null => // this thread owns the build
+          try {
+            val built = build.localCheckpoint()
+            cache.synchronized {
+              pin(s, built)
+              cache.put(key, built)
+              while (cache.size > bound) {
+                val (k, v) = cache.head
+                cache.remove(k)
+                unpin(k._1, v)
+              }
+            }
+            built
+          } finally {
+            building.remove(key)
+            latch.countDown()
+          }
+        case other => // another thread is building: wait, then re-read
+          other.await()
+          artifact(s, d, tables)(build)
+      }
+    }
+  }
 }

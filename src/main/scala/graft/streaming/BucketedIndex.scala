@@ -376,16 +376,38 @@ private[graft] final class BucketedIndex(
       foldGens(gs, (df, _) => df) // the geometric full merge
       return
     }
-    if (deltas.nonEmpty) foldGens(deltas, (df, _) => df)
+    if (deltas.nonEmpty) foldGens(deltas, (df, _) => df, tierPCap(deltas))
     val bases = gens().filter(_.kind == "b")
-    if (bases.size > MaxBaseGens)
-      foldGens(bases.tail, (df, _) => df) // tier merge, big base untouched
+    if (bases.size > MaxBaseGens) // tier merge, big base untouched
+      foldGens(bases.tail, (df, _) => df, tierPCap(bases.tail))
   }
 
   /** Coexisting-base ceiling for [[foldIncremental]]: each base costs a
     * probe one touched-set collect + one pruned scan, so the tier is
     * merged (cheap — the tier is small by the ratio gate) past this. */
   private val MaxBaseGens = 8
+
+  /** PER-TIER bucket-count cap for [[foldIncremental]]'s partial folds
+    * (round-18 verdict task 2): `ceil(rows / targetRowsPerBucket)` is a
+    * bucket-OCCUPANCY rule sized for the big base, but applied to a
+    * per-batch DELTA fold it fans a few MB into hundreds of ~4 KB
+    * bucket directories — at q54b's adversarial 64-rows/bucket target
+    * the per-batch fold bill was pure filesystem metadata (sf10:
+    * ~500–4096 file commits per fold at zero spill). Capping a tier's
+    * width so each bucket file carries at least [[BucketedIndex
+    * .MinTierBucketBytes]] of the fold's input bounds the metadata bill
+    * by the tier's BYTES, which the size-ratio gate already bounds to
+    * ≤ base/FoldFraction. Probe cost is unaffected in order: a tier
+    * read amplifies to at most the tier's own (small) size, exactly as
+    * the unfolded delta it replaces was read in full. FULL merges keep
+    * the pure occupancy rule — the big base is where `bp` pruning pays
+    * — so `bp` semantics (pmod(xxhash64(key), P), P in the generation
+    * name) and the declared results are unchanged. */
+  private def tierPCap(gs: Seq[Gen]): Int = {
+    val bytes = gs.map(_.bytes(fs)).sum
+    math.max(1L, math.min(MaxBuckets.toLong,
+      bytes / BucketedIndex.MinTierBucketBytes)).toInt
+  }
 
   /** Reap half-written compaction targets from a crashed predecessor. */
   private def reapHalfWritten(): Unit =
@@ -400,9 +422,12 @@ private[graft] final class BucketedIndex(
     * re-bucket at the width THEIR row count calls for, write the new
     * `_SUCCESS`+`_MANIFEST` base, then delete exactly the generations
     * folded. Crash contract unchanged (duplicates, never missing
-    * rows). */
+    * rows). `pCap` bounds the new generation's bucket count — the
+    * per-tier file-fan-out cap [[tierPCap]] computes for partial folds
+    * (full merges pass the default, i.e. no extra cap). */
   private def foldGens(
-      gs: Seq[Gen], rewrite: (DataFrame, Long) => DataFrame): Unit = {
+      gs: Seq[Gen], rewrite: (DataFrame, Long) => DataFrame,
+      pCap: Int = Int.MaxValue): Unit = {
     if (gs.isEmpty) return
     val union0 = gs
       .map { g =>
@@ -418,8 +443,9 @@ private[graft] final class BucketedIndex(
       .distinct() // collapses crash-window duplicates for good
       .localCheckpoint() // two consumers: the exact count and the write
     val rows = union.count()
-    val newP = math.min(MaxBuckets, math.max(
-      minBuckets, math.ceil(rows.toDouble / targetRowsPerBucket).toInt))
+    val newP = math.min(pCap, math.min(MaxBuckets, math.max(
+      minBuckets, math.ceil(rows.toDouble / targetRowsPerBucket).toInt)))
+      .max(1)
     val nextGen = gens().map(_.n).max + 1
     val dest = new Path(rootPath, s"gen_${nextGen}_p${newP}_b")
     union
@@ -472,6 +498,15 @@ private[graft] object BucketedIndex {
     * of the index (bounds the unpruned part of every probe) at ~4×
     * amortized write amplification per size doubling. */
   val FoldFraction = 4
+
+  /** Bucket-file SIZE floor for incremental tier folds (see
+    * [[BucketedIndex.tierPCap]]): one bucket file per 256 KiB of fold
+    * input. 256 KiB ≈ what the PRODUCTION occupancy target already
+    * implies (4096 rows × ~40–60 B/row of compressed band parquet), so
+    * production-shaped indexes are untouched; only a target adversarially
+    * far below that density (q54b/q58b's 64) has its tier fan-out
+    * capped. */
+  val MinTierBucketBytes: Long = 256L << 10
 
   /** Last probe plan per key column (see [[BucketedIndex.lastProbePlan]]). */
   private val probePlans =

@@ -10,10 +10,28 @@ import org.scalatest.funsuite.AnyFunSuite
   * checkpoints are still released by it. Without the exemption, d14/p14
   * rebuilt d06's component labeling on every bench query (sf10 cold:
   * 2.0 → 21.7 s / 0.9 → 21.7 s). */
-class PinnedArtifactSpec extends AnyFunSuite {
+class PinnedArtifactSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   import SparkTestSession.spark
 
   private val sf = "/root/testdata/sf0.001"
+
+  // Snapshot the pin registry so pins this suite's PRODUCTION-cache
+  // tests leave behind (the d06/d14/p14 artifacts) are released for
+  // later suites — without this, their checkpoint blocks are exempt
+  // from every subsequent sweep and suite-order-dependent memory
+  // state accrues (round-18 advisory).
+  private var pinsBefore: Set[String] = Set.empty
+  override def beforeAll(): Unit = {
+    pinsBefore = scala.jdk.CollectionConverters
+      .SetHasAsScala(Engine.pinnedRDDs).asScala.toSet
+  }
+  override def afterAll(): Unit = {
+    scala.jdk.CollectionConverters.SetHasAsScala(Engine.pinnedRDDs)
+      .asScala.toSet.diff(pinsBefore)
+      .foreach(Engine.pinnedRDDs.remove)
+    Engine.sweepPersistentRDDs(spark)
+  }
 
   private def rddIdOf(df: DataFrame): Int =
     df.queryExecution.analyzed
@@ -28,8 +46,9 @@ class PinnedArtifactSpec extends AnyFunSuite {
     val plainId = rddIdOf(plain)
     val artId = rddIdOf(art)
     assert(spark.sparkContext.getPersistentRDDs.contains(plainId))
-    assert(Engine.pinnedRDDs.contains(artId), "artifact must be pinned")
-    assert(!Engine.pinnedRDDs.contains(plainId))
+    assert(Engine.pinnedRDDs.contains(Engine.pinKey(spark, artId)),
+      "artifact must be pinned")
+    assert(!Engine.pinnedRDDs.contains(Engine.pinKey(spark, plainId)))
 
     Engine.sweepPersistentRDDs(spark)
 
@@ -44,7 +63,7 @@ class PinnedArtifactSpec extends AnyFunSuite {
       fail("artifact must not rebuild after a sweep it is pinned against"))
     assert(again eq art)
     assert(again.count() == 3)
-    Engine.pinnedRDDs.remove(Int.box(artId)) // leave global state clean
+    Engine.pinnedRDDs.remove(Engine.pinKey(spark, artId)) // leave global state clean
   }
 
   test("eviction unpins, making the retired artifact sweepable") {
@@ -53,17 +72,18 @@ class PinnedArtifactSpec extends AnyFunSuite {
     val a = cache.artifact(spark, sf, Seq("documents.parquet"))(
       Seq(1).toDF("x"))
     val aId = rddIdOf(a)
-    assert(Engine.pinnedRDDs.contains(aId))
+    assert(Engine.pinnedRDDs.contains(Engine.pinKey(spark, aId)))
     // a second dataset key evicts the first (bound = 1)
     val b = cache.artifact(spark, "/root/testdata/sf0.01",
       Seq("documents.parquet"))(Seq(2).toDF("x"))
     val bId = rddIdOf(b)
-    assert(!Engine.pinnedRDDs.contains(aId), "evicted artifact must unpin")
-    assert(Engine.pinnedRDDs.contains(bId))
+    assert(!Engine.pinnedRDDs.contains(Engine.pinKey(spark, aId)),
+      "evicted artifact must unpin")
+    assert(Engine.pinnedRDDs.contains(Engine.pinKey(spark, bId)))
     Engine.sweepPersistentRDDs(spark)
     assert(!spark.sparkContext.getPersistentRDDs.contains(aId),
       "retired artifact must be releasable by the sweep")
-    Engine.pinnedRDDs.remove(Int.box(bId))
+    Engine.pinnedRDDs.remove(Engine.pinKey(spark, bId))
     Engine.sweepPersistentRDDs(spark)
   }
 
