@@ -266,15 +266,22 @@ private[graft] final class BucketedIndex(
     * non-empty delta folds (that first fold is what creates the
     * base). Returns whether a compaction ran. `rewrite` is forwarded
     * to [[compact]] (fold-time row rewrites — see there). */
-  def maybeCompact(
-      rewrite: (DataFrame, Long) => DataFrame = (df, _) => df): Boolean = {
+  def maybeCompact(): Boolean = maybeCompactWith(None)
+
+  /** [[maybeCompact]] with a fold-time row rewrite (see [[compact]]). */
+  def maybeCompact(rewrite: (DataFrame, Long) => DataFrame): Boolean =
+    maybeCompactWith(Some(rewrite))
+
+  private def maybeCompactWith(
+      rewrite: Option[(DataFrame, Long) => DataFrame]): Boolean = {
     val gs = gens()
     if (gs.isEmpty) return false
     val deltaBytes = gs.filter(_.kind == "a").map(_.bytes(fs)).sum
     val baseBytes = gs.filter(_.kind == "b").map(_.bytes(fs)).sum
     if (deltaBytes == 0L ||
         deltaBytes * BucketedIndex.FoldFraction < baseBytes) return false
-    compact(rewrite)
+    reapHalfWritten()
+    foldGens(gens(), rewrite)
     true
   }
 
@@ -323,10 +330,15 @@ private[graft] final class BucketedIndex(
     * its one consumer, the log-scaled adaptive band width — while the
     * bucket count `newP` is sized from the EXACT post-collapse
     * count. */
-  def compact(
-      rewrite: (DataFrame, Long) => DataFrame = (df, _) => df): Unit = {
+  def compact(): Unit = {
     reapHalfWritten()
-    foldGens(gens(), rewrite)
+    foldGens(gens(), None)
+  }
+
+  /** [[compact]] with a fold-time row rewrite (doc above). */
+  def compact(rewrite: (DataFrame, Long) => DataFrame): Unit = {
+    reapHalfWritten()
+    foldGens(gens(), Some(rewrite))
   }
 
   /** INCREMENTAL (size-tiered) fold — the fold-every-batch consumers'
@@ -373,13 +385,13 @@ private[graft] final class BucketedIndex(
         (if (bases0.isEmpty) 0L else bases0.tail.map(_.bytes(fs)).sum)
     if (bases0.isEmpty ||
         newerBytes * BucketedIndex.FoldFraction >= bases0.head.bytes(fs)) {
-      foldGens(gs, (df, _) => df) // the geometric full merge
+      foldGens(gs, None) // the geometric full merge
       return
     }
-    if (deltas.nonEmpty) foldGens(deltas, (df, _) => df, tierPCap(deltas))
+    if (deltas.nonEmpty) foldGens(deltas, None, tierPCap(deltas))
     val bases = gens().filter(_.kind == "b")
     if (bases.size > MaxBaseGens) // tier merge, big base untouched
-      foldGens(bases.tail, (df, _) => df, tierPCap(bases.tail))
+      foldGens(bases.tail, None, tierPCap(bases.tail))
   }
 
   /** Coexisting-base ceiling for [[foldIncremental]]: each base costs a
@@ -424,9 +436,14 @@ private[graft] final class BucketedIndex(
     * folded. Crash contract unchanged (duplicates, never missing
     * rows). `pCap` bounds the new generation's bucket count — the
     * per-tier file-fan-out cap [[tierPCap]] computes for partial folds
-    * (full merges pass the default, i.e. no extra cap). */
+    * (full merges pass the default, i.e. no extra cap). `rewrite` is
+    * `None` for identity folds — the common case (every fold except
+    * AnnStream's re-banding) — which skips the pre-collapse
+    * checkpoint+count whose ONLY consumer is the rewrite hook: one
+    * full materialization and one count job saved per fold, which the
+    * fold-every-batch consumers (q54b/q58b) pay per micro-batch. */
   private def foldGens(
-      gs: Seq[Gen], rewrite: (DataFrame, Long) => DataFrame,
+      gs: Seq[Gen], rewrite: Option[(DataFrame, Long) => DataFrame],
       pCap: Int = Int.MaxValue): Unit = {
     if (gs.isEmpty) return
     val union0 = gs
@@ -436,13 +453,21 @@ private[graft] final class BucketedIndex(
         else s.read.schema(rowSchema).parquet(g.dir.toString)
       }
       .reduce(_ unionByName _)
-      .localCheckpoint() // two consumers: the pre-count and the rewrite
-    val preRows = union0.count() // pre-collapse upper bound (doc above)
-    if (preRows == 0) return
-    val union = rewrite(union0, preRows)
+    val rewritten = rewrite match {
+      case Some(rw) =>
+        // two consumers of the union (the pre-count and the rewrite):
+        // checkpoint so the generations are read once
+        val u0 = union0.localCheckpoint()
+        val preRows = u0.count() // pre-collapse upper bound (doc above)
+        if (preRows == 0) return
+        rw(u0, preRows)
+      case None => union0 // identity fold: distinct is the only reader
+    }
+    val union = rewritten
       .distinct() // collapses crash-window duplicates for good
       .localCheckpoint() // two consumers: the exact count and the write
     val rows = union.count()
+    if (rows == 0) return
     val newP = math.min(pCap, math.min(MaxBuckets, math.max(
       minBuckets, math.ceil(rows.toDouble / targetRowsPerBucket).toInt)))
       .max(1)
